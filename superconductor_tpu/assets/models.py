@@ -1,0 +1,407 @@
+"""Model loading: glTF document -> Scene mega-buffer ranges + primitives.
+
+Mirrors Model::load / AnimatedModel::load (renderer-core/src/assets/
+models.rs:280-671):
+
+  * nodes referenced by another node's MSFT_lod list are skipped as
+    top-level meshes and instead become LOD entries of the referencing
+    primitive (models.rs:304-338);
+  * primitives are grouped by (blend mode x face sides) — we keep the
+    grouping as per-primitive metadata rather than separate index ranges,
+    because the TPU pipeline selects triangles per pass with masks, not
+    with contiguous draw ranges;
+  * missing indices -> 0..N, missing normals/uvs/lightmap_uvs -> zeros
+    (models.rs:739-767); is_lightmapped = second UV set present;
+  * the node's global transform is NOT baked into vertices; it is stored on
+    the primitive and composed with the instance transform per frame
+    (push_entity_instances, src/systems.rs:204-332 does the same);
+  * animated models additionally read JOINTS_0/WEIGHTS_0, skins (joint node
+    indices + inverse bind matrices, decomposed to Similarity), and
+    animations (models.rs:457-671).
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..animation import AnimationJoints, read_animations
+from ..math3d import Similarity
+from ..nodes import DepthFirstNodes, NodeTree
+from ..scene.scene import (
+    BLEND_ALPHA_BLENDED,
+    BLEND_ALPHA_CLIPPED,
+    BLEND_OPAQUE,
+    MAT_DOUBLE_SIDED,
+    MAT_UNLIT,
+    TEX_DUMMY_MR,
+    TEX_DUMMY_NORMAL,
+    TEX_DUMMY_WHITE,
+    TEXFLAG_SRGB,
+    MaterialSettings,
+    Model,
+    Primitive,
+    PrimitiveLod,
+    Scene,
+    WRAP_CLAMP,
+    WRAP_REPEAT,
+    build_mip_chain,
+)
+from .fetch import FetchClient, decode_data_uri
+from .gltf import Gltf, parse_gltf
+
+log = logging.getLogger(__name__)
+
+_ALPHA_MODES = {
+    "OPAQUE": BLEND_OPAQUE,
+    "MASK": BLEND_ALPHA_CLIPPED,
+    "BLEND": BLEND_ALPHA_BLENDED,
+}
+
+
+def _decode_image(data: bytes, mime: str = "") -> np.ndarray:
+    """Decode PNG/JPEG/KTX2 bytes to (h, w, 4) uint8 RGBA."""
+    if data[:12] == b"\xabKTX 20\xbb\r\n\x1a\n":
+        from .ktx2 import decode_ktx2_rgba8
+
+        return decode_ktx2_rgba8(data)
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGBA")
+    return np.asarray(img, dtype=np.uint8)
+
+
+class _TextureCache:
+    """Deduplicates image loads by glTF image index, like the Shared-future
+    dedup in texture_loading.rs:249-336."""
+
+    def __init__(self):
+        self.by_image: Dict[tuple, int] = {}
+
+
+def _load_texture(
+    scene: Scene,
+    gltf: Gltf,
+    tex_index: Optional[int],
+    srgb: bool,
+    url: str,
+    client: Optional[FetchClient],
+    cache: _TextureCache,
+    dummy: int,
+) -> int:
+    if tex_index is None:
+        return dummy
+    doc = gltf.json
+    try:
+        tex = doc["textures"][tex_index]
+    except (KeyError, IndexError):
+        return dummy
+    # KHR_texture_basisu stores the ktx2 source under the extension.
+    source = tex.get("extensions", {}).get("KHR_texture_basisu", {}).get(
+        "source", tex.get("source")
+    )
+    if source is None:
+        return dummy
+    key = (source, srgb)
+    if key in cache.by_image:
+        return cache.by_image[key]
+
+    image = doc["images"][source]
+    try:
+        if "bufferView" in image:
+            data = gltf.buffer_views[image["bufferView"]].tobytes()
+        else:
+            uri = image["uri"]
+            if uri.startswith("data:"):
+                data = decode_data_uri(uri)
+            else:
+                data = client.fetch_bytes(client.resolve(url, uri))
+        rgba = _decode_image(data, image.get("mimeType", ""))
+    except Exception:
+        log.exception("texture %s failed to load; keeping dummy", source)
+        return dummy
+
+    wrap = WRAP_REPEAT
+    sampler_idx = tex.get("sampler")
+    if sampler_idx is not None:
+        sampler = doc.get("samplers", [])[sampler_idx]
+        if sampler.get("wrapS") == 33071:
+            wrap = WRAP_CLAMP
+    tex_id = scene.textures.add_texture(
+        build_mip_chain(rgba), wrap=wrap, flags=TEXFLAG_SRGB if srgb else 0
+    )
+    cache.by_image[key] = tex_id
+    return tex_id
+
+
+def _load_materials(
+    scene: Scene, gltf: Gltf, url: str, client: Optional[FetchClient]
+) -> List[int]:
+    """Create scene materials for every glTF material; returns id mapping.
+
+    Field-for-field with load_material_settings
+    (texture_loading.rs:338-400): emissive_factor scaled by
+    KHR_materials_emissive_strength, KHR_texture_transform taken from the
+    first texture that has it, unlit flag from KHR_materials_unlit.
+    """
+    cache = _TextureCache()
+    ids = []
+    materials = gltf.json.get("materials") or [{}]
+    for mat in materials:
+        pbr = mat.get("pbrMetallicRoughness", {})
+        exts = mat.get("extensions", {})
+        strength = exts.get("KHR_materials_emissive_strength", {}).get(
+            "emissiveStrength", 1.0
+        )
+        ef = np.asarray(mat.get("emissiveFactor", (0.0, 0.0, 0.0)), np.float32) * strength
+
+        transform = None
+        for info in (
+            pbr.get("baseColorTexture"),
+            pbr.get("metallicRoughnessTexture"),
+            mat.get("normalTexture"),
+            mat.get("emissiveTexture"),
+        ):
+            if info and "KHR_texture_transform" in info.get("extensions", {}):
+                transform = info["extensions"]["KHR_texture_transform"]
+                break
+        transform = transform or {}
+
+        flags = 0
+        if "KHR_materials_unlit" in exts:
+            flags |= MAT_UNLIT
+        if mat.get("doubleSided"):
+            flags |= MAT_DOUBLE_SIDED
+
+        def tex(info, srgb, dummy):
+            return _load_texture(
+                scene,
+                gltf,
+                info.get("index") if info else None,
+                srgb,
+                url,
+                client,
+                cache,
+                dummy,
+            )
+
+        settings = MaterialSettings(
+            base_color_factor=tuple(pbr.get("baseColorFactor", (1, 1, 1, 1))),
+            emissive_factor=tuple(ef.tolist()),
+            metallic_factor=pbr.get("metallicFactor", 1.0),
+            roughness_factor=pbr.get("roughnessFactor", 1.0),
+            normal_map_scale=(mat.get("normalTexture") or {}).get("scale", 1.0),
+            uv_offset=tuple(transform.get("offset", (0.0, 0.0))),
+            uv_scale=tuple(transform.get("scale", (1.0, 1.0))),
+            uv_rotation=transform.get("rotation", 0.0),
+            flags=flags,
+            alpha_cutoff=mat.get("alphaCutoff", 0.5),
+            blend_mode=_ALPHA_MODES.get(mat.get("alphaMode", "OPAQUE"), BLEND_OPAQUE),
+            albedo_tex=tex(pbr.get("baseColorTexture"), True, TEX_DUMMY_WHITE),
+            normal_tex=tex(mat.get("normalTexture"), False, TEX_DUMMY_NORMAL),
+            metallic_roughness_tex=tex(
+                pbr.get("metallicRoughnessTexture"), False, TEX_DUMMY_MR
+            ),
+            emissive_tex=tex(mat.get("emissiveTexture"), True, TEX_DUMMY_WHITE),
+        )
+        ids.append(scene.add_material(settings))
+    return ids
+
+
+def _primitive_attributes(gltf: Gltf, prim: dict, animated: bool):
+    attrs = prim["attributes"]
+    positions = gltf.accessor(attrs["POSITION"]).astype(np.float32)
+    n = len(positions)
+    normals = (
+        gltf.accessor(attrs["NORMAL"]).astype(np.float32)
+        if "NORMAL" in attrs
+        else np.zeros((n, 3), np.float32)
+    )
+    uvs = (
+        gltf.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
+        if "TEXCOORD_0" in attrs
+        else np.zeros((n, 2), np.float32)
+    )
+    lightmap_uvs = (
+        gltf.accessor(attrs["TEXCOORD_1"]).astype(np.float32)
+        if "TEXCOORD_1" in attrs
+        else None
+    )
+    indices = (
+        gltf.accessor_index(prim["indices"])
+        if "indices" in prim
+        else np.arange(n, dtype=np.uint32)
+    )
+    out = {
+        "positions": positions,
+        "normals": normals,
+        "uvs": uvs,
+        "lightmap_uvs": lightmap_uvs,
+        "indices": indices,
+    }
+    if animated:
+        out["joint_indices"] = (
+            gltf.accessor(attrs["JOINTS_0"]).astype(np.int32)
+            if "JOINTS_0" in attrs
+            else np.zeros((n, 4), np.int32)
+        )
+        out["joint_weights"] = (
+            gltf.accessor(attrs["WEIGHTS_0"]).astype(np.float32)
+            if "WEIGHTS_0" in attrs
+            else np.concatenate(
+                [np.ones((n, 1), np.float32), np.zeros((n, 3), np.float32)], axis=1
+            )
+        )
+    return out
+
+
+def load_model(
+    scene: Scene,
+    data: bytes,
+    url: str = "",
+    client: Optional[FetchClient] = None,
+    name: Optional[str] = None,
+    animated: bool = False,
+) -> Model:
+    """Parse + insert a glTF model into the scene; returns the Model."""
+    gltf = parse_gltf(data, url, client)
+    doc = gltf.json
+    material_ids = _load_materials(scene, gltf, url, client)
+    node_tree = NodeTree.from_gltf_nodes(doc.get("nodes", ()))
+
+    # Nodes that only exist as LOD targets of other nodes.
+    ignored = set()
+    for node in doc.get("nodes", ()):
+        for lod_node in node.get("extensions", {}).get("MSFT_lod", {}).get("ids", ()):
+            ignored.add(lod_node)
+
+    primitives: List[Primitive] = []
+    for node_index, node in enumerate(doc.get("nodes", ())):
+        if node_index in ignored or "mesh" not in node:
+            continue
+        transform = node_tree.transform_of(node_index)
+        mesh = doc["meshes"][node["mesh"]]
+        lod_meshes = [mesh]
+        for lod_node_index in (
+            node.get("extensions", {}).get("MSFT_lod", {}).get("ids", ())
+        ):
+            lod_node = doc["nodes"][lod_node_index]
+            if "mesh" in lod_node:
+                lod_meshes.append(doc["meshes"][lod_node["mesh"]])
+        coverages = list(node.get("extras", {}).get("MSFT_screencoverage", ()))
+
+        for prim_index, prim in enumerate(mesh["primitives"]):
+            mat_gltf_index = prim.get("material", 0)
+            materials = doc.get("materials") or [{}]
+            mat = materials[mat_gltf_index] if mat_gltf_index < len(materials) else {}
+            material_id = (
+                material_ids[mat_gltf_index]
+                if mat_gltf_index < len(material_ids)
+                else material_ids[0]
+            )
+            blend_mode = _ALPHA_MODES.get(mat.get("alphaMode", "OPAQUE"), BLEND_OPAQUE)
+            double_sided = bool(mat.get("doubleSided"))
+
+            lods: List[PrimitiveLod] = []
+            positions0 = None
+            for mesh_lod in lod_meshes:
+                lp = mesh_lod["primitives"][prim_index]
+                at = _primitive_attributes(gltf, lp, animated)
+                if positions0 is None:
+                    positions0 = at["positions"]
+                lm = at["lightmap_uvs"]
+                if animated:
+                    first, count = scene.insert_animated_mesh(
+                        at["positions"],
+                        at["normals"],
+                        at["uvs"],
+                        at["joint_indices"],
+                        at["joint_weights"],
+                        at["indices"],
+                        material_ids[lp.get("material", 0)]
+                        if lp.get("material", 0) < len(material_ids)
+                        else material_ids[0],
+                    )
+                else:
+                    first, count = scene.insert_static_mesh(
+                        at["positions"],
+                        at["normals"],
+                        at["uvs"],
+                        lm if lm is not None else np.zeros_like(at["uvs"]),
+                        at["indices"],
+                        material_ids[lp.get("material", 0)]
+                        if lp.get("material", 0) < len(material_ids)
+                        else material_ids[0],
+                    )
+                lods.append(PrimitiveLod(first_index=first, index_count=count))
+
+            radius = float(np.linalg.norm(positions0, axis=1).max()) if len(positions0) else 0.0
+            primitives.append(
+                Primitive(
+                    material=material_id,
+                    blend_mode=blend_mode,
+                    double_sided=double_sided,
+                    animated=animated,
+                    lods=lods,
+                    lod_coverages=coverages,
+                    bounding_sphere_radius=radius,
+                    bbox_min=positions0.min(axis=0) if len(positions0) else np.zeros(3),
+                    bbox_max=positions0.max(axis=0) if len(positions0) else np.zeros(3),
+                )
+            )
+            # Primitive transform rides along as an extra field.
+            primitives[-1].transform = transform
+
+    model = Model(primitives=primitives, animated=animated)
+    model.bounding_sphere_radius = max(
+        (
+            p.transform.scale * p.bounding_sphere_radius
+            + float(np.linalg.norm(p.transform.translation))
+            for p in primitives
+        ),
+        default=0.0,
+    )
+
+    if animated:
+        _load_animation_data(model, gltf)
+
+    if name:
+        scene.models[name] = model
+    return model
+
+
+def _load_animation_data(model: Model, gltf: Gltf) -> None:
+    doc = gltf.json
+    nodes = doc.get("nodes", ())
+    tree = NodeTree.from_gltf_nodes(nodes)
+    model.depth_first_nodes = DepthFirstNodes.from_tree(tree)
+    model.initial_local_transforms = list(tree.local_transforms)
+    model.animations = read_animations(doc, gltf.accessor)
+
+    skins = doc.get("skins", ())
+    if skins:
+        skin = skins[0]
+        joint_nodes = np.asarray(skin["joints"], np.int32)
+        if "inverseBindMatrices" in skin:
+            mats = gltf.accessor(skin["inverseBindMatrices"]).reshape(-1, 4, 4)
+            inv8 = np.stack(
+                [Similarity.from_mat4(m.T).to_array() for m in mats]
+            ).astype(np.float32)
+        else:
+            inv8 = np.tile(
+                Similarity.identity().to_array(), (len(joint_nodes), 1)
+            ).astype(np.float32)
+        model.joint_node_indices = joint_nodes
+        model.inverse_bind8 = inv8
+        model.num_joints = len(joint_nodes)
+    else:
+        model.joint_node_indices = np.zeros(0, np.int32)
+        model.inverse_bind8 = np.zeros((0, 8), np.float32)
+        model.num_joints = 0
+
+
+def new_animation_joints(model: Model) -> AnimationJoints:
+    return AnimationJoints(model.initial_local_transforms)

@@ -1,0 +1,108 @@
+"""Reference (pure-jnp, brute-force) rasterizer.
+
+An independent, simple implementation of the visibility pass used to
+cross-validate the Pallas tile kernel and to run tiny CPU-only configs:
+every triangle is evaluated against the full image in chunks under
+``lax.scan``. O(T * H * W) — fine for test scenes, never the production
+path.
+
+Output is the same visibility buffer the tile kernel produces:
+  depth (H, W) f32 — reverse-z by default (0 = far, larger = nearer)
+  pair  (H, W) i32 — index into the TriangleSetup arrays, -1 = miss
+  b0,b1 (H, W) f32 — perspective-correct barycentric weights of v0, v1
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import TriangleSetup
+
+
+class VisibilityBuffer(NamedTuple):
+    depth: jax.Array
+    pair: jax.Array
+    b0: jax.Array
+    b1: jax.Array
+
+
+def empty_visibility(height: int, width: int, reverse_z: bool = True):
+    far = 0.0 if reverse_z else 1.0
+    return VisibilityBuffer(
+        depth=jnp.full((height, width), far, jnp.float32),
+        pair=jnp.full((height, width), -1, jnp.int32),
+        b0=jnp.zeros((height, width), jnp.float32),
+        b1=jnp.zeros((height, width), jnp.float32),
+    )
+
+
+def rasterize_ref(
+    tri: TriangleSetup,
+    height: int,
+    width: int,
+    reverse_z: bool = True,
+    chunk: int = 8,
+    init: VisibilityBuffer | None = None,
+    depth_only: bool = False,
+    depth_test_only: bool = False,
+) -> VisibilityBuffer:
+    """Brute-force visibility rasterization.
+
+    depth_test_only: test against init.depth but do not require winning
+    writes to update it (used nowhere yet; kept for parity experiments).
+    """
+    t = tri.setup.shape[0]
+    pad = (-t) % chunk
+    setup = jnp.pad(tri.setup, ((0, pad), (0, 0)))
+    valid = jnp.pad(tri.valid, (0, pad))
+
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    px = xs[None, :]  # (1, W)
+    py = ys[:, None]  # (H, 1)
+
+    vis = init if init is not None else empty_visibility(height, width, reverse_z)
+
+    def body(carry, inp):
+        depth, pair, b0, b1 = carry
+        s, v, base = inp  # s: (chunk, 16)
+
+        def one(i, carry):
+            depth, pair, b0, b1 = carry
+            row = s[i]
+            e0 = row[0] * px + row[1] * py + row[2]
+            e1 = row[3] * px + row[4] * py + row[5]
+            e2 = row[6] * px + row[7] * py + row[8]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & v[i]
+            zsum = e0 * row[9] + e1 * row[10] + e2 * row[11]
+            wsum = e0 * row[12] + e1 * row[13] + e2 * row[14]
+            inside = inside & (wsum > 0)
+            z = zsum / jnp.where(wsum == 0, 1.0, wsum)
+            zin = (z >= 0.0) & (z <= 1.0)
+            if reverse_z:
+                win = inside & zin & (z > depth)
+            else:
+                win = inside & zin & (z < depth)
+            esum = e0 + e1 + e2
+            esafe = jnp.where(esum == 0, 1.0, esum)
+            new_depth = jnp.where(win, z, depth)
+            new_pair = jnp.where(win, base + i, pair)
+            new_b0 = jnp.where(win, e0 / esafe, b0)
+            new_b1 = jnp.where(win, e1 / esafe, b1)
+            return new_depth, new_pair, new_b0, new_b1
+
+        carry = jax.lax.fori_loop(0, chunk, one, (depth, pair, b0, b1))
+        return carry, None
+
+    n_chunks = setup.shape[0] // chunk
+    s_chunks = setup.reshape(n_chunks, chunk, 16)
+    v_chunks = valid.reshape(n_chunks, chunk)
+    bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+
+    (depth, pair, b0, b1), _ = jax.lax.scan(
+        body, (vis.depth, vis.pair, vis.b0, vis.b1), (s_chunks, v_chunks, bases)
+    )
+    return VisibilityBuffer(depth=depth, pair=pair, b0=b0, b1=b1)

@@ -1,0 +1,390 @@
+"""Deferred shading: visibility buffer -> lit pixels.
+
+Replaces the reference's fragment shaders (fragment /
+fragment_alpha_clipped / fragment_alpha_blended, shaders/src/lib.rs:252-512,
+and the glam-pbr BRDF crate). The TPU formulation is deferred: the raster
+pass leaves (pair id, barycentrics) per pixel; this pass gathers per-pair
+attributes and per-material state, then runs the entire lighting model as
+flat vectorized VPU math over all pixels at once. No occluded fragment is
+ever shaded, which also supersedes the reference's depth prepass.
+
+Lighting model (identical math to the reference):
+  * diffuse = albedo*(1-metallic) * nonlinear L1-SH irradiance
+    (eval_spherical_harmonics_nonlinear, shared-structs/src/lib.rs:357-388);
+  * SH[0] boosted by pi^2 before specular (lib.rs:514-531 comment: baking
+    scales direct light down; specular needs it back);
+  * specular = GGX BRDF at the SH dominant light direction
+    (spherical_harmonics_specular_approximation, shaders/src/lib.rs:777-815);
+  * emissive added; ACES tonemap + gamma-2.2 encode at the end;
+  * normal mapping via cotangent frame from ANALYTIC position/uv screen
+    derivatives (the reference uses hardware ddx/ddy, lib.rs:566-587 — we
+    differentiate the homogeneous interpolation equations instead, which is
+    exact per-pixel rather than a 2x2-quad finite difference);
+  * unlit materials bypass lighting and tonemapping (lib.rs:310-318).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import TriangleAttrs, TriangleSetup
+from .texture import (
+    mip_level_from_derivatives,
+    sample_3d_from_layers,
+    sample_bilinear_level,
+    sample_trilinear,
+)
+from .tonemap import aces_filmic, linear_to_srgb_approx
+
+MAT_UNLIT = 1
+
+
+class GBuffer(NamedTuple):
+    """Flat per-pixel (P,) SoA after attribute interpolation."""
+
+    valid: jax.Array
+    world_pos: jax.Array  # (P, 3)
+    normal: jax.Array  # (P, 3) geometric/interp normal (unnormalized)
+    uv: jax.Array  # (P, 2)
+    lm_uv: jax.Array  # (P, 2)
+    material: jax.Array  # (P,) i32
+    front_facing: jax.Array  # (P,) bool
+    lightmapped: jax.Array  # (P,) bool
+    dpdx: jax.Array  # (P, 3) world-position screen derivatives
+    dpdy: jax.Array  # (P, 3)
+    duvdx: jax.Array  # (P, 2)
+    duvdy: jax.Array  # (P, 2)
+
+
+def interpolate_gbuffer(
+    pair: jax.Array,  # (P,) i32 pair id, -1 = miss
+    b0: jax.Array,
+    b1: jax.Array,
+    px: jax.Array,  # (P,) pixel centers (x + 0.5)
+    py: jax.Array,
+    tri: TriangleSetup,
+    attrs: TriangleAttrs,
+) -> GBuffer:
+    valid = pair >= 0
+    p = jnp.maximum(pair, 0)
+    b2 = 1.0 - b0 - b1
+    bary = jnp.stack([b0, b1, b2], axis=-1)  # (P, 3)
+
+    def interp(a):  # a: (T, 3, C) -> (P, C)
+        return jnp.sum(a[p] * bary[..., None], axis=-2)
+
+    world_pos = interp(attrs.world_pos)
+    normal = interp(attrs.normal)
+    uv = interp(attrs.uv)
+    lm_uv = interp(attrs.lm_uv)
+    material = attrs.material[p]
+    lightmapped = attrs.lightmapped[p]
+    setup = tri.setup[p]  # (P, 16)
+    front_facing = setup[:, 15] == 0.0
+
+    # Analytic screen-space derivatives of perspective-correct attributes.
+    # attr(p) = N(p)/D(p), N affine with coeffs sum_i a_i*adj_i, D affine
+    # with coeffs sum_i adj_i. d(attr)/dx = (Nx*D - N*Dx) / D^2.
+    adj = setup[:, 0:9].reshape(-1, 3, 3)  # (P, 3, [a,b,c])
+    dx = adj[:, :, 0]  # (P, 3) d e_i / dx
+    dy = adj[:, :, 1]
+    e = (
+        adj[:, :, 0] * px[:, None] + adj[:, :, 1] * py[:, None] + adj[:, :, 2]
+    )  # (P, 3)
+    d_val = jnp.sum(e, axis=-1)
+    d_dx = jnp.sum(dx, axis=-1)
+    d_dy = jnp.sum(dy, axis=-1)
+    inv_d = 1.0 / jnp.where(d_val == 0, 1.0, d_val)
+
+    def deriv(a):  # a: (T, 3, C) -> d/dx, d/dy each (P, C)
+        av = a[p]  # (P, 3, C)
+        n_val = jnp.sum(e[..., None] * av, axis=-2)
+        n_dx = jnp.sum(dx[..., None] * av, axis=-2)
+        n_dy = jnp.sum(dy[..., None] * av, axis=-2)
+        ddx = (n_dx - n_val * (d_dx * inv_d)[..., None]) * inv_d[..., None]
+        ddy = (n_dy - n_val * (d_dy * inv_d)[..., None]) * inv_d[..., None]
+        return ddx, ddy
+
+    dpdx, dpdy = deriv(attrs.world_pos)
+    duvdx, duvdy = deriv(attrs.uv)
+
+    return GBuffer(
+        valid=valid,
+        world_pos=world_pos,
+        normal=normal,
+        uv=uv,
+        lm_uv=lm_uv,
+        material=material,
+        front_facing=front_facing,
+        lightmapped=lightmapped,
+        dpdx=dpdx,
+        dpdy=dpdy,
+        duvdx=duvdx,
+        duvdy=duvdy,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PBR pieces (glam-pbr equivalents)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(v, eps=1e-12):
+    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def eval_sh_nonlinear(sh, normal):
+    """Nonlinear L1 SH irradiance (shared-structs/src/lib.rs:357-388).
+
+    sh: (P, 4, 3) [L0, L1x, L1y, L1z] rgb; normal: (P, 3). Returns (P, 3).
+    """
+    # Per-channel direction vectors: r1_div_r0[c] = (L1x[c], L1y[c], L1z[c]).
+    r1 = jnp.stack([sh[:, 1, :], sh[:, 2, :], sh[:, 3, :]], axis=-2)  # (P, 3dir, 3c)
+    r0 = sh[:, 0, :]  # (P, 3c)
+    length = jnp.sqrt(jnp.sum(r1 * r1, axis=-2) + 1e-20)  # (P, 3c)
+    a = (1.0 - length) / (1.0 + length)
+    pexp = 1.0 + 2.0 * length
+    ndot = jnp.sum(r1 * normal[..., :, None], axis=-2)  # (P, 3c)
+    # q from the raw dot r_1_div_r_0 . normal, exactly as eval_scalar does.
+    q = jnp.maximum(0.5 * (1.0 + ndot), 0.0)
+    return r0 * (a + (1.0 - a) * (pexp + 1.0) * jnp.power(q, pexp))
+
+
+def sh_channel_vectors(sh):
+    """(P,4,3) -> per-color direction vectors (P,3,3c)->(red,green,blue) each (P,3)."""
+    red = jnp.stack([sh[:, 1, 0], sh[:, 2, 0], sh[:, 3, 0]], axis=-1)
+    green = jnp.stack([sh[:, 1, 1], sh[:, 2, 1], sh[:, 3, 1]], axis=-1)
+    blue = jnp.stack([sh[:, 1, 2], sh[:, 2, 2], sh[:, 3, 2]], axis=-1)
+    return red, green, blue
+
+
+def ggx_specular(n, v, l, roughness, f0, f90):
+    """D_GGX * V_SmithGGXCorrelated * F_Schlick (glam-pbr specular_brdf)."""
+    h = _normalize(v + l)
+    ndv = jnp.maximum(_dot(n, v), 1e-4)
+    ndl = jnp.maximum(_dot(n, l), 0.0)
+    ndh = jnp.maximum(_dot(n, h), 0.0)
+    vdh = jnp.maximum(_dot(v, h), 0.0)
+
+    a2 = roughness * roughness
+    denom = ndh * ndh * (a2 - 1.0) + 1.0
+    d = a2 / jnp.maximum(jnp.pi * denom * denom, 1e-8)
+
+    lv = ndl * jnp.sqrt(ndv * ndv * (1.0 - a2) + a2)
+    ll = ndv * jnp.sqrt(ndl * ndl * (1.0 - a2) + a2)
+    vis = 0.5 / jnp.maximum(lv + ll, 1e-8)
+
+    fresnel = f0 + (f90[..., None] - f0) * jnp.power(1.0 - vdh, 5.0)[..., None]
+    return (d * vis)[..., None] * fresnel, ndl
+
+
+def sh_specular_approximation(sh, normal, view, roughness_perceptual, f0, f90):
+    """Port of spherical_harmonics_specular_approximation
+    (shaders/src/lib.rs:777-815)."""
+    red, green, blue = sh_channel_vectors(sh)
+    avg_dir = (red + green + blue) / 3.0
+    dir_len = jnp.sqrt(jnp.sum(avg_dir * avg_dir, axis=-1) + 1e-20)
+
+    smoothness = 1.0 - roughness_perceptual
+    adjusted_smoothness = smoothness * jnp.sqrt(dir_len)
+    adjusted_roughness_p = 1.0 - adjusted_smoothness
+    actual_roughness = adjusted_roughness_p * adjusted_roughness_p
+
+    light = avg_dir / dir_len[..., None]
+    strength = sh[:, 0, :] * dir_len[..., None]
+
+    spec, ndl = ggx_specular(normal, view, light, actual_roughness, f0, f90)
+    return spec * strength * ndl[..., None]
+
+
+def compute_cotangent_frame_normal(
+    geo_normal, map_normal_ts, dpdx, dpdy, duvdx, duvdy
+):
+    """'Normal Mapping Without Precomputed Tangents' (thetenthplanet.de/
+    archives/1180), as compute_cotangent_frame (lib.rs:571-587) but with
+    analytic derivatives. geo_normal must be unit length."""
+    n = geo_normal
+    # The reference feeds position = -view_vector (eye-relative); derivatives
+    # of that equal derivatives of world position.
+    dp2perp = jnp.cross(dpdy, n)
+    dp1perp = jnp.cross(n, dpdx)
+    t = dp2perp * duvdx[..., 0:1] + dp1perp * duvdy[..., 0:1]
+    b = dp2perp * duvdx[..., 1:2] + dp1perp * duvdy[..., 1:2]
+    t2 = jnp.sum(t * t, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    invmax = jax.lax.rsqrt(jnp.maximum(jnp.maximum(t2, b2), 1e-20))
+    t = t * invmax
+    b = b * invmax
+    world = (
+        t * map_normal_ts[..., 0:1]
+        + b * map_normal_ts[..., 1:2]
+        + n * map_normal_ts[..., 2:3]
+    )
+    return _normalize(world)
+
+
+# ---------------------------------------------------------------------------
+# The full material + lighting evaluation
+# ---------------------------------------------------------------------------
+
+
+def sample_spherical_harmonics(gbuf: GBuffer, scene: dict, uniforms: dict, env):
+    """(P, 4, 3) SH coefficients per pixel: lightvol 3D samples for regular
+    geometry, lightmap 2D samples where lightmapped (lib.rs:204-250), or a
+    constant ambient fallback when the scene has neither. ``env`` is the
+    static EnvBindings (texture ids are compile-time constants)."""
+    p = gbuf.world_pos.shape[0]
+
+    def unpack(rgb0, rgbx, rgby, rgbz):
+        return jnp.stack([rgb0, rgbx, rgby, rgbz], axis=-2)
+
+    scale = 255.0 / 127.0
+    bias = -128.0 / 127.0
+    sh = None
+    if env.lightvol_tex_ids is not None:
+        rescaled = (gbuf.world_pos - uniforms["probes_bottom_left"]) / uniforms[
+            "probes_scale"
+        ]
+        z_layers = env.lightvol_z_layers
+        tex = scene["tex_hdr"]
+        texels = scene["texels_hdr"]
+        ids = env.lightvol_tex_ids
+        taps = [
+            sample_3d_from_layers(
+                texels, tex, jnp.full((p,), i, jnp.int32), rescaled, z_layers
+            )[..., :3]
+            for i in ids
+        ]
+        sh = unpack(
+            taps[0], taps[1] * scale + bias, taps[2] * scale + bias,
+            taps[3] * scale + bias,
+        )
+    if env.lightmap_tex_ids is not None:
+        tex = scene["tex_hdr"]
+        texels = scene["texels_hdr"]
+        lvl = jnp.zeros((p,), jnp.int32)
+        taps = [
+            sample_bilinear_level(
+                texels, tex, jnp.full((p,), i, jnp.int32), gbuf.lm_uv, lvl, False
+            )[..., :3]
+            for i in env.lightmap_tex_ids
+        ]
+        sh_lm = unpack(
+            taps[0], taps[1] * scale + bias, taps[2] * scale + bias,
+            taps[3] * scale + bias,
+        )
+        sh = (
+            sh_lm
+            if sh is None
+            else jnp.where(gbuf.lightmapped[:, None, None], sh_lm, sh)
+        )
+    if sh is None:
+        import numpy as np
+
+        ambient = np.asarray(env.ambient_sh, np.float32).reshape(4, 3)
+        sh = jnp.broadcast_to(jnp.asarray(ambient), (p, 4, 3))
+    return sh
+
+
+def shade(
+    gbuf: GBuffer,
+    scene: dict,
+    uniforms: dict,
+    view_index: int,
+    env=None,
+    inline_tonemapping: bool = True,
+    inline_srgb: bool = True,
+):
+    """Returns (rgb (P,3) display-encoded, alpha (P,)).
+
+    Follows fragment() then calculate_lighting_and_tonemap()
+    (lib.rs:254-537). Misses are returned black with alpha 0.
+    """
+    texels = scene["texels"]
+    tex = scene["tex"]
+    m = scene["materials"]
+    mat = gbuf.material
+
+    # Texture LOD from analytic derivatives, using the albedo texture's
+    # finest mip dimensions (one LOD shared by all material textures, which
+    # matches sampling them with the same sampler+uv in the reference).
+    alb = m["albedo_tex"][mat]
+    base_entry = tex["tex_mip_base"][alb]
+    tw = tex["mip_w"][base_entry].astype(jnp.float32)
+    th = tex["mip_h"][base_entry].astype(jnp.float32)
+    lod = mip_level_from_derivatives(
+        gbuf.duvdx[..., 0], gbuf.duvdx[..., 1],
+        gbuf.duvdy[..., 0], gbuf.duvdy[..., 1],
+        tw, th,
+    )
+    lod = jnp.maximum(lod, 0.0)
+
+    albedo = sample_trilinear(texels, tex, alb, gbuf.uv, lod) * m[
+        "base_color_factor"
+    ][mat]
+    mr = sample_trilinear(texels, tex, m["mr_tex"][mat], gbuf.uv, lod)
+    emissive_tex = sample_trilinear(texels, tex, m["emissive_tex"][mat], gbuf.uv, lod)
+    normal_tex = sample_trilinear(texels, tex, m["normal_tex"][mat], gbuf.uv, lod)
+
+    metallic = mr[..., 2] * m["metallic_factor"][mat]
+    roughness = mr[..., 1] * m["roughness_factor"][mat]
+    emissive = emissive_tex[..., :3] * m["emissive_factor"][mat]
+    alpha = albedo[..., 3]
+    albedo_rgb = albedo[..., :3]
+
+    # Geometric normal, flipped for back faces (lib.rs:552-556).
+    geo_n = _normalize(gbuf.normal)
+    geo_n = jnp.where(gbuf.front_facing[..., None], geo_n, -geo_n)
+
+    # Normal map (lib.rs:558-568): decode, scale xy, renormalize, rotate into
+    # the cotangent frame.
+    map_n = normal_tex[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
+    scale = m["normal_map_scale"][mat][..., None]
+    map_n = map_n * jnp.concatenate(
+        [scale, scale, jnp.ones_like(scale)], axis=-1
+    )
+    map_n = _normalize(map_n)
+    n = compute_cotangent_frame_normal(
+        geo_n, map_n, gbuf.dpdx, gbuf.dpdy, gbuf.duvdx, gbuf.duvdy
+    )
+
+    eye = uniforms["eye"][view_index]
+    view = _normalize(eye[None, :] - gbuf.world_pos)
+
+    if env is None:
+        from ..render.env import EnvBindings
+
+        env = EnvBindings()
+    sh = sample_spherical_harmonics(gbuf, scene, uniforms, env)
+
+    diffuse = albedo_rgb * (1.0 - metallic[..., None]) * eval_sh_nonlinear(sh, n)
+
+    # SH[0] *= pi^2 before specular (lib.rs:525-529).
+    sh_boost = sh.at[:, 0, :].multiply(jnp.pi * jnp.pi)
+    f0 = 0.04 * (1.0 - metallic[..., None]) + albedo_rgb * metallic[..., None]
+    f90 = jnp.ones_like(metallic)
+    specular = sh_specular_approximation(sh_boost, n, view, roughness, f0, f90)
+
+    lit = diffuse + specular + emissive
+
+    if inline_tonemapping:
+        lit = aces_filmic(lit)
+    if inline_srgb:
+        lit = linear_to_srgb_approx(lit)
+
+    # Unlit: raw albedo (srgb-encoded if inline_srgb), no tonemap
+    # (lib.rs:310-318).
+    unlit_rgb = linear_to_srgb_approx(albedo_rgb) if inline_srgb else albedo_rgb
+    unlit = (m["flags"][mat] & MAT_UNLIT) != 0
+    rgb = jnp.where(unlit[..., None], unlit_rgb, lit)
+
+    rgb = jnp.where(gbuf.valid[..., None], rgb, 0.0)
+    alpha = jnp.where(gbuf.valid, alpha, 0.0)
+    return rgb, alpha

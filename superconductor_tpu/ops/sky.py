@@ -1,0 +1,59 @@
+"""Skybox: per-pixel ray from the inverse projection, cubemap sample.
+
+Parity with vertex_skybox / fragment_skybox (shaders/src/lib.rs:671-710):
+ray = camera_rotation * (projection_inverse @ ndc); the fullscreen pass
+samples the IBL cubemap and tonemaps. Drawn only where no geometry won the
+depth test (the reference gets this from depth GreaterEqual/LessEqual at the
+far plane, pipelines.rs:550-554; deferred, it's just the miss mask).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..math3d import quat_rotate
+from .texture import sample_cubemap
+from .tonemap import aces_filmic, linear_to_srgb_approx
+
+
+def skybox_rays(width, height, projection_inverse, view_quat):
+    """(H*W, 3) world-space rays through every pixel center."""
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    ndc_x = jnp.tile(xs[None, :], (height, 1)).reshape(-1)
+    ndc_y = jnp.repeat(ys[:, None], width, axis=1).reshape(-1)
+    # z value is irrelevant to the direction for a perspective projection
+    # inverse followed by truncation; the reference uses z=0 (reverse-z).
+    pos = jnp.stack(
+        [ndc_x, ndc_y, jnp.zeros_like(ndc_x), jnp.ones_like(ndc_x)], axis=-1
+    )
+    unproj = pos @ projection_inverse.T
+    ray = unproj[..., :3]
+    return quat_rotate(view_quat[None, :], ray)
+
+
+def sample_skybox(
+    scene: dict,
+    env,
+    width: int,
+    height: int,
+    projection_inverse,
+    view_quat,
+    inline_tonemapping=True,
+    inline_srgb=True,
+):
+    base = env.ibl_cubemap_base
+    rays = skybox_rays(width, height, projection_inverse, view_quat)
+    if base < 0:
+        rgb = jnp.broadcast_to(
+            jnp.asarray(env.clear_color, jnp.float32), (rays.shape[0], 3)
+        )
+    else:
+        rgb = sample_cubemap(
+            scene["texels_hdr"], scene["tex_hdr"], base, rays
+        )[..., :3]
+    if inline_tonemapping:
+        rgb = aces_filmic(rgb)
+    if inline_srgb:
+        rgb = linear_to_srgb_approx(rgb)
+    return rgb

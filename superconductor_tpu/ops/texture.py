@@ -1,0 +1,166 @@
+"""Gather-based texture sampling from flat texel pools.
+
+wgpu's samplers (bilinear, mip, wrap modes — texture_loading.rs:140-158)
+become explicit gathers here. Layout rationale: the pools are (N, 4) flat
+arrays so a fetch is ONE gather row per tap; bilinear+trilinear = 4 or 8
+taps. Addresses are computed in-register from the mip descriptor table.
+
+sRGB decode happens after the gather (exact EOTF), matching wgpu's
+Rgba8UnormSrgb views on albedo/emissive textures.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tonemap import srgb_to_linear_exact
+
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+TEXFLAG_SRGB = 1
+
+
+def _wrap(coord, size, wrap_mode):
+    rep = jnp.remainder(coord, size)
+    clmp = jnp.clip(coord, 0, size - 1)
+    return jnp.where(wrap_mode == WRAP_REPEAT, rep, clmp)
+
+
+def _fetch(texels, index):
+    return texels[index]
+
+
+def sample_bilinear_level(texels, tex_desc, tex_id, uv, level, decode_srgb=True):
+    """Bilinear sample of `tex_id` at mip `level` (integer, clamped).
+
+    texels: (N, 4) u8 or f32 pool
+    tex_desc: dict of descriptor arrays (mip_offset/w/h, tex_mip_base/count,
+              tex_wrap, tex_flags)
+    tex_id: (P,) i32; uv: (P, 2) f32; level: (P,) i32
+    Returns (P, 4) f32 (linear color space if decode_srgb).
+    """
+    base = tex_desc["tex_mip_base"][tex_id]
+    count = tex_desc["tex_mip_count"][tex_id]
+    wrap_mode = tex_desc["tex_wrap"][tex_id]
+    lvl = jnp.clip(level, 0, count - 1)
+    entry = base + lvl
+    off = tex_desc["mip_offset"][entry]
+    w = tex_desc["mip_w"][entry]
+    h = tex_desc["mip_h"][entry]
+
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        xi = _wrap(xi, w, wrap_mode)
+        yi = _wrap(yi, h, wrap_mode)
+        return _fetch(texels, off + yi * w + xi)
+
+    t00 = tap(x0, y0).astype(jnp.float32)
+    t10 = tap(x0 + 1, y0).astype(jnp.float32)
+    t01 = tap(x0, y0 + 1).astype(jnp.float32)
+    t11 = tap(x0 + 1, y0 + 1).astype(jnp.float32)
+
+    out = (
+        t00 * (1 - fx) * (1 - fy)
+        + t10 * fx * (1 - fy)
+        + t01 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+    if texels.dtype == jnp.uint8:
+        out = out * (1.0 / 255.0)
+        if decode_srgb:
+            srgb = (tex_desc["tex_flags"][tex_id] & TEXFLAG_SRGB) != 0
+            rgb = jnp.where(
+                srgb[..., None], srgb_to_linear_exact(out[..., :3]), out[..., :3]
+            )
+            out = jnp.concatenate([rgb, out[..., 3:]], axis=-1)
+    return out
+
+
+def sample_trilinear(texels, tex_desc, tex_id, uv, lod, decode_srgb=True):
+    """Trilinear: blend the two nearest mips by the fractional lod."""
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    f = (lod - jnp.floor(lod))[..., None]
+    a = sample_bilinear_level(texels, tex_desc, tex_id, uv, l0, decode_srgb)
+    b = sample_bilinear_level(texels, tex_desc, tex_id, uv, l0 + 1, decode_srgb)
+    return a * (1 - f) + b * f
+
+
+def mip_level_from_derivatives(dudx, dvdx, dudy, dvdy, tex_w, tex_h):
+    """Isotropic LOD from analytic UV screen derivatives (the reference gets
+    these implicitly from hardware ddx/ddy; we carry them analytically from
+    the triangle plane equations)."""
+    du2 = (dudx * tex_w) ** 2 + (dvdx * tex_h) ** 2
+    dv2 = (dudy * tex_w) ** 2 + (dvdy * tex_h) ** 2
+    rho2 = jnp.maximum(du2, dv2)
+    return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+
+
+def sample_cubemap(texels_hdr, tex_desc, base_tex_id, direction, lod=None):
+    """Sample a cubemap stored as 6 consecutive textures (faces +X,-X,+Y,-Y,
+    +Z,-Z in the usual wgpu/Vulkan order) with bilinear filtering.
+
+    direction: (P, 3). Face selection per the standard cube-map equations.
+    """
+    d = direction
+    ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az) & ~is_x
+    is_z = ~is_x & ~is_y
+
+    # face index: 0 +x, 1 -x, 2 +y, 3 -y, 4 +z, 5 -z
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    # (sc, tc) per face (Vulkan convention)
+    sc = jnp.where(
+        is_x,
+        jnp.where(x >= 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
+    )
+    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
+    u = 0.5 * (sc / ma + 1.0)
+    v = 0.5 * (tc / ma + 1.0)
+    uv = jnp.stack([u, v], axis=-1)
+    tex_id = base_tex_id + face
+    if lod is None:
+        lod = jnp.zeros(d.shape[:-1], jnp.float32)
+    return sample_trilinear(texels_hdr, tex_desc, tex_id, uv, lod, decode_srgb=False)
+
+
+def sample_3d_from_layers(
+    texels_hdr, tex_desc, tex_id, point, z_layers
+):
+    """3D texture emulated as stacked 2D layers: xy bilinear per layer, then
+    lerp across z — exactly sample_2d_array_as_3d (shaders/src/lib.rs:185-201).
+
+    The texture with id `tex_id` must have its layers stored as z_layers
+    consecutive mip entries of identical size (we abuse the mip table as a
+    layer table; such "textures" have tex_mip_count == z_layers and are
+    never mip-sampled).
+    """
+    xy = point[..., :2]
+    z = point[..., 2] * z_layers - 0.5
+    z0 = jnp.floor(z)
+    fz = (z - z0)[..., None]
+    zi = jnp.clip(z0.astype(jnp.int32), 0, z_layers - 1)
+    zi1 = jnp.clip(zi + 1, 0, z_layers - 1)
+    a = sample_bilinear_level(texels_hdr, tex_desc, tex_id, xy, zi, decode_srgb=False)
+    b = sample_bilinear_level(texels_hdr, tex_desc, tex_id, xy, zi1, decode_srgb=False)
+    # Match the reference exactly: out-of-range layers clamp; weights lerp.
+    return a * (1 - fz) + b * fz

@@ -1,0 +1,149 @@
+"""Host-side per-frame draw-list building: instances -> padded DrawLists.
+
+The analog of push_entity_instances + upload_instances
+(src/systems.rs:204-332, 334-365): every frame the host walks the visible
+(model, instance) pairs, composes instance x primitive transforms, culls,
+selects LODs, and emits flat arrays. Capacities are padded to powers of two
+so the jitted frame function's shapes stay stable as the scene churns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..math3d import Similarity
+from ..scene.scene import Model, Primitive, Scene
+from .camera import Uniforms
+from .culling import (
+    BoundingSphereParams,
+    sphere_culling_params,
+    test_bounding_spheres,
+)
+from .frame import FrameState
+from .lod import select_lod
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length() if n > 1 else 1
+
+
+@dataclass
+class DrawRows:
+    sim8: List[np.ndarray] = field(default_factory=list)
+    first_tri: List[int] = field(default_factory=list)
+    tri_count: List[int] = field(default_factory=list)
+    joints_offset: List[int] = field(default_factory=list)
+    lightmapped: List[bool] = field(default_factory=list)
+
+    def add(self, sim8, first_index, index_count, joints_offset=0, lightmapped=False):
+        self.sim8.append(sim8)
+        self.first_tri.append(first_index // 3)
+        self.tri_count.append(index_count // 3)
+        self.joints_offset.append(joints_offset)
+        self.lightmapped.append(lightmapped)
+
+    def to_arrays(self, cap: Optional[int] = None):
+        n = len(self.first_tri)
+        cap = cap or max(1, _next_pow2(n))
+        sim8 = np.zeros((cap, 8), np.float32)
+        sim8[:, 7] = 1.0  # identity quat w
+        if n:
+            sim8[:n] = np.stack(self.sim8)
+        first = np.zeros(cap, np.int32)
+        first[:n] = self.first_tri
+        count = np.zeros(cap, np.int32)
+        count[:n] = self.tri_count
+        joff = np.zeros(cap, np.int32)
+        joff[:n] = self.joints_offset
+        lm = np.zeros(cap, bool)
+        lm[:n] = self.lightmapped
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        from ..ops.geometry import DrawList
+
+        return DrawList(
+            sim8=sim8,
+            first_tri=first,
+            tri_count=count,
+            joints_offset=joff,
+            lightmapped=lm,
+            valid=valid,
+        )
+
+
+def build_frame_state(
+    scene: Scene,
+    instances: Sequence[Tuple[Model, Similarity]],
+    uniforms: Uniforms,
+    joint_palettes: Optional[dict] = None,
+    cull_params: Optional[List[BoundingSphereParams]] = None,
+    screen_height: int = 1080,
+    draw_cap: Optional[int] = None,
+) -> FrameState:
+    """Walk instances, cull, select LODs, emit the FrameState.
+
+    joint_palettes: {id(instance_tuple) or index -> (J, 8) palette} for
+    animated instances; palettes are concatenated and joints_offset set per
+    draw (the reference chunks 2048-joint uniform buffers instead,
+    src/components.rs:123-172).
+    """
+    static_rows = DrawRows()
+    anim_rows = DrawRows()
+    palettes: List[np.ndarray] = []
+    palette_offset = 0
+
+    for inst_index, (model, instance_sim) in enumerate(instances):
+        joints_offset = 0
+        if model.animated and joint_palettes is not None:
+            pal = joint_palettes.get(inst_index)
+            if pal is not None and len(pal):
+                joints_offset = palette_offset
+                palettes.append(np.asarray(pal, np.float32))
+                palette_offset += len(pal)
+
+        for prim in model.primitives:
+            sim = instance_sim * prim.transform
+            # Bounding-sphere culling (test_bounding_sphere,
+            # renderer-core/src/culling.rs:381-401).
+            if cull_params:
+                center = sim.translation
+                radius = sim.scale * prim.bounding_sphere_radius
+                visible = any(
+                    test_bounding_spheres(
+                        center[None], np.array([radius], np.float32), cp
+                    )[0]
+                    for cp in cull_params
+                )
+                if not visible:
+                    continue
+            lod_index = select_lod(
+                prim, sim, uniforms.eye[0], screen_height
+            )
+            lod = prim.lods[lod_index]
+            rows = anim_rows if prim.animated else static_rows
+            rows.add(
+                sim.to_array(),
+                lod.first_index,
+                lod.index_count,
+                joints_offset=joints_offset,
+                lightmapped=False,
+            )
+
+    palette = (
+        np.concatenate(palettes, axis=0)
+        if palettes
+        else np.zeros((1, 8), np.float32)
+    )
+    if palette.shape[0] < _next_pow2(palette.shape[0]):
+        pad = _next_pow2(palette.shape[0]) - palette.shape[0]
+        palette = np.concatenate([palette, np.zeros((pad, 8), np.float32)])
+
+    return FrameState(
+        uniforms=uniforms.as_device_dict(),
+        draws_static=static_rows.to_arrays(draw_cap),
+        draws_animated=anim_rows.to_arrays(draw_cap),
+        joint_palette=palette.astype(np.float32),
+    )

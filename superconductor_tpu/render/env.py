@@ -1,0 +1,41 @@
+"""Static environment bindings: which HDR textures light the scene.
+
+The reference binds these as the 14-entry global bind group
+(allocate_bind_groups, src/systems.rs:409-591): IBL cubemap, 4 lightvol
+array textures, 4 lightmap textures, smoke/LUT textures. Texture *ids* are
+compile-time constants of the frame function (they change only when the
+environment is re-configured, which recompiles — the analog of rebuilding
+the bind group), while texel *content* streams freely through the pools.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class EnvBindings:
+    ibl_cubemap_base: int = -1  # first of 6 consecutive HDR pool textures
+    lightvol_tex_ids: Optional[Tuple[int, int, int, int]] = None
+    lightvol_z_layers: int = 0
+    lightmap_tex_ids: Optional[Tuple[int, int, int, int]] = None
+    smoke_tex_ids: Optional[Tuple[int, int, int]] = None  # (a, b, lut)
+    clear_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Constant-ambient SH fallback when no lightvol/lightmap is configured
+    # (flattened (4,3) row-major: L0.rgb, L1x.rgb, L1y.rgb, L1z.rgb).
+    ambient_sh: Tuple[float, ...] = (0.0,) * 12
+
+    @staticmethod
+    def from_scene(scene) -> "EnvBindings":
+        kwargs = {}
+        if scene.ibl_cubemap_base >= 0:
+            kwargs["ibl_cubemap_base"] = scene.ibl_cubemap_base
+        if scene.lightvol is not None:
+            kwargs["lightvol_tex_ids"] = tuple(scene.lightvol["tex_ids"])
+            kwargs["lightvol_z_layers"] = scene.lightvol["z_layers"]
+        if scene.lightmap_tex is not None:
+            kwargs["lightmap_tex_ids"] = tuple(scene.lightmap_tex)
+        if scene.smoke_tex[0] >= 0:
+            kwargs["smoke_tex_ids"] = tuple(scene.smoke_tex)
+        return EnvBindings(**kwargs)

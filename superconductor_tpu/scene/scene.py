@@ -1,0 +1,397 @@
+"""HBM-resident scene state: vertex/index mega-buffers, texture pools,
+materials, primitives.
+
+TPU-first replacement for the reference's GPU resource layer: instead of
+per-material bind groups and per-primitive draw calls
+(renderer-core/src/assets/models.rs, texture_loading.rs), the whole scene is
+a handful of SoA arrays living in HBM:
+
+  * vertex mega-buffers (positions/normals/uvs/lightmap_uvs), one for
+    stationary and one for animated geometry (joints/weights extra) — same
+    split as VertexBuffers / AnimatedVertexBuffers (buffers.rs:284-728);
+  * one u32 index mega-buffer, indices rebased at insert time exactly like
+    models.rs:405-436;
+  * per-triangle material-id array (tri_material) — the deferred shading
+    pass gathers material state per pixel, so "bind groups" become gathers;
+  * a material SoA table mirroring shared_structs::MaterialSettings;
+  * texture pools: one flat uint8 RGBA texel pool for LDR material textures
+    and one float32 pool for HDR (IBL cubemap, lightvols, lightmaps, smoke),
+    each with a mip descriptor table — mip/bilinear sampling is a gather
+    from these pools (see ops/texture.py).
+
+Primitives keep the reference's grouping by BlendMode x FaceSides
+(models.rs:52-58) and MSFT_lod chains (models.rs:306-338).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .buffers import AllocatedArray, GrowableArray
+
+# Blend modes (pass order: opaque -> alpha_clipped -> ... -> alpha_blended,
+# rendering.rs:506-558).
+BLEND_OPAQUE = 0
+BLEND_ALPHA_CLIPPED = 1
+BLEND_ALPHA_BLENDED = 2
+
+# Material flags
+MAT_UNLIT = 1 << 0
+MAT_DOUBLE_SIDED = 1 << 1
+
+# Texture wrap modes
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+
+# Fixed dummy texture ids in the LDR pool (colors from
+# texture_loading.rs:166-189).
+TEX_DUMMY_WHITE = 0  # albedo/emissive dummy (sRGB white)
+TEX_DUMMY_NORMAL = 1  # flat normal map
+TEX_DUMMY_MR = 2  # metallic-roughness dummy
+
+# Texture color-space flags
+TEXFLAG_SRGB = 1 << 0
+
+
+class TexturePool:
+    """Flat texel pool + mip descriptor table for gather-based sampling.
+
+    Each texture is a chain of mip levels; level L is a row-major (h, w)
+    block of RGBA texels starting at ``mip_offset[base + L]``. The pools are
+    deliberately 1-D (N, 4): texel addresses are computed in the shader ops
+    as ``offset + ty * w + tx`` and fetched with a single gather, the only
+    TPU-friendly random-access primitive.
+    """
+
+    def __init__(self, dtype=np.uint8):
+        self.texels = GrowableArray((4,), dtype, initial_capacity=4096)
+        self.mip_offset: List[int] = []
+        self.mip_w: List[int] = []
+        self.mip_h: List[int] = []
+        self.tex_mip_base: List[int] = []
+        self.tex_mip_count: List[int] = []
+        self.tex_wrap: List[int] = []
+        self.tex_flags: List[int] = []
+        self._desc_device = None
+        self._desc_dirty = True
+
+    @property
+    def num_textures(self) -> int:
+        return len(self.tex_mip_base)
+
+    def add_texture(
+        self,
+        levels: List[np.ndarray],
+        wrap: int = WRAP_REPEAT,
+        flags: int = 0,
+    ) -> int:
+        """Add a texture from its mip chain (finest first), each (h, w, 4)."""
+        tex_id = self.num_textures
+        self.tex_mip_base.append(len(self.mip_offset))
+        self.tex_mip_count.append(len(levels))
+        self.tex_wrap.append(wrap)
+        self.tex_flags.append(flags)
+        for lvl in levels:
+            assert lvl.ndim == 3 and lvl.shape[2] == 4, lvl.shape
+            h, w = lvl.shape[:2]
+            offset = self.texels.push(lvl.reshape(-1, 4))
+            self.mip_offset.append(offset)
+            self.mip_w.append(w)
+            self.mip_h.append(h)
+        self._desc_dirty = True
+        return tex_id
+
+    def replace_texture(self, tex_id: int, levels: List[np.ndarray]) -> None:
+        """Hot-swap texture content (same mip layout) — the analog of
+        MutableBindGroup entry swapping as async loads finish."""
+        base = self.tex_mip_base[tex_id]
+        assert len(levels) == self.tex_mip_count[tex_id]
+        for i, lvl in enumerate(levels):
+            h, w = lvl.shape[:2]
+            assert w == self.mip_w[base + i] and h == self.mip_h[base + i]
+            self.texels.write(self.mip_offset[base + i], lvl.reshape(-1, 4))
+        self._desc_dirty = True
+
+    def descriptor_arrays(self) -> Dict[str, np.ndarray]:
+        n = max(1, len(self.mip_offset))
+        t = max(1, self.num_textures)
+        return {
+            "mip_offset": np.asarray(self.mip_offset + [0] * (n - len(self.mip_offset)), np.int32),
+            "mip_w": np.asarray(self.mip_w + [1] * (n - len(self.mip_w)), np.int32),
+            "mip_h": np.asarray(self.mip_h + [1] * (n - len(self.mip_h)), np.int32),
+            "tex_mip_base": np.asarray(self.tex_mip_base + [0] * (t - self.num_textures), np.int32),
+            "tex_mip_count": np.asarray(self.tex_mip_count + [1] * (t - self.num_textures), np.int32),
+            "tex_wrap": np.asarray(self.tex_wrap + [0] * (t - self.num_textures), np.int32),
+            "tex_flags": np.asarray(self.tex_flags + [0] * (t - self.num_textures), np.int32),
+        }
+
+    def device_descriptors(self):
+        if self._desc_device is None or self._desc_dirty:
+            import jax
+
+            self._desc_device = {
+                k: jax.device_put(v) for k, v in self.descriptor_arrays().items()
+            }
+            self._desc_dirty = False
+        return self._desc_device
+
+
+def build_mip_chain(image: np.ndarray, max_levels: int = 16) -> List[np.ndarray]:
+    """Box-filter mip pyramid down to 1x1 (the reference generates mips via a
+    GPU blit chain, textures.rs:357-522; a box filter is equivalent for the
+    power-of-two case and close enough otherwise)."""
+    levels = [image]
+    cur = image.astype(np.float32)
+    while (cur.shape[0] > 1 or cur.shape[1] > 1) and len(levels) < max_levels:
+        h, w = cur.shape[:2]
+        nh, nw = max(1, h // 2), max(1, w // 2)
+        trimmed = cur[: nh * 2, : nw * 2] if (h > 1 and w > 1) else cur[:nh * 2, :nw * 2]
+        if h > 1 and w > 1:
+            down = trimmed.reshape(nh, 2, nw, 2, 4).mean(axis=(1, 3))
+        elif h > 1:
+            down = trimmed.reshape(nh, 2, 1, 1, 4).mean(axis=1).reshape(nh, 1, 4)
+        else:
+            down = trimmed.reshape(1, 1, nw, 2, 4).mean(axis=3).reshape(1, nw, 4)
+        cur = down
+        levels.append(
+            np.clip(np.round(down), 0, 255).astype(np.uint8)
+            if image.dtype == np.uint8
+            else down.astype(image.dtype)
+        )
+    return levels
+
+
+@dataclass
+class MaterialSettings:
+    """Host-side mirror of shared_structs::MaterialSettings (lib.rs:238-283)
+    plus the texture bindings that the reference keeps in the bind group."""
+
+    base_color_factor: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    emissive_factor: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    metallic_factor: float = 1.0
+    roughness_factor: float = 1.0
+    normal_map_scale: float = 1.0
+    uv_offset: Tuple[float, float] = (0.0, 0.0)
+    uv_scale: Tuple[float, float] = (1.0, 1.0)
+    uv_rotation: float = 0.0
+    flags: int = 0
+    alpha_cutoff: float = 0.5
+    blend_mode: int = BLEND_OPAQUE
+    albedo_tex: int = TEX_DUMMY_WHITE
+    normal_tex: int = TEX_DUMMY_NORMAL
+    metallic_roughness_tex: int = TEX_DUMMY_MR
+    emissive_tex: int = TEX_DUMMY_WHITE
+
+
+@dataclass
+class PrimitiveLod:
+    """One LOD of a primitive: index range + instance bookkeeping."""
+
+    first_index: int
+    index_count: int
+
+
+@dataclass
+class Primitive:
+    material: int
+    blend_mode: int
+    double_sided: bool
+    animated: bool
+    # LOD chains: lods[0] is the highest detail; screen-coverage thresholds
+    # select among them (MSFT_lod + MSFT_screencoverage, models.rs:306-338).
+    lods: List[PrimitiveLod] = field(default_factory=list)
+    lod_coverages: List[float] = field(default_factory=list)
+    # bounding sphere radius around the origin of model space, as the
+    # reference computes (culling.rs:363-379), and box for SAT culling.
+    bounding_sphere_radius: float = 0.0
+    bbox_min: np.ndarray = None
+    bbox_max: np.ndarray = None
+
+
+@dataclass
+class Model:
+    primitives: List[Primitive]
+    animated: bool = False
+    # Animation data (animated models only)
+    animations: list = None
+    depth_first_nodes: object = None
+    initial_local_transforms: list = None
+    joint_node_indices: np.ndarray = None
+    inverse_bind8: np.ndarray = None
+    num_joints: int = 0
+    bounding_sphere_radius: float = 0.0
+
+
+class Scene:
+    """The whole renderable world as SoA arrays + host-side registries."""
+
+    def __init__(self):
+        # Stationary vertex mega-buffers (single allocator: positions,
+        # normals, uvs, lightmap_uvs always allocated together, mirroring
+        # VertexBuffers, buffers.rs:284-468).
+        self.positions = AllocatedArray((3,), np.float32, 4096)
+        self.normals = AllocatedArray((3,), np.float32, 4096)
+        self.uvs = AllocatedArray((2,), np.float32, 4096)
+        self.lightmap_uvs = AllocatedArray((2,), np.float32, 4096)
+
+        # Animated vertex mega-buffers (+ joints, AnimatedVertexBuffers,
+        # buffers.rs:510-728).
+        self.anim_positions = AllocatedArray((3,), np.float32, 1024)
+        self.anim_normals = AllocatedArray((3,), np.float32, 1024)
+        self.anim_uvs = AllocatedArray((2,), np.float32, 1024)
+        self.anim_joint_indices = AllocatedArray((4,), np.int32, 1024)
+        self.anim_joint_weights = AllocatedArray((4,), np.float32, 1024)
+
+        # Index mega-buffers (u32, rebased on insert; one per vertex pool).
+        self.indices = AllocatedArray((), np.uint32, 8192)
+        self.anim_indices = AllocatedArray((), np.uint32, 2048)
+
+        # Per-triangle material id, parallel to indices/3.
+        self.tri_material = AllocatedArray((), np.int32, 4096)
+        self.anim_tri_material = AllocatedArray((), np.int32, 1024)
+
+        # Texture pools.
+        self.textures = TexturePool(np.uint8)
+        self.textures_hdr = TexturePool(np.float32)
+        self._add_dummy_textures()
+
+        # Materials.
+        self.materials: List[MaterialSettings] = []
+        self._materials_device = None
+        self._materials_dirty = True
+
+        # Models / primitives registry (host side).
+        self.models: Dict[str, Model] = {}
+
+        # Environment: IBL cubemap (6 consecutive HDR textures starting at
+        # this id), SH lightvol (4 HDR textures, 3D as stacked layers),
+        # lightmaps, smoke textures.
+        self.ibl_cubemap_base: int = -1
+        self.lightvol: Optional[dict] = None  # {tex_ids: [4], z_layers, bottom_left, scale}
+        self.lightmap_tex: Optional[List[int]] = None  # [l0, lx, ly, lz]
+        self.smoke_tex: Tuple[int, int, int] = (-1, -1, -1)  # smoke_a, smoke_b, lut
+
+    # ------------------------------------------------------------------
+    def _add_dummy_textures(self):
+        white = np.full((1, 1, 4), 255, np.uint8)
+        normal = np.array([[[127, 127, 255, 255]]], np.uint8)
+        mr = np.array([[[0, 255, 255, 255]]], np.uint8)
+        assert self.textures.add_texture([white], flags=TEXFLAG_SRGB) == TEX_DUMMY_WHITE
+        assert self.textures.add_texture([normal]) == TEX_DUMMY_NORMAL
+        assert self.textures.add_texture([mr]) == TEX_DUMMY_MR
+
+    def add_material(self, settings: MaterialSettings) -> int:
+        self.materials.append(settings)
+        self._materials_dirty = True
+        return len(self.materials) - 1
+
+    def material_arrays(self) -> Dict[str, np.ndarray]:
+        """Pack materials as SoA numpy arrays for the shading pass."""
+        mats = self.materials or [MaterialSettings()]
+        return {
+            "base_color_factor": np.array([m.base_color_factor for m in mats], np.float32),
+            "emissive_factor": np.array([m.emissive_factor for m in mats], np.float32),
+            "metallic_factor": np.array([m.metallic_factor for m in mats], np.float32),
+            "roughness_factor": np.array([m.roughness_factor for m in mats], np.float32),
+            "normal_map_scale": np.array([m.normal_map_scale for m in mats], np.float32),
+            "uv_offset": np.array([m.uv_offset for m in mats], np.float32),
+            "uv_scale": np.array([m.uv_scale for m in mats], np.float32),
+            "uv_rotation": np.array([m.uv_rotation for m in mats], np.float32),
+            "flags": np.array([m.flags for m in mats], np.int32),
+            "blend_mode": np.array([m.blend_mode for m in mats], np.int32),
+            "alpha_cutoff": np.array([m.alpha_cutoff for m in mats], np.float32),
+            "albedo_tex": np.array([m.albedo_tex for m in mats], np.int32),
+            "normal_tex": np.array([m.normal_tex for m in mats], np.int32),
+            "mr_tex": np.array([m.metallic_roughness_tex for m in mats], np.int32),
+            "emissive_tex": np.array([m.emissive_tex for m in mats], np.int32),
+        }
+
+    def device_materials(self):
+        if self._materials_device is None or self._materials_dirty:
+            import jax
+
+            self._materials_device = {
+                k: jax.device_put(v) for k, v in self.material_arrays().items()
+            }
+            self._materials_dirty = False
+        return self._materials_device
+
+    # ------------------------------------------------------------------
+    def insert_static_mesh(
+        self,
+        positions: np.ndarray,
+        normals: np.ndarray,
+        uvs: np.ndarray,
+        lightmap_uvs: np.ndarray,
+        indices: np.ndarray,
+        material: int,
+    ) -> Tuple[int, int]:
+        """Insert one primitive; returns (first_index, index_count).
+
+        Indices are rebased by the vertex range start so the frame kernels
+        index the mega-buffer directly (models.rs:405-436 does the same).
+        """
+        n = len(positions)
+        vstart = self.positions.insert(positions)
+        self.normals.insert(normals)
+        self.uvs.insert(uvs)
+        self.lightmap_uvs.insert(lightmap_uvs)
+        rebased = (np.asarray(indices, np.uint32) + np.uint32(vstart)).astype(np.uint32)
+        istart = self.indices.insert(rebased)
+        tri_start = istart // 3
+        assert istart % 3 == 0
+        self.tri_material.array.write(
+            tri_start, np.full(len(rebased) // 3, material, np.int32)
+        )
+        return istart, len(rebased)
+
+    def insert_animated_mesh(
+        self,
+        positions,
+        normals,
+        uvs,
+        joint_indices,
+        joint_weights,
+        indices,
+        material: int,
+    ) -> Tuple[int, int]:
+        vstart = self.anim_positions.insert(positions)
+        self.anim_normals.insert(normals)
+        self.anim_uvs.insert(uvs)
+        self.anim_joint_indices.insert(np.asarray(joint_indices, np.int32))
+        self.anim_joint_weights.insert(np.asarray(joint_weights, np.float32))
+        rebased = (np.asarray(indices, np.uint32) + np.uint32(vstart)).astype(np.uint32)
+        istart = self.anim_indices.insert(rebased)
+        self.anim_tri_material.array.write(
+            istart // 3, np.full(len(rebased) // 3, material, np.int32)
+        )
+        return istart, len(rebased)
+
+    # ------------------------------------------------------------------
+    def device_arrays(self) -> dict:
+        """All device-resident arrays the frame function needs, as a dict
+        pytree. Cached per-buffer; cheap to call every frame."""
+        d = {
+            "positions": self.positions.device(),
+            "normals": self.normals.device(),
+            "uvs": self.uvs.device(),
+            "lightmap_uvs": self.lightmap_uvs.device(),
+            "indices": self.indices.device(),
+            "tri_material": self.tri_material.device(),
+            "anim_positions": self.anim_positions.device(),
+            "anim_normals": self.anim_normals.device(),
+            "anim_uvs": self.anim_uvs.device(),
+            "anim_joint_indices": self.anim_joint_indices.device(),
+            "anim_joint_weights": self.anim_joint_weights.device(),
+            "anim_indices": self.anim_indices.device(),
+            "anim_tri_material": self.anim_tri_material.device(),
+            "texels": self.textures.texels.device(),
+            "texels_hdr": self.textures_hdr.texels.device(),
+            "materials": self.device_materials(),
+        }
+        d["tex"] = self.textures.device_descriptors()
+        d["tex_hdr"] = self.textures_hdr.device_descriptors()
+        return d

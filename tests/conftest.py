@@ -1,0 +1,123 @@
+"""Test configuration: force CPU backend with 8 virtual devices so sharding
+tests run anywhere, before jax is imported."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+REFERENCE_ASSETS = "/root/reference/demo/web/assets"
+
+
+@pytest.fixture
+def sponza_cubes_glb():
+    path = os.path.join(REFERENCE_ASSETS, "models/sponza_cubes.glb")
+    if not os.path.exists(path):
+        pytest.skip("reference assets not available")
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def make_box_glb() -> bytes:
+    """Author a minimal GLB (unit cube, one material) in-memory."""
+    import json
+    import struct
+
+    # 8 corners, 12 tris, CCW outward.
+    p = np.array(
+        [
+            [-0.5, -0.5, -0.5],
+            [0.5, -0.5, -0.5],
+            [0.5, 0.5, -0.5],
+            [-0.5, 0.5, -0.5],
+            [-0.5, -0.5, 0.5],
+            [0.5, -0.5, 0.5],
+            [0.5, 0.5, 0.5],
+            [-0.5, 0.5, 0.5],
+        ],
+        np.float32,
+    )
+    tris = np.array(
+        [
+            [4, 5, 6], [4, 6, 7],  # +z
+            [1, 0, 3], [1, 3, 2],  # -z
+            [5, 1, 2], [5, 2, 6],  # +x
+            [0, 4, 7], [0, 7, 3],  # -x
+            [7, 6, 2], [7, 2, 3],  # +y
+            [0, 1, 5], [0, 5, 4],  # -y
+        ],
+        np.uint16,
+    )
+    pos_bytes = p.tobytes()
+    idx_bytes = tris.tobytes()
+    bin_data = pos_bytes + idx_bytes
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [
+            {
+                "primitives": [
+                    {"attributes": {"POSITION": 0}, "indices": 1, "material": 0}
+                ]
+            }
+        ],
+        "materials": [
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": [1.0, 0.2, 0.1, 1.0],
+                    "metallicFactor": 0.0,
+                    "roughnessFactor": 1.0,
+                },
+                "extensions": {"KHR_materials_unlit": {}},
+            }
+        ],
+        "extensionsUsed": ["KHR_materials_unlit"],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": 8,
+                "type": "VEC3",
+                "min": p.min(0).tolist(),
+                "max": p.max(0).tolist(),
+            },
+            {
+                "bufferView": 1,
+                "componentType": 5123,
+                "count": 36,
+                "type": "SCALAR",
+            },
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos_bytes)},
+            {
+                "buffer": 0,
+                "byteOffset": len(pos_bytes),
+                "byteLength": len(idx_bytes),
+            },
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    json_bytes = json.dumps(doc).encode()
+    json_bytes += b" " * (-len(json_bytes) % 4)
+    bin_data += b"\0" * (-len(bin_data) % 4)
+    out = b""
+    total = 12 + 8 + len(json_bytes) + 8 + len(bin_data)
+    out += struct.pack("<III", 0x46546C67, 2, total)
+    out += struct.pack("<II", len(json_bytes), 0x4E4F534A) + json_bytes
+    out += struct.pack("<II", len(bin_data), 0x004E4942) + bin_data
+    return out
+
+
+@pytest.fixture
+def box_glb():
+    return make_box_glb()

@@ -1,0 +1,58 @@
+import numpy as np
+
+from superconductor_tpu.assets.gltf import parse_gltf
+from superconductor_tpu.assets.models import load_model
+from superconductor_tpu.scene.scene import Scene
+
+
+def test_parse_box_glb(box_glb):
+    g = parse_gltf(box_glb)
+    pos = g.accessor(0)
+    assert pos.shape == (8, 3)
+    idx = g.accessor_index(1)
+    assert idx.shape == (36,)
+    assert idx.max() == 7
+
+
+def test_load_box_model(box_glb):
+    scene = Scene()
+    model = load_model(scene, box_glb, name="box")
+    assert len(model.primitives) == 1
+    prim = model.primitives[0]
+    assert prim.lods[0].index_count == 36
+    assert prim.bounding_sphere_radius > 0.8
+    assert scene.positions.array.length == 8
+    assert scene.indices.array.length == 36
+    # unlit flag propagated
+    mat = scene.materials[prim.material]
+    assert mat.flags & 1
+
+
+def test_load_sponza_cubes(sponza_cubes_glb):
+    scene = Scene()
+    model = load_model(scene, sponza_cubes_glb, name="sponza_cubes")
+    assert len(model.primitives) == 1
+    assert scene.indices.array.length > 0
+    # double-sided material
+    assert model.primitives[0].double_sided
+
+
+def test_growable_and_range_alloc():
+    from superconductor_tpu.scene.buffers import AllocatedArray, RangeAllocator
+
+    ra = RangeAllocator(16)
+    a = ra.allocate(8)
+    b = ra.allocate(8)
+    assert {a, b} == {0, 8}
+    assert ra.allocate(1) is None
+    ra.deallocate(a, 8)
+    assert ra.allocate(4) == 0
+    ra.grow(32)
+    assert ra.allocate(16) == 16
+
+    arr = AllocatedArray((3,), np.float32, 4)
+    s1 = arr.insert(np.ones((3, 3), np.float32))
+    s2 = arr.insert(np.full((5, 3), 2.0, np.float32))
+    assert arr.capacity >= 8
+    np.testing.assert_array_equal(arr.host[s1 : s1 + 3], 1.0)
+    np.testing.assert_array_equal(arr.host[s2 : s2 + 5], 2.0)

@@ -1,0 +1,116 @@
+import numpy as np
+import pytest
+
+from superconductor_tpu import (
+    Camera,
+    EnvBindings,
+    RenderConfig,
+    Scene,
+    Similarity,
+    make_uniforms,
+    render_frame,
+)
+from superconductor_tpu.assets.models import load_model
+from superconductor_tpu.math3d import quat_from_axis_angle
+from superconductor_tpu.render.draws import build_frame_state
+
+
+def render_box(box_glb, width=96, height=96, rotate=None, **cfg_kwargs):
+    scene = Scene()
+    model = load_model(scene, box_glb, name="box")
+    camera = Camera(position=np.array([0.0, 0.0, 2.0], np.float32))
+    uniforms = make_uniforms(camera, width, height)
+    sim = Similarity()
+    if rotate is not None:
+        sim = Similarity(rotation=rotate)
+    state = build_frame_state(scene, [(model, sim)], uniforms)
+    config = RenderConfig(
+        width=width, height=height, t_cap=64, t_cap_anim=8, raster="ref",
+        **cfg_kwargs,
+    )
+    env = EnvBindings(clear_color=(0.0, 0.0, 1.0))
+    img = np.asarray(render_frame(scene.device_arrays(), state, config, env))
+    return img[0]
+
+
+def test_box_unlit_render(box_glb):
+    img = render_box(box_glb)
+    h, w = img.shape[:2]
+    center = img[h // 2, w // 2]
+    # Unlit red-ish material, srgb-encoded: r = (1.0)^(1/2.2)*255=255,
+    # g = 0.2^(1/2.2)*255 ~ 122, b = 0.1^(1/2.2)*255 ~ 89.
+    assert center[0] == 255
+    assert abs(int(center[1]) - 122) <= 3
+    assert abs(int(center[2]) - 89) <= 3
+    # Corner is background (clear color blue, tonemapped+srgb).
+    corner = img[2, 2]
+    assert corner[2] > 150 and corner[0] < 60
+    # The box occupies a centered square: front face half-size 0.5 at
+    # distance 1.5 with fov 60 -> ndc half-extent = 0.5/(1.5*tan30)/1 ~ 0.577
+    frac = (img[..., 0] == 255).mean()
+    assert 0.25 < frac < 0.45
+
+
+def test_box_coverage_matches_analytic(box_glb):
+    img = render_box(box_glb, width=128, height=128)
+    # Face spans ndc +-0.577 -> pixel half-extent 0.577*64 = 36.9 px.
+    xs = np.where(img[64, :, 0] == 255)[0]
+    assert xs.min() == pytest.approx(64 - 37, abs=2)
+    assert xs.max() == pytest.approx(64 + 37 - 1, abs=2)
+
+
+def test_box_rotated_renders(box_glb):
+    img = render_box(
+        box_glb, rotate=quat_from_axis_angle([0, 1, 0], 0.7)
+    )
+    assert (img[..., 0] == 255).mean() > 0.2
+
+
+def test_depth_ordering(box_glb):
+    # Two boxes: small box in front of big box; front box must win.
+    scene = Scene()
+    model = load_model(scene, box_glb, name="box")
+    # Second material: green unlit
+    from superconductor_tpu.scene.scene import MaterialSettings, MAT_UNLIT
+
+    green = scene.add_material(
+        MaterialSettings(base_color_factor=(0.0, 1.0, 0.0, 1.0), flags=MAT_UNLIT)
+    )
+    # Clone primitive with green material by inserting the same mesh again.
+    import copy
+
+    prim = model.primitives[0]
+    green_model = copy.deepcopy(model)
+    # point the cloned primitive's triangles at the green material
+    first_tri = prim.lods[0].first_index // 3
+    ntris = prim.lods[0].index_count // 3
+    # easier: new triangles with the green material
+    pos = scene.positions.host[: scene.positions.array.length].copy()
+    nrm = scene.normals.host[: scene.normals.array.length].copy()
+    uv = scene.uvs.host[: scene.uvs.array.length].copy()
+    idx = scene.indices.host[: scene.indices.array.length].copy()
+    first, count = scene.insert_static_mesh(pos, nrm, uv, np.zeros_like(uv), idx - idx.min(), green)
+    green_model.primitives[0].lods[0].first_index = first
+    green_model.primitives[0].lods[0].index_count = count
+
+    camera = Camera(position=np.array([0.0, 0.0, 3.0], np.float32))
+    uniforms = make_uniforms(camera, 96, 96)
+    state = build_frame_state(
+        scene,
+        [
+            (model, Similarity(translation=[0, 0, -2.0], scale=2.0)),  # far, red
+            (green_model, Similarity(translation=[0, 0, 0.0], scale=0.5)),  # near
+        ],
+        uniforms,
+    )
+    config = RenderConfig(width=96, height=96, t_cap=128, t_cap_anim=8, raster="ref")
+    img = np.asarray(
+        render_frame(scene.device_arrays(), state, config, EnvBindings())
+    )[0]
+    center = img[48, 48]
+    assert center[1] == 255 and center[0] < 140  # green wins in front
+    # Red box: half-size 1 at distance 5 -> ndc 0.346 -> +-16.6 px around 48.
+    edge = img[48, 36]
+    assert edge[0] == 255 and edge[1] < 140  # red big box behind
+    # Outside both boxes: background.
+    assert img[48, 10, 0] < 60
