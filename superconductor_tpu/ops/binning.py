@@ -35,18 +35,29 @@ class Bins(NamedTuple):
 def bin_triangles(
     tri: TriangleSetup, width: int, height: int, p_cap: int,
     tile_h: int = TILE_H, tile_w: int = TILE_W,
+    y_offset=0,
 ) -> Bins:
+    """Bin triangles into the band [y_offset, y_offset + height).
+
+    y_offset may be a traced scalar (band rendering under shard_map); the
+    tile grid covers `height` rows starting at that global pixel row.
+    """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
 
+    # Clamp the global-pixel bbox into band-local coordinates.
+    by0_px = jnp.clip(tri.bbox[:, 1] - y_offset, 0, height - 1)
+    by1_px = jnp.clip(tri.bbox[:, 3] - y_offset, 0, height - 1)
+    in_band = (tri.bbox[:, 3] >= y_offset) & (tri.bbox[:, 1] < y_offset + height)
+
     bx0 = tri.bbox[:, 0] // tile_w
-    by0 = tri.bbox[:, 1] // tile_h
+    by0 = by0_px // tile_h
     bx1 = tri.bbox[:, 2] // tile_w
-    by1 = tri.bbox[:, 3] // tile_h
+    by1 = by1_px // tile_h
     tw = bx1 - bx0 + 1
     th = by1 - by0 + 1
-    counts = jnp.where(tri.valid, tw * th, 0)
+    counts = jnp.where(tri.valid & in_band, tw * th, 0)
 
     offsets = jnp.cumsum(counts) - counts
     total = counts.sum()

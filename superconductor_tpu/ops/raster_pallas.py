@@ -1,0 +1,299 @@
+"""Pallas TPU tile rasterizer — the production visibility pass.
+
+Replaces the GPU's hardware rasterizer + depth test (the draw_indexed calls
+in src/systems/rendering.rs:611-704). Design:
+
+  * The grid is (tiles_y, tiles_x); Mosaic runs grid steps sequentially on
+    the core, so per-tile triangle counts may vary freely — total work is
+    sum(count_t), no load-balancing problem.
+  * Each tile's triangle list is a contiguous slice of the tile-sorted
+    setup array (built by ops/binning.py). Setup rows are 16 f32 each;
+    eight rows are packed per 128-lane HBM row so chunk DMAs are lane-
+    aligned (Mosaic requires 128-aligned slices). The kernel double-
+    buffer-DMAs chunks HBM -> SMEM and walks them with a dynamic-bound
+    scalar loop (SMEM because per-triangle coefficients are consumed as
+    scalars broadcast into vector ops).
+  * Per triangle, edge/z/w planes are evaluated over the whole (TILE_H,
+    TILE_W) pixel block in one shot on the VPU — the tile shape (32, 128)
+    is exactly 4 native (8, 128) vregs, so every op is full-width.
+  * The z-buffer, winning pair id and barycentrics live in VMEM for the
+    whole tile; HBM sees exactly one write per pixel per pass.
+
+The kernel records the winner's *sorted position*; the caller converts back
+to original pair ids with one XLA gather (cheaper than a second in-kernel
+DMA stream of the order array).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import Bins
+from .raster_ref import VisibilityBuffer
+
+CHUNK = 256  # triangles per DMA chunk (multiple of 8)
+ROWS_PER_CHUNK = CHUNK // 8  # packed 128-wide HBM rows per chunk
+
+
+def pack_setup_rows(sorted_setup: jax.Array) -> jax.Array:
+    """(P, 16) -> (ceil(P/8) + ROWS_PER_CHUNK + 1, 128) lane-aligned pack."""
+    p = sorted_setup.shape[0]
+    pad_tris = (-p) % 8
+    padded = jnp.pad(sorted_setup, ((0, pad_tris), (0, 0)))
+    packed = padded.reshape(-1, 128)
+    # extra rows so any chunk DMA (with +1 row for unaligned starts) is safe
+    return jnp.pad(packed, ((0, ROWS_PER_CHUNK + 1), (0, 0)))
+
+
+def _raster_kernel(
+    tile_start_ref,  # (ntiles,) SMEM
+    tile_count_ref,  # (ntiles,) SMEM
+    y_off_ref,  # (1,) SMEM — global pixel row of this band's first row
+    depth_in,
+    pair_in,
+    b0_in,
+    b1_in,
+    setup_hbm,  # (R, 128) HBM — packed setup rows
+    depth_out,
+    pair_out,
+    b0_out,
+    b1_out,
+    setup_smem,  # (2, ROWS_PER_CHUNK + 1, 128) SMEM scratch
+    dma_sem,
+    *,
+    tile_h: int,
+    tile_w: int,
+    ntx: int,
+    reverse_z: bool,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * ntx + tx
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    offset = jax.lax.rem(start, 8)
+    start_row = jax.lax.div(start, 8)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
+        jnp.float32
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
+        jnp.float32
+    )
+    px = col + (tx * tile_w).astype(jnp.float32) + 0.5
+    py = row + (ty * tile_h + y_off_ref[0]).astype(jnp.float32) + 0.5
+
+    depth = depth_in[:, :]
+    pair = pair_in[:, :]
+    b0 = b0_in[:, :]
+    b1 = b1_in[:, :]
+
+    num_chunks = pl.cdiv(count, CHUNK)
+
+    def get_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            setup_hbm.at[
+                pl.ds(start_row + chunk_idx * ROWS_PER_CHUNK, ROWS_PER_CHUNK + 1), :
+            ],
+            setup_smem.at[slot],
+            dma_sem.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _start_first():
+        get_dma(0, 0).start()
+
+    def chunk_body(c, carry):
+        depth, pair, b0, b1 = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _prefetch_next():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        get_dma(slot, c).wait()
+        rem = count - c * CHUNK
+
+        def tri_body(r, carry):
+            depth, pair, b0, b1 = carry
+            idx = r + offset
+            srow = jax.lax.div(idx, 8)
+            scol = jax.lax.rem(idx, 8) * 16
+
+            def s(k):
+                return setup_smem[slot, srow, scol + k]
+
+            e0 = s(0) * px + s(1) * py + s(2)
+            e1 = s(3) * px + s(4) * py + s(5)
+            e2 = s(6) * px + s(7) * py + s(8)
+            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            zsum = e0 * s(9) + e1 * s(10) + e2 * s(11)
+            wsum = e0 * s(12) + e1 * s(13) + e2 * s(14)
+            inside = inside & (wsum > 0.0)
+            z = zsum / jnp.where(wsum == 0.0, 1.0, wsum)
+            inside = inside & (z >= 0.0) & (z <= 1.0)
+            if reverse_z:
+                win = inside & (z > depth)
+            else:
+                win = inside & (z < depth)
+            esum = e0 + e1 + e2
+            esafe = jnp.where(esum == 0.0, 1.0, esum)
+            sorted_pos = start + c * CHUNK + r
+            new_depth = jnp.where(win, z, depth)
+            new_pair = jnp.where(win, sorted_pos, pair)
+            new_b0 = jnp.where(win, e0 / esafe, b0)
+            new_b1 = jnp.where(win, e1 / esafe, b1)
+            return new_depth, new_pair, new_b0, new_b1
+
+        n = jnp.minimum(rem, CHUNK)
+        return jax.lax.fori_loop(0, n, tri_body, (depth, pair, b0, b1))
+
+    depth, pair, b0, b1 = jax.lax.fori_loop(
+        0, num_chunks, chunk_body, (depth, pair, b0, b1)
+    )
+
+    depth_out[:, :] = depth
+    pair_out[:, :] = pair
+    b0_out[:, :] = b0
+    b1_out[:, :] = b1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "reverse_z", "interpret"),
+)
+def rasterize_pallas_sorted(
+    sorted_setup: jax.Array,  # (P, 16) tile-sorted setup rows
+    tile_start: jax.Array,  # (ntiles,) i32
+    tile_count: jax.Array,  # (ntiles,) i32
+    height: int,
+    width: int,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    reverse_z: bool = True,
+    init: VisibilityBuffer | None = None,
+    interpret: bool = False,
+    y_offset=0,
+) -> VisibilityBuffer:
+    """Returns a VisibilityBuffer whose .pair holds SORTED positions.
+    y_offset (may be traced) is the band's first global pixel row."""
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    pad_h = nty * tile_h
+    pad_w = ntx * tile_w
+
+    if init is None:
+        far = 0.0 if reverse_z else 1.0
+        depth0 = jnp.full((pad_h, pad_w), far, jnp.float32)
+        pair0 = jnp.full((pad_h, pad_w), -1, jnp.int32)
+        b00 = jnp.zeros((pad_h, pad_w), jnp.float32)
+        b10 = jnp.zeros((pad_h, pad_w), jnp.float32)
+    else:
+
+        def padto(a, fill):
+            return jnp.pad(
+                a,
+                ((0, pad_h - a.shape[0]), (0, pad_w - a.shape[1])),
+                constant_values=fill,
+            )
+
+        depth0 = padto(init.depth, 0.0 if reverse_z else 1.0)
+        pair0 = padto(init.pair, -1)
+        b00 = padto(init.b0, 0.0)
+        b10 = padto(init.b1, 0.0)
+
+    packed = pack_setup_rows(sorted_setup)
+
+    kernel = functools.partial(
+        _raster_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        ntx=ntx,
+        reverse_z=reverse_z,
+    )
+
+    blocked = pl.BlockSpec(
+        (tile_h, tile_w), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM
+    )
+    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    depth, pair, b0, b1 = pl.pallas_call(
+        kernel,
+        grid=(nty, ntx),
+        in_specs=[
+            smem_full,  # tile_start
+            smem_full,  # tile_count
+            smem_full,  # y_offset
+            blocked,  # depth_in
+            blocked,  # pair_in
+            blocked,  # b0_in
+            blocked,  # b1_in
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # packed setup
+        ],
+        out_specs=(blocked, blocked, blocked, blocked),
+        out_shape=(
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2, ROWS_PER_CHUNK + 1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        tile_start.astype(jnp.int32),
+        tile_count.astype(jnp.int32),
+        jnp.asarray(y_offset, jnp.int32).reshape(1),
+        depth0,
+        pair0,
+        b00,
+        b10,
+        packed,
+    )
+    return VisibilityBuffer(
+        depth=depth[:height, :width],
+        pair=pair[:height, :width],
+        b0=b0[:height, :width],
+        b1=b1[:height, :width],
+    )
+
+
+def rasterize_pallas(
+    sorted_setup: jax.Array,
+    bins: Bins,
+    height: int,
+    width: int,
+    reverse_z: bool = True,
+    init: VisibilityBuffer | None = None,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    interpret: bool | None = None,
+    y_offset=0,
+) -> VisibilityBuffer:
+    """Rasterize binned triangles; remaps winners to original pair ids."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    vis = rasterize_pallas_sorted(
+        sorted_setup,
+        bins.tile_start,
+        bins.tile_count,
+        height,
+        width,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        reverse_z=reverse_z,
+        init=init,
+        interpret=interpret,
+        y_offset=y_offset,
+    )
+    # sorted position -> original pair id (misses stay -1)
+    hit = vis.pair >= 0
+    pair = jnp.where(hit, bins.order[jnp.maximum(vis.pair, 0)], -1)
+    return vis._replace(pair=pair)

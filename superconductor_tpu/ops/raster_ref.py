@@ -46,20 +46,16 @@ def rasterize_ref(
     reverse_z: bool = True,
     chunk: int = 8,
     init: VisibilityBuffer | None = None,
-    depth_only: bool = False,
-    depth_test_only: bool = False,
+    y_offset=0,
 ) -> VisibilityBuffer:
-    """Brute-force visibility rasterization.
-
-    depth_test_only: test against init.depth but do not require winning
-    writes to update it (used nowhere yet; kept for parity experiments).
-    """
+    """Brute-force visibility rasterization over the band
+    [y_offset, y_offset + height) at full image width."""
     t = tri.setup.shape[0]
     pad = (-t) % chunk
     setup = jnp.pad(tri.setup, ((0, pad), (0, 0)))
     valid = jnp.pad(tri.valid, (0, pad))
 
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5 + y_offset
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     px = xs[None, :]  # (1, W)
     py = ys[:, None]  # (H, 1)

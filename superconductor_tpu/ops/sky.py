@@ -16,10 +16,15 @@ from .texture import sample_cubemap
 from .tonemap import aces_filmic, linear_to_srgb_approx
 
 
-def skybox_rays(width, height, projection_inverse, view_quat):
-    """(H*W, 3) world-space rays through every pixel center."""
+def skybox_rays(width, height, projection_inverse, view_quat, y_offset=0,
+                full_height=None):
+    """(H*W, 3) world-space rays through every pixel center of the band
+    [y_offset, y_offset + height) of a full_height-tall image."""
+    full_height = full_height or height
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    ys = 1.0 - (
+        jnp.arange(height, dtype=jnp.float32) + 0.5 + y_offset
+    ) / full_height * 2.0
     ndc_x = jnp.tile(xs[None, :], (height, 1)).reshape(-1)
     ndc_y = jnp.repeat(ys[:, None], width, axis=1).reshape(-1)
     # z value is irrelevant to the direction for a perspective projection
@@ -41,9 +46,13 @@ def sample_skybox(
     view_quat,
     inline_tonemapping=True,
     inline_srgb=True,
+    y_offset=0,
+    full_height=None,
 ):
     base = env.ibl_cubemap_base
-    rays = skybox_rays(width, height, projection_inverse, view_quat)
+    rays = skybox_rays(
+        width, height, projection_inverse, view_quat, y_offset, full_height
+    )
     if base < 0:
         rgb = jnp.broadcast_to(
             jnp.asarray(env.clear_color, jnp.float32), (rays.shape[0], 3)

@@ -10,20 +10,25 @@ Everything dynamic comes in as arrays (uniforms, draw lists, joint
 palette); everything shape-affecting is in RenderConfig (static arg, hashed
 into the jit cache). Host code builds FrameState once per frame; the jit
 boundary is render_frame().
+
+Band rendering: render_view accepts a (y_offset, band_height) viewport so
+a device mesh can split the image into horizontal bands (parallel/bands.py)
+— the multi-chip analog of wgpu's single-GPU submit.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import jax.tree_util as jtu
 
-from ..ops.binning import TILE_H, TILE_W, bin_triangles, gather_sorted_setup
+from ..ops.binning import bin_triangles, gather_sorted_setup
 from ..ops.geometry import DrawList, TriangleSetup, geometry_pass
-from ..ops.raster_ref import VisibilityBuffer, empty_visibility, rasterize_ref
+from ..ops.raster_ref import VisibilityBuffer, rasterize_ref
 from ..ops.shade import interpolate_gbuffer, shade
 from ..ops.sky import sample_skybox
 from ..ops.tonemap import to_u8
@@ -60,73 +65,50 @@ class FrameState(NamedTuple):
     joint_palette: jax.Array  # (J, 8)
 
 
-def _rasterize(tri: TriangleSetup, config: RenderConfig, init=None):
+def _rasterize(
+    tri: TriangleSetup,
+    config: RenderConfig,
+    band_height: int,
+    y_offset,
+    init=None,
+):
     method = config.resolve_raster()
     if method == "ref":
         return rasterize_ref(
             tri,
-            config.height,
+            band_height,
             config.width,
             reverse_z=config.reverse_z,
             init=init,
+            y_offset=y_offset,
         )
     from ..ops.raster_pallas import rasterize_pallas
 
-    bins = bin_triangles(tri, config.width, config.height, config.p_cap)
+    bins = bin_triangles(
+        tri, config.width, band_height, config.p_cap, y_offset=y_offset
+    )
     sorted_setup = gather_sorted_setup(tri, bins)
     return rasterize_pallas(
         sorted_setup,
         bins,
-        config.height,
+        band_height,
         config.width,
         reverse_z=config.reverse_z,
         init=init,
+        y_offset=y_offset,
     )
 
 
-def _shade_view(
-    scene: dict,
-    tri: TriangleSetup,
-    attrs,
-    vis: VisibilityBuffer,
-    uniforms: dict,
-    view_index: int,
-    config: RenderConfig,
-    env: EnvBindings,
-):
-    h, w = config.height, config.width
-    pair = vis.pair.reshape(-1)
-    b0 = vis.b0.reshape(-1)
-    b1 = vis.b1.reshape(-1)
-    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
-    px = jnp.tile(xs[None, :], (h, 1)).reshape(-1)
-    py = jnp.repeat(ys[:, None], w, axis=1).reshape(-1)
-
-    gbuf = interpolate_gbuffer(pair, b0, b1, px, py, tri, attrs)
-    rgb, alpha = shade(
-        gbuf,
-        scene,
-        uniforms,
-        view_index,
-        env=env,
-        inline_tonemapping=config.inline_tonemapping,
-        inline_srgb=config.inline_srgb,
-    )
-    return rgb, alpha, gbuf
+def _pixel_centers(config: RenderConfig, band_height: int, y_offset):
+    ys = jnp.arange(band_height, dtype=jnp.float32) + 0.5 + y_offset
+    xs = jnp.arange(config.width, dtype=jnp.float32) + 0.5
+    px = jnp.tile(xs[None, :], (band_height, 1)).reshape(-1)
+    py = jnp.repeat(ys[:, None], config.width, axis=1).reshape(-1)
+    return px, py
 
 
-def render_view(
-    scene: dict,
-    state: FrameState,
-    view_index: int,
-    config: RenderConfig,
-    env: EnvBindings,
-):
-    u = state.uniforms
-    view_proj = u["view_proj"][view_index]
-
-    # --- geometry: static draws ---
+def _merged_geometry(scene, state, view_proj, config):
+    """Static + animated geometry as one pair list."""
     tri, attrs = geometry_pass(
         state.draws_static,
         scene["indices"],
@@ -142,8 +124,6 @@ def render_view(
         config.t_cap,
         flip_viewport=config.flip_viewport,
     )
-
-    # --- geometry: animated draws (skinned) ---
     tri_a, attrs_a = geometry_pass(
         state.draws_animated,
         scene["anim_indices"],
@@ -162,10 +142,6 @@ def render_view(
         joint_indices=scene["anim_joint_indices"],
         joint_weights=scene["anim_joint_weights"],
     )
-
-    # Merge static + animated into one pair list (offsets shift pair ids).
-    import jax.tree_util as jtu
-
     merged_tri = TriangleSetup(
         setup=jnp.concatenate([tri.setup, tri_a.setup]),
         tri_id=jnp.concatenate([tri.tri_id, tri_a.tri_id]),
@@ -174,19 +150,50 @@ def render_view(
         valid=jnp.concatenate([tri.valid, tri_a.valid]),
         num_valid=tri.num_valid + tri_a.num_valid,
     )
-    merged_attrs = jtu.tree_map(
-        lambda a, b: jnp.concatenate([a, b]), attrs, attrs_a
-    )
+    merged_attrs = jtu.tree_map(lambda a, b: jnp.concatenate([a, b]), attrs, attrs_a)
+    return merged_tri, merged_attrs
 
-    # --- pass 1: opaque (+ alpha-clip for now; K-buffer clip comes with
-    # blend support) ---
+
+def render_view(
+    scene: dict,
+    state: FrameState,
+    view_index: int,
+    config: RenderConfig,
+    env: EnvBindings,
+    band_height: Optional[int] = None,
+    y_offset=0,
+):
+    """Render one view (or one horizontal band of it) -> (bh, W, 4) f32."""
+    band_height = band_height or config.height
+    u = state.uniforms
+    view_proj = u["view_proj"][view_index]
+
+    merged_tri, merged_attrs = _merged_geometry(scene, state, view_proj, config)
+
+    # --- pass 1: opaque + alpha-clip visibility ---
     mats = scene["materials"]
     blend_mode = mats["blend_mode"][merged_attrs.material]
     opaque_tri = merged_tri._replace(valid=merged_tri.valid & (blend_mode != 2))
-    vis = _rasterize(opaque_tri, config)
+    vis = _rasterize(opaque_tri, config, band_height, y_offset)
 
-    rgb, alpha, gbuf = _shade_view(
-        scene, merged_tri, merged_attrs, vis, u, view_index, config, env
+    px, py = _pixel_centers(config, band_height, y_offset)
+    gbuf = interpolate_gbuffer(
+        vis.pair.reshape(-1),
+        vis.b0.reshape(-1),
+        vis.b1.reshape(-1),
+        px,
+        py,
+        merged_tri,
+        merged_attrs,
+    )
+    rgb, alpha = shade(
+        gbuf,
+        scene,
+        u,
+        view_index,
+        env=env,
+        inline_tonemapping=config.inline_tonemapping,
+        inline_srgb=config.inline_srgb,
     )
 
     # Alpha-clip correction: pixels whose winning fragment failed the alpha
@@ -203,30 +210,34 @@ def render_view(
         scene,
         env,
         config.width,
-        config.height,
+        band_height,
         u["projection_inverse"][view_index],
         u["view_inverse_quat"][view_index],
         inline_tonemapping=config.inline_tonemapping,
         inline_srgb=config.inline_srgb,
+        y_offset=y_offset,
+        full_height=config.height,
     )
     rgb = jnp.where(hit[..., None], rgb, sky)
 
-    img = jnp.concatenate(
-        [rgb, jnp.ones_like(rgb[..., :1])], axis=-1
-    ).reshape(config.height, config.width, 4)
+    img = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1).reshape(
+        band_height, config.width, 4
+    )
     return img
 
 
-@partial(jax.jit, static_argnames=("config", "env"))
-def render_frame(
+def render_frame_impl(
     scene: dict,
     state: FrameState,
     config: RenderConfig,
     env: EnvBindings = EnvBindings(),
 ):
-    """Render all views; returns (V, H, W, 4) uint8."""
+    """Unjitted frame body (all views) -> (V, H, W, 4) uint8."""
     views = [
         to_u8(render_view(scene, state, v, config, env))
         for v in range(config.num_views)
     ]
     return jnp.stack(views)
+
+
+render_frame = partial(jax.jit, static_argnames=("config", "env"))(render_frame_impl)

@@ -3,12 +3,19 @@ tests run anywhere, before jax is imported."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin re-registers itself even when JAX_PLATFORMS=cpu is in
+# the environment; forcing the config keeps the test suite on 8 virtual CPU
+# devices everywhere.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
