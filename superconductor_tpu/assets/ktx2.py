@@ -1,0 +1,189 @@
+"""KTX2 container parsing + supercompression + format decode.
+
+Covers what the reference's texture pipeline consumes
+(renderer-core/src/assets/textures.rs:616-1097): KTX2 header/level index,
+zstd supercompression, and the texel formats its assets actually use —
+RGBA8 (lightvol axis volumes), RGBA16F (lightvol L0), RGBA32F, and
+BC6H_UFLOAT (IBL cubemaps — the reference decompresses BC6H on the GPU
+with granite-shaders/bc6.frag when the device lacks native support; here
+the native scnative C++ decoder does it at load time, with a numpy
+fallback). UASTC/BasisLZ transcode (basis-universal in the reference) is
+routed through scnative when built, else the texture falls back to a
+dummy, mirroring the reference's degrade-don't-fail policy.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+KTX2_MAGIC = b"\xabKTX 20\xbb\r\n\x1a\n"
+
+# vkFormat values we handle
+VK_FORMAT_R8G8B8A8_UNORM = 37
+VK_FORMAT_R8G8B8A8_SRGB = 43
+VK_FORMAT_R16G16B16A16_SFLOAT = 97
+VK_FORMAT_R32G32B32A32_SFLOAT = 109
+VK_FORMAT_BC6H_UFLOAT = 143
+VK_FORMAT_BC7_UNORM = 145
+VK_FORMAT_BC7_SRGB = 146
+VK_FORMAT_UNDEFINED = 0  # Basis Universal (UASTC / ETC1S)
+
+SUPERCOMPRESSION_NONE = 0
+SUPERCOMPRESSION_BASISLZ = 1
+SUPERCOMPRESSION_ZSTD = 2
+SUPERCOMPRESSION_ZLIB = 3
+
+
+@dataclass
+class Ktx2:
+    vk_format: int
+    width: int
+    height: int
+    depth: int
+    layers: int
+    faces: int
+    levels: List[Tuple[int, int, int]]  # (offset, byte_len, uncompressed_len)
+    scheme: int
+    data: bytes
+    kvd: dict
+
+    @property
+    def num_images(self) -> int:
+        return max(1, self.layers) * self.faces * max(1, self.depth)
+
+    def level_dims(self, level: int) -> Tuple[int, int, int]:
+        return (
+            max(1, self.width >> level),
+            max(1, self.height >> level),
+            max(1, self.depth >> level) if self.depth else 1,
+        )
+
+    def level_bytes(self, level: int) -> bytes:
+        off, blen, _ulen = self.levels[level]
+        raw = self.data[off : off + blen]
+        if self.scheme == SUPERCOMPRESSION_ZSTD:
+            import zstandard
+
+            return zstandard.ZstdDecompressor().decompress(
+                raw, max_output_size=self.levels[level][2]
+            )
+        if self.scheme == SUPERCOMPRESSION_ZLIB:
+            import zlib
+
+            return zlib.decompress(raw)
+        return raw
+
+
+def parse_ktx2(data: bytes) -> Ktx2:
+    if data[:12] != KTX2_MAGIC:
+        raise ValueError("not a KTX2 file")
+    (
+        vk_format,
+        _type_size,
+        width,
+        height,
+        depth,
+        layers,
+        faces,
+        levels,
+        scheme,
+    ) = struct.unpack_from("<9I", data, 12)
+    kvd_off, kvd_len = struct.unpack_from("<2I", data, 56)
+    level_index = []
+    for i in range(max(1, levels)):
+        off, blen, ulen = struct.unpack_from("<3Q", data, 80 + i * 24)
+        level_index.append((off, blen, ulen))
+    kvd = {}
+    end = kvd_off + kvd_len
+    p = kvd_off
+    while kvd_off and p + 4 <= end:
+        (kv_len,) = struct.unpack_from("<I", data, p)
+        kv = data[p + 4 : p + 4 + kv_len]
+        if b"\x00" in kv:
+            key, _, value = kv.partition(b"\x00")
+            kvd[key.decode("utf-8", "replace")] = value
+        p += 4 + kv_len + (-kv_len % 4)
+    return Ktx2(
+        vk_format=vk_format,
+        width=width,
+        height=height,
+        depth=depth,
+        layers=layers,
+        faces=faces,
+        levels=level_index,
+        scheme=scheme,
+        data=data,
+        kvd=kvd,
+    )
+
+
+def _decode_image_payload(
+    ktx: Ktx2, payload: bytes, w: int, h: int
+) -> np.ndarray:
+    """One image (w, h) of a level -> (h, w, 4) float32 (linear)."""
+    fmt = ktx.vk_format
+    if fmt in (VK_FORMAT_R8G8B8A8_UNORM, VK_FORMAT_R8G8B8A8_SRGB):
+        arr = np.frombuffer(payload, np.uint8).reshape(h, w, 4).astype(np.float32)
+        arr /= 255.0
+        if fmt == VK_FORMAT_R8G8B8A8_SRGB:
+            rgb = arr[..., :3]
+            arr[..., :3] = np.where(
+                rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
+            )
+        return arr
+    if fmt == VK_FORMAT_R16G16B16A16_SFLOAT:
+        return np.frombuffer(payload, np.float16).reshape(h, w, 4).astype(np.float32)
+    if fmt == VK_FORMAT_R32G32B32A32_SFLOAT:
+        return np.frombuffer(payload, np.float32).reshape(h, w, 4).copy()
+    if fmt == VK_FORMAT_BC6H_UFLOAT:
+        from ..native import bc6h
+
+        return bc6h.decode_bc6h(payload, w, h)
+    if fmt in (VK_FORMAT_BC7_UNORM, VK_FORMAT_BC7_SRGB):
+        from ..native import bc7
+
+        arr = bc7.decode_bc7(payload, w, h).astype(np.float32) / 255.0
+        if fmt == VK_FORMAT_BC7_SRGB:
+            rgb = arr[..., :3]
+            arr[..., :3] = np.where(
+                rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
+            )
+        return arr
+    raise NotImplementedError(f"vkFormat {fmt}")
+
+
+def _image_size_bytes(ktx: Ktx2, w: int, h: int) -> int:
+    fmt = ktx.vk_format
+    if fmt in (VK_FORMAT_R8G8B8A8_UNORM, VK_FORMAT_R8G8B8A8_SRGB):
+        return w * h * 4
+    if fmt == VK_FORMAT_R16G16B16A16_SFLOAT:
+        return w * h * 8
+    if fmt == VK_FORMAT_R32G32B32A32_SFLOAT:
+        return w * h * 16
+    if fmt in (VK_FORMAT_BC6H_UFLOAT, VK_FORMAT_BC7_UNORM, VK_FORMAT_BC7_SRGB):
+        return ((w + 3) // 4) * ((h + 3) // 4) * 16
+    raise NotImplementedError(f"vkFormat {fmt}")
+
+
+def decode_level_images(ktx: Ktx2, level: int) -> List[np.ndarray]:
+    """All images (faces x layers x z-slices, in KTX2 order) of one level,
+    each (h, w, 4) float32 linear."""
+    w, h, d = ktx.level_dims(level)
+    raw = ktx.level_bytes(level)
+    size = _image_size_bytes(ktx, w, h)
+    images = []
+    n = max(1, ktx.layers) * ktx.faces * d
+    for i in range(n):
+        images.append(_decode_image_payload(ktx, raw[i * size : (i + 1) * size], w, h))
+    return images
+
+
+def decode_ktx2_rgba8(data: bytes) -> np.ndarray:
+    """First image of mip 0 as (h, w, 4) uint8 — glTF texture decode path."""
+    ktx = parse_ktx2(data)
+    img = decode_level_images(ktx, 0)[0]
+    return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)

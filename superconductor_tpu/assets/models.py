@@ -336,7 +336,7 @@ def load_model(
                         if lp.get("material", 0) < len(material_ids)
                         else material_ids[0],
                     )
-                lods.append(PrimitiveLod(first_index=first, index_count=count))
+                lods.append(PrimitiveLod(first_index=first, index_count=count, lightmapped=lm is not None))
 
             radius = float(np.linalg.norm(positions0, axis=1).max()) if len(positions0) else 0.0
             primitives.append(

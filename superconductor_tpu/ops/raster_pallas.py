@@ -297,3 +297,277 @@ def rasterize_pallas(
     hit = vis.pair >= 0
     pair = jnp.where(hit, bins.order[jnp.maximum(vis.pair, 0)], -1)
     return vis._replace(pair=pair)
+
+
+# ---------------------------------------------------------------------------
+# K-layer (k-buffer) kernel for alpha-clip / alpha-blend passes
+# ---------------------------------------------------------------------------
+
+
+def _kbuffer_kernel(
+    tile_start_ref,
+    tile_count_ref,
+    y_off_ref,
+    floor_in,  # (tile_h, tile_w) opaque depth floor
+    setup_hbm,
+    depth_out,  # (K, tile_h, tile_w)
+    pair_out,
+    b0_out,
+    b1_out,
+    depth_s,  # VMEM scratch (K, tile_h, tile_w)
+    pair_s,
+    b0_s,
+    b1_s,
+    setup_smem,
+    dma_sem,
+    *,
+    k: int,
+    tile_h: int,
+    tile_w: int,
+    ntx: int,
+    reverse_z: bool,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * ntx + tx
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    offset = jax.lax.rem(start, 8)
+    start_row = jax.lax.div(start, 8)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    px = col + (tx * tile_w).astype(jnp.float32) + 0.5
+    py = row + (ty * tile_h + y_off_ref[0]).astype(jnp.float32) + 0.5
+
+    far = 0.0 if reverse_z else 1.0
+    for i in range(k):
+        depth_s[i] = jnp.full((tile_h, tile_w), far, jnp.float32)
+        pair_s[i] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        b0_s[i] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        b1_s[i] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    floor = floor_in[:, :]
+    num_chunks = pl.cdiv(count, CHUNK)
+
+    def get_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            setup_hbm.at[
+                pl.ds(start_row + chunk_idx * ROWS_PER_CHUNK, ROWS_PER_CHUNK + 1), :
+            ],
+            setup_smem.at[slot],
+            dma_sem.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _start_first():
+        get_dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _prefetch_next():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        get_dma(slot, c).wait()
+        rem = count - c * CHUNK
+
+        def tri_body(r, _):
+            idx = r + offset
+            srow = jax.lax.div(idx, 8)
+            scol = jax.lax.rem(idx, 8) * 16
+
+            def s(kk):
+                return setup_smem[slot, srow, scol + kk]
+
+            e0 = s(0) * px + s(1) * py + s(2)
+            e1 = s(3) * px + s(4) * py + s(5)
+            e2 = s(6) * px + s(7) * py + s(8)
+            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            zsum = e0 * s(9) + e1 * s(10) + e2 * s(11)
+            wsum = e0 * s(12) + e1 * s(13) + e2 * s(14)
+            inside = inside & (wsum > 0.0)
+            z = zsum / jnp.where(wsum == 0.0, 1.0, wsum)
+            inside = inside & (z >= 0.0) & (z <= 1.0)
+            if reverse_z:
+                accept = inside & (z > floor)
+            else:
+                accept = inside & (z < floor)
+            esum = e0 + e1 + e2
+            esafe = jnp.where(esum == 0.0, 1.0, esum)
+            nb0 = e0 / esafe
+            nb1 = e1 / esafe
+            sorted_pos = start + c * CHUNK + r
+
+            # Sorted insert (slot 0 = nearest). rank = #slots nearer.
+            old_d = [depth_s[i] for i in range(k)]
+            old_p = [pair_s[i] for i in range(k)]
+            old_0 = [b0_s[i] for i in range(k)]
+            old_1 = [b1_s[i] for i in range(k)]
+            if reverse_z:
+                nearer = [(od > z) & (op >= 0) for od, op in zip(old_d, old_p)]
+            else:
+                nearer = [(od < z) & (op >= 0) for od, op in zip(old_d, old_p)]
+            rank = jnp.zeros((tile_h, tile_w), jnp.int32)
+            for n in nearer:
+                rank = rank + n.astype(jnp.int32)
+            rank = jnp.where(accept, rank, k)
+            for i in range(k - 1, -1, -1):
+                is_new = rank == i
+                shifted = rank < i
+                prev = max(i - 1, 0)
+                depth_s[i] = jnp.where(
+                    is_new, z, jnp.where(shifted, old_d[prev], old_d[i])
+                )
+                pair_s[i] = jnp.where(
+                    is_new, sorted_pos, jnp.where(shifted, old_p[prev], old_p[i])
+                )
+                b0_s[i] = jnp.where(
+                    is_new, nb0, jnp.where(shifted, old_0[prev], old_0[i])
+                )
+                b1_s[i] = jnp.where(
+                    is_new, nb1, jnp.where(shifted, old_1[prev], old_1[i])
+                )
+            return 0
+
+        n = jnp.minimum(rem, CHUNK)
+        jax.lax.fori_loop(0, n, tri_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+    for i in range(k):
+        depth_out[i] = depth_s[i]
+        pair_out[i] = pair_s[i]
+        b0_out[i] = b0_s[i]
+        b1_out[i] = b1_s[i]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "k", "tile_h", "tile_w", "reverse_z", "interpret"),
+)
+def kbuffer_pallas_sorted(
+    sorted_setup: jax.Array,
+    tile_start: jax.Array,
+    tile_count: jax.Array,
+    height: int,
+    width: int,
+    k: int = 4,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    reverse_z: bool = True,
+    depth_floor: jax.Array | None = None,
+    interpret: bool = False,
+    y_offset=0,
+):
+    """K-layer raster; returns KBuffer with SORTED positions in .pair."""
+    from .raster_kbuffer import KBuffer
+
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    pad_h = nty * tile_h
+    pad_w = ntx * tile_w
+
+    far = 0.0 if reverse_z else 1.0
+    if depth_floor is None:
+        floor0 = jnp.full((pad_h, pad_w), far, jnp.float32)
+    else:
+        floor0 = jnp.pad(
+            depth_floor,
+            ((0, pad_h - depth_floor.shape[0]), (0, pad_w - depth_floor.shape[1])),
+            constant_values=far,
+        )
+
+    packed = pack_setup_rows(sorted_setup)
+    kernel = functools.partial(
+        _kbuffer_kernel,
+        k=k,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        ntx=ntx,
+        reverse_z=reverse_z,
+    )
+    blocked = pl.BlockSpec(
+        (tile_h, tile_w), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM
+    )
+    blocked_k = pl.BlockSpec(
+        (k, tile_h, tile_w), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+    )
+    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    depth, pair, b0, b1 = pl.pallas_call(
+        kernel,
+        grid=(nty, ntx),
+        in_specs=[
+            smem_full,
+            smem_full,
+            smem_full,
+            blocked,  # floor
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=(blocked_k, blocked_k, blocked_k, blocked_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((k, tile_h, tile_w), jnp.int32),
+            pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
+            pltpu.SMEM((2, ROWS_PER_CHUNK + 1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        tile_start.astype(jnp.int32),
+        tile_count.astype(jnp.int32),
+        jnp.asarray(y_offset, jnp.int32).reshape(1),
+        floor0,
+        packed,
+    )
+    return KBuffer(
+        depth=depth[:, :height, :width],
+        pair=pair[:, :height, :width],
+        b0=b0[:, :height, :width],
+        b1=b1[:, :height, :width],
+    )
+
+
+def kbuffer_pallas(
+    sorted_setup: jax.Array,
+    bins: Bins,
+    height: int,
+    width: int,
+    k: int = 4,
+    reverse_z: bool = True,
+    depth_floor: jax.Array | None = None,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    interpret: bool | None = None,
+    y_offset=0,
+):
+    """K-layer raster of binned triangles with original pair ids."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kb = kbuffer_pallas_sorted(
+        sorted_setup,
+        bins.tile_start,
+        bins.tile_count,
+        height,
+        width,
+        k=k,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        reverse_z=reverse_z,
+        depth_floor=depth_floor,
+        interpret=interpret,
+        y_offset=y_offset,
+    )
+    hit = kb.pair >= 0
+    pair = jnp.where(hit, bins.order[jnp.maximum(kb.pair, 0)], -1)
+    return kb._replace(pair=pair)

@@ -388,3 +388,29 @@ def shade(
     rgb = jnp.where(gbuf.valid[..., None], rgb, 0.0)
     alpha = jnp.where(gbuf.valid, alpha, 0.0)
     return rgb, alpha
+
+
+def albedo_alpha(gbuf: GBuffer, scene: dict):
+    """Alpha channel of the albedo sample (for the alpha-clip test), using
+    the same trilinear lod as full shading — matches sampling all textures
+    before the discard in fragment_alpha_clipped (lib.rs:405-407)."""
+    texels = scene["texels"]
+    tex = scene["tex"]
+    m = scene["materials"]
+    mat = gbuf.material
+    alb = m["albedo_tex"][mat]
+    base_entry = tex["tex_mip_base"][alb]
+    tw = tex["mip_w"][base_entry].astype(jnp.float32)
+    th = tex["mip_h"][base_entry].astype(jnp.float32)
+    lod = jnp.maximum(
+        mip_level_from_derivatives(
+            gbuf.duvdx[..., 0], gbuf.duvdx[..., 1],
+            gbuf.duvdy[..., 0], gbuf.duvdy[..., 1],
+            tw, th,
+        ),
+        0.0,
+    )
+    albedo = sample_trilinear(texels, tex, alb, gbuf.uv, lod) * m[
+        "base_color_factor"
+    ][mat]
+    return albedo[..., 3]

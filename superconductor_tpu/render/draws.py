@@ -74,6 +74,49 @@ class DrawRows:
         )
 
 
+def pack_lines(segments, color_ids, cap: Optional[int] = None) -> dict:
+    """Pad line segments to a pow2 cap: {pos (L,2,3), color, valid}."""
+    n = len(segments)
+    cap = cap or max(1, _next_pow2(n))
+    pos = np.zeros((cap, 2, 3), np.float32)
+    col = np.zeros(cap, np.int32)
+    valid = np.zeros(cap, bool)
+    if n:
+        pos[:n] = np.asarray(segments, np.float32)
+        col[:n] = np.asarray(color_ids, np.int32)
+        valid[:n] = True
+    return {"pos": pos, "color": col, "valid": valid}
+
+
+def pack_particles(particles: Optional[List[dict]] = None, cap: Optional[int] = None) -> dict:
+    """Pad particle dicts to a pow2 cap SoA (ParticleInstance fields,
+    renderer-core/src/instance.rs:22-31)."""
+    particles = particles or []
+    n = len(particles)
+    cap = cap or max(1, _next_pow2(n))
+
+    def field(name, dim, default=0.0):
+        out = np.full((cap, dim) if dim > 1 else (cap,), default, np.float32)
+        for i, p in enumerate(particles):
+            out[i] = p.get(name, default)
+        return out
+
+    return {
+        "center": field("center", 3),
+        "scale": field("scale", 2, 1.0),
+        "colour": field("colour", 3, 1.0),
+        "uv_offset": field("uv_offset", 2, 0.0),
+        "uv_scale": field("uv_scale", 2, 1.0),
+        "emissive_colour": field("emissive_colour", 3, 0.0),
+        "use_emissive_lut": np.array(
+            [p.get("use_emissive_lut", 0) for p in particles] + [0] * (cap - n),
+            np.int32,
+        ),
+        "lut_y": field("lut_y", 1, 0.0),
+        "valid": np.array([True] * n + [False] * (cap - n), bool),
+    }
+
+
 def build_frame_state(
     scene: Scene,
     instances: Sequence[Tuple[Model, Similarity]],
@@ -82,6 +125,8 @@ def build_frame_state(
     cull_params: Optional[List[BoundingSphereParams]] = None,
     screen_height: int = 1080,
     draw_cap: Optional[int] = None,
+    lines: Optional[dict] = None,
+    particles: Optional[dict] = None,
 ) -> FrameState:
     """Walk instances, cull, select LODs, emit the FrameState.
 
@@ -129,7 +174,7 @@ def build_frame_state(
                 lod.first_index,
                 lod.index_count,
                 joints_offset=joints_offset,
-                lightmapped=False,
+                lightmapped=getattr(lod, "lightmapped", False),
             )
 
     palette = (
@@ -146,4 +191,6 @@ def build_frame_state(
         draws_static=static_rows.to_arrays(draw_cap),
         draws_animated=anim_rows.to_arrays(draw_cap),
         joint_palette=palette.astype(np.float32),
+        lines=lines if lines is not None else pack_lines([], []),
+        particles=particles if particles is not None else pack_particles(),
     )

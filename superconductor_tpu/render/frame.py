@@ -48,7 +48,12 @@ class RenderConfig:
     inline_tonemapping: bool = True
     inline_srgb: bool = True
     num_views: int = 1
-    blend_layers: int = 4  # K-buffer depth for alpha-clip/blend (0 = off)
+    blend_layers: int = 4  # K-buffer depth for alpha-clip/blend layers
+    enable_clip: bool = False  # alpha-clipped materials present
+    enable_blend: bool = False  # alpha-blended materials present
+    enable_lines: bool = False
+    enable_particles: bool = False
+    line_width_px: float = 1.5
 
     def resolve_raster(self) -> str:
         if self.raster != "auto":
@@ -63,6 +68,8 @@ class FrameState(NamedTuple):
     draws_static: DrawList
     draws_animated: DrawList
     joint_palette: jax.Array  # (J, 8)
+    lines: dict = None  # {pos (L,2,3), color (L,), valid (L,)}
+    particles: dict = None  # particle SoA (see ops/particles.py)
 
 
 def _rasterize(
@@ -95,6 +102,44 @@ def _rasterize(
         config.width,
         reverse_z=config.reverse_z,
         init=init,
+        y_offset=y_offset,
+    )
+
+
+def _rasterize_kbuffer(
+    tri: TriangleSetup,
+    config: RenderConfig,
+    band_height: int,
+    y_offset,
+    depth_floor,
+):
+    from ..ops.raster_kbuffer import rasterize_kbuffer_ref
+
+    method = config.resolve_raster()
+    if method == "ref":
+        return rasterize_kbuffer_ref(
+            tri,
+            band_height,
+            config.width,
+            k=config.blend_layers,
+            reverse_z=config.reverse_z,
+            depth_floor=depth_floor,
+            y_offset=y_offset,
+        )
+    from ..ops.raster_pallas import kbuffer_pallas
+
+    bins = bin_triangles(
+        tri, config.width, band_height, config.p_cap, y_offset=y_offset
+    )
+    sorted_setup = gather_sorted_setup(tri, bins)
+    return kbuffer_pallas(
+        sorted_setup,
+        bins,
+        band_height,
+        config.width,
+        k=config.blend_layers,
+        reverse_z=config.reverse_z,
+        depth_floor=depth_floor,
         y_offset=y_offset,
     )
 
@@ -169,23 +214,58 @@ def render_view(
     view_proj = u["view_proj"][view_index]
 
     merged_tri, merged_attrs = _merged_geometry(scene, state, view_proj, config)
-
-    # --- pass 1: opaque + alpha-clip visibility ---
+    px, py = _pixel_centers(config, band_height, y_offset)
     mats = scene["materials"]
     blend_mode = mats["blend_mode"][merged_attrs.material]
-    opaque_tri = merged_tri._replace(valid=merged_tri.valid & (blend_mode != 2))
+
+    def gbuffer_of(pair, b0, b1):
+        return interpolate_gbuffer(
+            pair.reshape(-1), b0.reshape(-1), b1.reshape(-1), px, py,
+            merged_tri, merged_attrs,
+        )
+
+    # --- pass 1: opaque visibility ---
+    opaque_tri = merged_tri._replace(valid=merged_tri.valid & (blend_mode == 0))
     vis = _rasterize(opaque_tri, config, band_height, y_offset)
 
-    px, py = _pixel_centers(config, band_height, y_offset)
-    gbuf = interpolate_gbuffer(
-        vis.pair.reshape(-1),
-        vis.b0.reshape(-1),
-        vis.b1.reshape(-1),
-        px,
-        py,
-        merged_tri,
-        merged_attrs,
-    )
+    # --- pass 2: alpha-clip resolve (K nearest candidates, keep the nearest
+    # one whose albedo alpha passes the cutoff; the same decision the
+    # in-raster discard makes in fragment_alpha_clipped, lib.rs:405-407) ---
+    if config.enable_clip:
+        from ..ops.shade import albedo_alpha
+
+        clip_tri = merged_tri._replace(
+            valid=merged_tri.valid & (blend_mode == 1)
+        )
+        kb = _rasterize_kbuffer(
+            clip_tri, config, band_height, y_offset, vis.depth
+        )
+        chosen_pair = jnp.full_like(vis.pair, -1)
+        chosen_depth = vis.depth
+        chosen_b0 = jnp.zeros_like(vis.b0)
+        chosen_b1 = jnp.zeros_like(vis.b1)
+        found = jnp.zeros(vis.pair.shape, bool)
+        for k in range(config.blend_layers):
+            g = gbuffer_of(kb.pair[k], kb.b0[k], kb.b1[k])
+            a = albedo_alpha(g, scene)
+            cutoff = mats["alpha_cutoff"][g.material]
+            ok = (
+                g.valid & (a >= cutoff)
+            ).reshape(vis.pair.shape) & ~found
+            chosen_pair = jnp.where(ok, kb.pair[k], chosen_pair)
+            chosen_depth = jnp.where(ok, kb.depth[k], chosen_depth)
+            chosen_b0 = jnp.where(ok, kb.b0[k], chosen_b0)
+            chosen_b1 = jnp.where(ok, kb.b1[k], chosen_b1)
+            found = found | ok
+        vis = VisibilityBuffer(
+            depth=chosen_depth,
+            pair=jnp.where(found, chosen_pair, vis.pair),
+            b0=jnp.where(found, chosen_b0, vis.b0),
+            b1=jnp.where(found, chosen_b1, vis.b1),
+        )
+
+    # --- shade the winning opaque/clip surface ---
+    gbuf = gbuffer_of(vis.pair, vis.b0, vis.b1)
     rgb, alpha = shade(
         gbuf,
         scene,
@@ -195,17 +275,10 @@ def render_view(
         inline_tonemapping=config.inline_tonemapping,
         inline_srgb=config.inline_srgb,
     )
+    hit = gbuf.valid
 
-    # Alpha-clip correction: pixels whose winning fragment failed the alpha
-    # test fall back to background for now (full K-layer clip resolve lands
-    # with the blend pass).
-    cutoff = mats["alpha_cutoff"][gbuf.material]
-    clipped = (blend_mode[jnp.maximum(vis.pair.reshape(-1), 0)] == 1) & (
-        alpha < cutoff
-    )
-    hit = gbuf.valid & ~clipped
-
-    # --- skybox for misses ---
+    # --- skybox for misses (depth GreaterEqual at the far plane in the
+    # reference, pipelines.rs:550-554; here: the miss mask) ---
     sky = sample_skybox(
         scene,
         env,
@@ -219,6 +292,103 @@ def render_view(
         full_height=config.height,
     )
     rgb = jnp.where(hit[..., None], rgb, sky)
+
+    # --- lines (flat-color debug geometry, depth-tested against the
+    # scene; line pipeline + flat_colour shader, rendering.rs:535-539) ---
+    depth_floor = vis.depth
+    if config.enable_lines and state.lines is not None:
+        from ..ops.lines import line_geometry
+
+        line_tri, line_colors = line_geometry(
+            state.lines["pos"],
+            state.lines["color"],
+            state.lines["valid"],
+            view_proj,
+            config.width,
+            config.height,
+            line_width_px=config.line_width_px,
+            flip_viewport=config.flip_viewport,
+        )
+        line_init = VisibilityBuffer(
+            depth=vis.depth,
+            pair=jnp.full_like(vis.pair, -1),
+            b0=jnp.zeros_like(vis.b0),
+            b1=jnp.zeros_like(vis.b1),
+        )
+        lvis = _rasterize(line_tri, config, band_height, y_offset, init=line_init)
+        lhit = (lvis.pair >= 0).reshape(-1)
+        lcol = line_colors[jnp.maximum(lvis.pair.reshape(-1), 0)]
+        rgb = jnp.where(lhit[..., None], lcol, rgb)
+        depth_floor = lvis.depth
+
+    # --- particles (camera-facing smoke quads, k-buffer sorted per pixel;
+    # drawn after skybox, before alpha-blend, rendering.rs:544-548) ---
+    if config.enable_particles and state.particles is not None:
+        from ..ops.particles import particle_geometry, shade_particles
+        from ..ops.shade import GBuffer as _GB, sample_spherical_harmonics
+
+        p_tri, p_attrs = particle_geometry(
+            state.particles,
+            u["view"][view_index],
+            u["view_inverse"][view_index],
+            u["projection"][view_index],
+            config.width,
+            config.height,
+            flip_viewport=config.flip_viewport,
+        )
+        pkb = _rasterize_kbuffer(
+            p_tri, config, band_height, y_offset, depth_floor
+        )
+
+        def sh_sampler(world_pos):
+            fake = _GB(
+                valid=None, world_pos=world_pos, normal=None, uv=None,
+                lm_uv=jnp.zeros_like(world_pos[..., :2]), material=None,
+                front_facing=None,
+                lightmapped=jnp.zeros(world_pos.shape[0], bool),
+                dpdx=None, dpdy=None, duvdx=None, duvdy=None,
+            )
+            return sample_spherical_harmonics(fake, scene, u, env)
+
+        for k in range(config.blend_layers - 1, -1, -1):
+            prgb, pa = shade_particles(
+                pkb.pair[k].reshape(-1),
+                pkb.b0[k].reshape(-1),
+                pkb.b1[k].reshape(-1),
+                p_attrs,
+                state.particles,
+                scene,
+                u,
+                env,
+                view_index,
+                sh_sampler,
+                inline_tonemapping=config.inline_tonemapping,
+                inline_srgb=config.inline_srgb,
+            )
+            rgb = prgb * pa[..., None] + rgb * (1.0 - pa[..., None])
+
+    # --- pass 3: alpha-blend composite (K nearest blended layers, shaded
+    # and blended back-to-front; drawn last like rendering.rs:550) ---
+    if config.enable_blend:
+        blend_tri = merged_tri._replace(
+            valid=merged_tri.valid & (blend_mode == 2)
+        )
+        kb = _rasterize_kbuffer(
+            blend_tri, config, band_height, y_offset, depth_floor
+        )
+        for k in range(config.blend_layers - 1, -1, -1):
+            g = gbuffer_of(kb.pair[k], kb.b0[k], kb.b1[k])
+            lrgb, la = shade(
+                g,
+                scene,
+                u,
+                view_index,
+                env=env,
+                inline_tonemapping=config.inline_tonemapping,
+                inline_srgb=config.inline_srgb,
+            )
+            la = jnp.where(g.valid, la, 0.0)
+            rgb = lrgb * la[..., None] + rgb * (1.0 - la[..., None])
 
     img = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1).reshape(
         band_height, config.width, 4

@@ -188,10 +188,12 @@ class MaterialSettings:
 
 @dataclass
 class PrimitiveLod:
-    """One LOD of a primitive: index range + instance bookkeeping."""
+    """One LOD of a primitive: index range + lightmap flag (the reference's
+    PrimitiveLod, models.rs:694-708)."""
 
     first_index: int
     index_count: int
+    lightmapped: bool = False
 
 
 @dataclass

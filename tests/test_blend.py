@@ -1,0 +1,177 @@
+"""Alpha-clip and alpha-blend pass tests (reference raster path on CPU)."""
+
+import numpy as np
+
+from superconductor_tpu import (
+    Camera,
+    EnvBindings,
+    RenderConfig,
+    Scene,
+    Similarity,
+    make_uniforms,
+    render_frame,
+)
+from superconductor_tpu.math3d import Similarity as Sim
+from superconductor_tpu.render.draws import build_frame_state
+from superconductor_tpu.scene.scene import (
+    BLEND_ALPHA_BLENDED,
+    BLEND_ALPHA_CLIPPED,
+    MAT_UNLIT,
+    MaterialSettings,
+    Model,
+    Primitive,
+    PrimitiveLod,
+    TEXFLAG_SRGB,
+)
+
+
+def quad_mesh():
+    """Unit quad in the xy plane facing +z (CCW from +z)."""
+    pos = np.array(
+        [[-0.5, -0.5, 0], [0.5, -0.5, 0], [0.5, 0.5, 0], [-0.5, 0.5, 0]],
+        np.float32,
+    )
+    nrm = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    return pos, nrm, uv, idx
+
+
+def make_quad_model(scene, material, transform=None):
+    pos, nrm, uv, idx = quad_mesh()
+    first, count = scene.insert_static_mesh(
+        pos, nrm, uv, np.zeros_like(uv), idx, material
+    )
+    prim = Primitive(
+        material=material,
+        blend_mode=scene.materials[material].blend_mode,
+        double_sided=False,
+        animated=False,
+        lods=[PrimitiveLod(first_index=first, index_count=count)],
+        bounding_sphere_radius=0.71,
+        bbox_min=pos.min(0),
+        bbox_max=pos.max(0),
+    )
+    prim.transform = transform or Sim.identity()
+    m = Model(primitives=[prim])
+    m.bounding_sphere_radius = 0.71
+    return m
+
+
+def checkerboard_alpha_texture(scene):
+    """8x8 texture: left half alpha 0, right half alpha 255."""
+    img = np.full((8, 8, 4), 255, np.uint8)
+    img[:, :4, 3] = 0
+    img[:, :4, :3] = 0
+    # one mip level only (sharp alpha edge for the test)
+    return scene.textures.add_texture([img], flags=TEXFLAG_SRGB)
+
+
+def test_alpha_clip_discards_left_half():
+    scene = Scene()
+    tex = checkerboard_alpha_texture(scene)
+    clip_mat = scene.add_material(
+        MaterialSettings(
+            base_color_factor=(0, 1, 0, 1),
+            flags=MAT_UNLIT,
+            blend_mode=BLEND_ALPHA_CLIPPED,
+            albedo_tex=tex,
+        )
+    )
+    model = make_quad_model(scene, clip_mat)
+    camera = Camera(position=np.array([0, 0, 1.2], np.float32))
+    uniforms = make_uniforms(camera, 64, 64)
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    config = RenderConfig(
+        width=64, height=64, t_cap=32, t_cap_anim=8, raster="ref",
+        enable_clip=True,
+    )
+    env = EnvBindings(clear_color=(0, 0, 1))
+    img = np.asarray(render_frame(scene.device_arrays(), state, config, env))[0]
+    # Right half of the quad visible (alpha=1, green-ish), left half
+    # discarded (background blue).
+    assert img[32, 44, 1] > 150  # right: green quad
+    assert img[32, 20, 2] > 150 and img[32, 20, 1] < 100  # left: background
+
+
+def test_alpha_blend_composites():
+    scene = Scene()
+    red = scene.add_material(
+        MaterialSettings(
+            base_color_factor=(1, 0, 0, 1), flags=MAT_UNLIT
+        )
+    )
+    half_green = scene.add_material(
+        MaterialSettings(
+            base_color_factor=(0, 1, 0, 0.5),
+            flags=MAT_UNLIT,
+            blend_mode=BLEND_ALPHA_BLENDED,
+        )
+    )
+    back = make_quad_model(scene, red)
+    front = make_quad_model(scene, half_green)
+    camera = Camera(position=np.array([0, 0, 2.0], np.float32))
+    uniforms = make_uniforms(camera, 64, 64)
+    state = build_frame_state(
+        scene,
+        [
+            (back, Similarity(translation=[0, 0, -0.5], scale=2.0)),
+            (front, Similarity()),
+        ],
+        uniforms,
+    )
+    config = RenderConfig(
+        width=64, height=64, t_cap=64, t_cap_anim=8, raster="ref",
+        enable_blend=True,
+    )
+    img = np.asarray(
+        render_frame(scene.device_arrays(), state, config, EnvBindings())
+    )[0]
+    c = img[32, 32].astype(int)
+    # 50/50 mix of unlit red (srgb 255,0,0) and unlit green (0,255,0):
+    # blended in display space -> (127, 127, 0)-ish.
+    assert abs(c[0] - 128) <= 6 and abs(c[1] - 128) <= 6 and c[2] < 10
+    # outside the small quad but inside the big one (red spans cols
+    # 10..54, green 18..46): pure red
+    e = img[32, 14].astype(int)
+    assert e[0] == 255 and e[1] < 10
+
+
+def test_blend_layers_sorted():
+    """Two stacked half-transparent quads must blend back-to-front."""
+    scene = Scene()
+    m1 = scene.add_material(
+        MaterialSettings(
+            base_color_factor=(1, 0, 0, 0.5), flags=MAT_UNLIT,
+            blend_mode=BLEND_ALPHA_BLENDED,
+        )
+    )
+    m2 = scene.add_material(
+        MaterialSettings(
+            base_color_factor=(0, 1, 0, 0.5), flags=MAT_UNLIT,
+            blend_mode=BLEND_ALPHA_BLENDED,
+        )
+    )
+    q1 = make_quad_model(scene, m1)  # red, farther
+    q2 = make_quad_model(scene, m2)  # green, nearer
+    camera = Camera(position=np.array([0, 0, 2.0], np.float32))
+    uniforms = make_uniforms(camera, 48, 48)
+    state = build_frame_state(
+        scene,
+        [
+            (q1, Similarity(translation=[0, 0, -0.3])),
+            (q2, Similarity(translation=[0, 0, 0.3])),
+        ],
+        uniforms,
+    )
+    config = RenderConfig(
+        width=48, height=48, t_cap=64, t_cap_anim=8, raster="ref",
+        enable_blend=True,
+    )
+    img = np.asarray(
+        render_frame(scene.device_arrays(), state, config, EnvBindings())
+    )[0]
+    c = img[24, 24].astype(int)
+    # over(green 0.5, over(red 0.5, black)) = 0.5*green + 0.25*red
+    assert abs(c[1] - 128) <= 6
+    assert abs(c[0] - 64) <= 6

@@ -1,0 +1,99 @@
+import os
+
+import numpy as np
+import pytest
+
+from superconductor_tpu.assets.ktx2 import decode_level_images, parse_ktx2
+
+LIGHTING = "/root/reference/demo/web/assets/lighting/uncompressed"
+SMOKE = "/root/reference/demo/web/assets/smoke"
+
+
+def _read(path):
+    if not os.path.exists(path):
+        pytest.skip("reference assets unavailable")
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_parse_lightvol_f16():
+    data = _read(f"{LIGHTING}/lightvol.ktx2")
+    ktx = parse_ktx2(data)
+    assert (ktx.width, ktx.height, ktx.depth) == (96, 48, 48)
+    assert ktx.vk_format == 97  # RGBA16F
+    images = decode_level_images(ktx, 0)
+    assert len(images) == 48
+    assert images[0].shape == (48, 96, 4)
+    stack = np.stack(images)
+    assert np.isfinite(stack).all()
+    assert stack[..., :3].max() > 0.01  # actually contains light
+
+
+def test_parse_lightvol_axis_rgba8():
+    data = _read(f"{LIGHTING}/lightvol_x.ktx2")
+    ktx = parse_ktx2(data)
+    assert ktx.vk_format == 37  # RGBA8
+    images = decode_level_images(ktx, 0)
+    assert len(images) == 48
+    assert 0.0 <= images[0].min() and images[0].max() <= 1.0
+
+
+def test_load_lightvol_into_scene():
+    from superconductor_tpu.assets.environment import load_lightvol
+    from superconductor_tpu.scene.scene import Scene
+
+    scene = Scene()
+    lv = load_lightvol(
+        scene,
+        _read(f"{LIGHTING}/lightvol.ktx2"),
+        _read(f"{LIGHTING}/lightvol_x.ktx2"),
+        _read(f"{LIGHTING}/lightvol_y.ktx2"),
+        _read(f"{LIGHTING}/lightvol_z.ktx2"),
+        bottom_left=(-10, 0, -10),
+        scale=(20, 10, 20),
+    )
+    assert lv["z_layers"] == 48
+    assert len(lv["tex_ids"]) == 4
+    # HDR pool contains all layers
+    assert scene.textures_hdr.num_textures == 4
+
+
+def test_lightvol_lit_render():
+    """Render the PBR sphere lit by the real Sponza light volume."""
+    from superconductor_tpu import (
+        Camera,
+        EnvBindings,
+        RenderConfig,
+        Scene,
+        Similarity,
+        make_uniforms,
+        render_frame,
+    )
+    from superconductor_tpu.assets.environment import load_lightvol
+    from superconductor_tpu.render.draws import build_frame_state
+    from superconductor_tpu.utils.procgen import add_pbr_sphere
+
+    scene = Scene()
+    model = add_pbr_sphere(scene, stacks=16, slices=16)
+    load_lightvol(
+        scene,
+        _read(f"{LIGHTING}/lightvol.ktx2"),
+        _read(f"{LIGHTING}/lightvol_x.ktx2"),
+        _read(f"{LIGHTING}/lightvol_y.ktx2"),
+        _read(f"{LIGHTING}/lightvol_z.ktx2"),
+        bottom_left=(-12, -2, -6),
+        scale=(24, 12, 12),
+    )
+    env = EnvBindings.from_scene(scene)
+    assert env.lightvol_tex_ids is not None
+
+    camera = Camera(position=np.array([0, 0, 3.0], np.float32))
+    uniforms = make_uniforms(camera, 64, 64)
+    # place the probes box around the origin
+    uniforms.probes_bottom_left = np.array([-12, -2, -6], np.float32)
+    uniforms.probes_scale = np.array([24, 12, 12], np.float32)
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    config = RenderConfig(width=64, height=64, t_cap=1024, t_cap_anim=8, raster="ref")
+    img = np.asarray(render_frame(scene.device_arrays(), state, config, env))[0]
+    center = img[32, 32, :3]
+    assert center.sum() > 30  # sphere is lit by the volume
