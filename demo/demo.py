@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Demo app: the analog of the reference's demo crate (demo/src/lib.rs).
+
+Loads a glTF scene (default: the Sponza assets bundled with the reference,
+if present), the Sponza SH light volume, sets up a fly-ish camera path, and
+renders N frames to PNG files.
+
+Usage:
+    python demo/demo.py [--model PATH_OR_URL] [--frames N] [--size WxH]
+                        [--out DIR] [--raster auto|ref|pallas]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+REF_ASSETS = "/root/reference/demo/web/assets"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None, help="glTF/GLB path (default: sponza)")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", default="640x360")
+    ap.add_argument("--out", default="/tmp/sc_demo")
+    ap.add_argument("--raster", default="auto")
+    ap.add_argument("--particles", action="store_true", help="spawn test particles")
+    ap.add_argument("--debug-lines", action="store_true")
+    args = ap.parse_args()
+    width, height = map(int, args.size.split("x"))
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/sc_tpu_jax")
+    )
+
+    import superconductor_tpu as sc
+    from superconductor_tpu.ecs.app import App
+    from superconductor_tpu.ecs.components import Instance, InstanceOf, ModelUrl
+    from superconductor_tpu.ecs.resources import (
+        CameraResource,
+        FrameOutput,
+        LineBuffer,
+        NewLightvolTextures,
+        ParticleBuffer,
+        RenderSettings,
+    )
+    from superconductor_tpu.ecs.systems import CorePlugin
+    from superconductor_tpu.assets.fetch import FileClient
+    from superconductor_tpu.math3d import look_at, mat3_to_quat, mat4_inverse
+
+    model_path = args.model
+    if model_path is None:
+        candidate = os.path.join(REF_ASSETS, "models/Sponza/glTF/Sponza.gltf")
+        if os.path.exists(candidate):
+            model_path = candidate
+        else:
+            candidate = os.path.join(REF_ASSETS, "models/sponza_cubes.glb")
+            model_path = candidate if os.path.exists(candidate) else None
+    if model_path is None:
+        print("no model found; pass --model", file=sys.stderr)
+        return 1
+
+    app = App()
+    app.add_plugin(
+        CorePlugin(
+            config=sc.RenderConfig(
+                width=width,
+                height=height,
+                t_cap=1 << 18,
+                t_cap_anim=1 << 8,
+                p_cap=1 << 19,
+                raster=args.raster,
+                enable_clip=True,
+                enable_blend=True,
+                enable_lines=args.debug_lines,
+                enable_particles=args.particles,
+            ),
+            client=FileClient(),
+        )
+    )
+    w = app.world
+
+    # Sponza lightvol if available (NewLightvolTextures message, like
+    # demo/src/lib.rs:135-192 configures; box extents eyeballed for Sponza).
+    lv_dir = os.path.join(REF_ASSETS, "lighting/uncompressed")
+    if os.path.exists(os.path.join(lv_dir, "lightvol.ktx2")):
+        w.insert_resource(
+            NewLightvolTextures(
+                urls=[
+                    os.path.join(lv_dir, "lightvol.ktx2"),
+                    os.path.join(lv_dir, "lightvol_x.ktx2"),
+                    os.path.join(lv_dir, "lightvol_y.ktx2"),
+                    os.path.join(lv_dir, "lightvol_z.ktx2"),
+                ],
+                bottom_left=(-12.0, -0.5, -6.0),
+                scale=(24.0, 12.0, 12.0),
+            )
+        )
+
+    model_e = w.spawn(ModelUrl(model_path))
+    w.spawn(Instance(sc.Similarity()), InstanceOf(model_e))
+
+    if args.particles:
+        pb = w.resource(ParticleBuffer)
+
+    os.makedirs(args.out, exist_ok=True)
+    import imageio.v3 as iio
+
+    cam_res = w.resource(CameraResource)
+    n = 0
+    t_start = time.time()
+    frame_times = []
+    while n < args.frames:
+        # orbiting camera
+        ang = 0.35 + 0.1 * n
+        eye = np.array([8.0 * np.cos(ang), 2.0, 8.0 * np.sin(ang)], np.float32)
+        view = look_at(eye, [0, 1.5, 0])
+        cam_res.camera.position = eye
+        cam_res.camera.rotation = mat3_to_quat(mat4_inverse(view)[:3, :3])
+
+        if args.particles:
+            pb.push(
+                center=[0.0, 2.0 + 0.2 * n, 0.0],
+                scale=[2.0, 2.0],
+                colour=[0.8, 0.8, 0.8],
+                emissive_colour=[0.5, 0.3, 0.1],
+            )
+        if args.debug_lines:
+            lb = w.resource(LineBuffer)
+            lb.push([-5, 0.02, 0], [5, 0.02, 0], 11)
+            lb.push([0, 0.02, -5], [0, 0.02, 5], 7)
+
+        t0 = time.time()
+        app.update()
+        out = w.resource(FrameOutput)
+        if out.image is None:
+            continue
+        img = np.asarray(out.image)[0]
+        frame_times.append(time.time() - t0)
+        iio.imwrite(os.path.join(args.out, f"frame_{n:03d}.png"), img)
+        n += 1
+
+    print(
+        f"rendered {args.frames} frames {width}x{height} in "
+        f"{time.time() - t_start:.1f}s "
+        f"(median frame {1e3 * np.median(frame_times):.1f}ms incl. host)"
+    )
+    print(f"frames in {args.out}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

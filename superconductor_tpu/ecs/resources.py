@@ -1,0 +1,104 @@
+"""ECS resources (singletons), mirroring src/resources.rs."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..assets.fetch import FetchClient, FileClient
+from ..render.camera import Camera
+from ..render.env import EnvBindings
+from ..render.frame import RenderConfig
+from ..scene.scene import Scene
+
+
+@dataclass
+class SceneResource:
+    scene: Scene
+
+
+@dataclass
+class CameraResource:
+    """resources.rs:138-164."""
+
+    camera: Camera = field(default_factory=Camera)
+    fov_y: float = np.radians(59.0)
+    z_near: float = 0.05
+
+
+@dataclass
+class RenderSettings:
+    config: RenderConfig = field(default_factory=RenderConfig)
+    env: Optional[EnvBindings] = None  # rebuilt when scene env changes
+
+
+@dataclass
+class HttpClientResource:
+    client: FetchClient = field(default_factory=FileClient)
+
+
+@dataclass
+class FrameOutput:
+    """Latest rendered frame(s) (V, H, W, 4) u8 device array."""
+
+    image: object = None
+    frame_index: int = 0
+
+
+@dataclass
+class FrameTiming:
+    """progress_animation_times uses a fixed 1/60 step (systems.rs:76-107)."""
+
+    delta: float = 1.0 / 60.0
+
+
+@dataclass
+class LineBuffer:
+    """Debug line accumulation, cleared per frame (clear_line_buffer)."""
+
+    segments: List = field(default_factory=list)
+    colors: List = field(default_factory=list)
+
+    def push(self, a, b, color_id: int):
+        self.segments.append([a, b])
+        self.colors.append(color_id)
+
+    def clear(self):
+        self.segments.clear()
+        self.colors.clear()
+
+
+@dataclass
+class ParticleBuffer:
+    particles: List[dict] = field(default_factory=list)
+
+    def push(self, **kwargs):
+        self.particles.append(kwargs)
+
+    def clear(self):
+        self.particles.clear()
+
+
+@dataclass
+class EventQueue:
+    """resources.rs:30-31."""
+
+    events: List = field(default_factory=list)
+
+
+@dataclass
+class NewIblCubemap:
+    """Request to (re)load the IBL cubemap (demo/src/lib.rs:114-119)."""
+
+    url: str
+
+
+@dataclass
+class NewLightvolTextures:
+    """Request to (re)load the SH light volume (demo/src/lib.rs:135-192)."""
+
+    urls: List[str]  # [l0, x, y, z]
+    bottom_left: tuple = (0.0, 0.0, 0.0)
+    scale: tuple = (1.0, 1.0, 1.0)

@@ -1,0 +1,298 @@
+"""Frame systems, mirroring src/systems.rs + systems/rendering.rs.
+
+Stage layout (XrPlugin::build, src/lib.rs:84-171):
+  AssetLoading:      start_loading_models, finish_loading_models,
+                     update_ibl_resources, update_lightvol_textures,
+                     add_joints_to_instances
+  BufferResetting:   clear line/particle buffers, sample_animations,
+                     update_uniforms
+  InstanceBuffering: push_entity_instances (cull + LOD + draw rows),
+                     push_joints
+  BufferUploading:   (device arrays are rebuilt lazily; the upload step is
+                     the FrameState construction)
+  Rendering:         render (the jitted frame function)
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+from ..assets.models import load_model, new_animation_joints
+from ..render.camera import make_uniforms
+from ..render.culling import sphere_culling_params
+from ..render.draws import build_frame_state, pack_lines, pack_particles
+from ..render.env import EnvBindings
+from ..render.frame import render_frame
+from .app import App, Stage, World
+from .components import (
+    AnimatedModelUrl,
+    Instance,
+    InstanceOf,
+    JointsComponent,
+    ModelComponent,
+    ModelUrl,
+    PendingModel,
+)
+from .resources import (
+    CameraResource,
+    EventQueue,
+    FrameOutput,
+    FrameTiming,
+    HttpClientResource,
+    LineBuffer,
+    NewIblCubemap,
+    NewLightvolTextures,
+    ParticleBuffer,
+    RenderSettings,
+    SceneResource,
+)
+
+log = logging.getLogger(__name__)
+
+
+# --------------------------- AssetLoading ---------------------------------
+
+
+def start_loading_models(world: World) -> None:
+    """Kick off async loads for entities with a ModelUrl and no model yet
+    (systems.rs:991-1110). Errors degrade, never crash (the reference's
+    spawn wrapper logs and leaves dummies, renderer-core/src/lib.rs:248)."""
+    scene = world.resource(SceneResource).scene
+    client = world.resource(HttpClientResource).client
+
+    for ctype, animated in ((ModelUrl, False), (AnimatedModelUrl, True)):
+        for entity, url in list(world.components.get(ctype, {}).items()):
+            if world.get(entity, PendingModel) or world.get(entity, ModelComponent):
+                continue
+
+            def job(u=url.url, anim=animated):
+                data = client.fetch_bytes(u)
+                # Parsing/insertion mutates the scene; the executor only
+                # fetches bytes — decode happens on the main thread at
+                # finish time to keep scene mutation single-threaded.
+                return data, anim, u
+
+            world.insert(entity, PendingModel(client.submit(job)))
+
+
+def finish_loading_models(world: World) -> None:
+    """Swap finished loads into ModelComponent (systems.rs:1112-1123)."""
+    scene = world.resource(SceneResource).scene
+    client = world.resource(HttpClientResource).client
+    for entity, pending in list(world.components.get(PendingModel, {}).items()):
+        if not pending.future.done():
+            continue
+        world.remove(entity, PendingModel)
+        try:
+            data, animated, url = pending.future.result()
+            model = load_model(
+                scene, data, url=url, client=client, animated=animated
+            )
+            world.insert(entity, ModelComponent(model))
+        except Exception:
+            log.exception("model load failed; entity stays empty")
+
+
+def update_ibl_resources(world: World) -> None:
+    """systems.rs:723: consume NewIblCubemap and load it."""
+    res = world.get_resource(NewIblCubemap)
+    if res is None:
+        return
+    scene = world.resource(SceneResource).scene
+    client = world.resource(HttpClientResource).client
+    try:
+        from ..assets.environment import load_ibl_cubemap
+
+        load_ibl_cubemap(scene, client.fetch_bytes(res.url))
+        settings = world.resource(RenderSettings)
+        settings.env = None  # rebuild bindings
+    except Exception:
+        log.exception("IBL cubemap load failed; keeping previous")
+    world.resources.pop(NewIblCubemap, None)
+
+
+def update_lightvol_textures(world: World) -> None:
+    """systems.rs:593: consume NewLightvolTextures."""
+    res = world.get_resource(NewLightvolTextures)
+    if res is None:
+        return
+    scene = world.resource(SceneResource).scene
+    client = world.resource(HttpClientResource).client
+    try:
+        from ..assets.environment import load_lightvol
+
+        datas = [client.fetch_bytes(u) for u in res.urls]
+        load_lightvol(
+            scene, *datas, bottom_left=res.bottom_left, scale=res.scale
+        )
+        world.resource(RenderSettings).env = None
+    except Exception:
+        log.exception("lightvol load failed; keeping previous")
+    world.resources.pop(NewLightvolTextures, None)
+
+
+def add_joints_to_instances(world: World) -> None:
+    """Give each instance of an animated model its own joint state
+    (systems.rs:1135)."""
+    for entity, _inst, of in list(world.query(Instance, InstanceOf)):
+        if world.get(entity, JointsComponent) is not None:
+            continue
+        mc = world.get(of.model_entity, ModelComponent)
+        if mc is None or not mc.model.animated:
+            continue
+        world.insert(
+            entity, JointsComponent(joints=new_animation_joints(mc.model))
+        )
+
+
+# --------------------------- BufferResetting ------------------------------
+
+
+def clear_frame_buffers(world: World) -> None:
+    lines = world.get_resource(LineBuffer)
+    if lines is not None:
+        lines.clear()
+    particles = world.get_resource(ParticleBuffer)
+    if particles is not None:
+        particles.clear()
+
+
+def sample_animations(world: World) -> None:
+    """systems.rs:109 -> Animation::animate + hierarchy update."""
+    for entity, jc, of in world.query(JointsComponent, InstanceOf):
+        mc = world.get(of.model_entity, ModelComponent)
+        if mc is None or not mc.model.animations:
+            continue
+        anim = mc.model.animations[jc.animation_index % len(mc.model.animations)]
+        anim.animate(jc.joints, jc.time)
+
+
+def progress_animation_times(world: World) -> None:
+    """Fixed 1/60 step, wraps at total_time (systems.rs:76-107)."""
+    dt = world.resource(FrameTiming).delta
+    for entity, jc, of in world.query(JointsComponent, InstanceOf):
+        mc = world.get(of.model_entity, ModelComponent)
+        if mc is None or not mc.model.animations:
+            continue
+        total = mc.model.animations[
+            jc.animation_index % len(mc.model.animations)
+        ].total_time
+        jc.time += dt
+        if total > 0 and jc.time > total:
+            jc.time -= total
+
+
+def push_joints(world: World) -> None:
+    """Flatten joint hierarchies into per-instance palettes
+    (systems.rs:141-202 + AnimationJoints::iter)."""
+    for entity, jc, of in world.query(JointsComponent, InstanceOf):
+        mc = world.get(of.model_entity, ModelComponent)
+        if mc is None or mc.model.num_joints == 0:
+            jc.palette = None
+            continue
+        jc.palette = jc.joints.joint_palette(
+            mc.model.joint_node_indices,
+            mc.model.inverse_bind8,
+            mc.model.depth_first_nodes,
+        )
+
+
+# ------------------------ Instance building + render ----------------------
+
+
+def render(world: World) -> None:
+    """InstanceBuffering + BufferUploading + Rendering in one system:
+    collect visible instances, build the FrameState, call the jitted frame.
+
+    Separated host phases buy nothing here — build_frame_state already does
+    culling/LOD (push_entity_instances) and array packing (upload_*).
+    """
+    scene_res = world.resource(SceneResource)
+    cam = world.resource(CameraResource)
+    settings = world.resource(RenderSettings)
+    config = settings.config
+
+    uniforms = make_uniforms(
+        cam.camera, config.width, config.height, cam.fov_y, cam.z_near,
+        reverse_z=config.reverse_z,
+    )
+    scene = scene_res.scene
+    if scene.lightvol is not None:
+        uniforms.probes_bottom_left = np.asarray(
+            scene.lightvol["bottom_left"], np.float32
+        )
+        uniforms.probes_scale = np.asarray(scene.lightvol["scale"], np.float32)
+
+    instances = []
+    palettes = {}
+    for entity, inst, of in world.query(Instance, InstanceOf):
+        mc = world.get(of.model_entity, ModelComponent)
+        if mc is None:
+            continue
+        idx = len(instances)
+        instances.append((mc.model, inst.similarity))
+        jc = world.get(entity, JointsComponent)
+        if jc is not None and jc.palette is not None:
+            palettes[idx] = jc.palette
+
+    cull = [sphere_culling_params(uniforms.view_proj[0])]
+
+    lines = world.get_resource(LineBuffer)
+    particles = world.get_resource(ParticleBuffer)
+    state = build_frame_state(
+        scene,
+        instances,
+        uniforms,
+        joint_palettes=palettes,
+        cull_params=cull,
+        screen_height=config.height,
+        lines=pack_lines(lines.segments, lines.colors) if lines else None,
+        particles=pack_particles(particles.particles) if particles else None,
+    )
+
+    if settings.env is None:
+        settings.env = EnvBindings.from_scene(scene)
+
+    out = world.resource(FrameOutput)
+    out.image = render_frame(scene.device_arrays(), state, config, settings.env)
+    out.frame_index += 1
+
+
+class CorePlugin:
+    """Registers the standard system schedule (the XrPlugin analog)."""
+
+    def __init__(self, config=None, client=None):
+        self.config = config
+        self.client = client
+
+    def build(self, app: App) -> None:
+        from ..render.frame import RenderConfig
+        from ..scene.scene import Scene
+        from ..assets.fetch import FileClient
+
+        w = app.world
+        w.insert_resource(SceneResource(Scene()))
+        w.insert_resource(CameraResource())
+        w.insert_resource(
+            RenderSettings(config=self.config or RenderConfig())
+        )
+        w.insert_resource(HttpClientResource(self.client or FileClient()))
+        w.insert_resource(FrameOutput())
+        w.insert_resource(FrameTiming())
+        w.insert_resource(LineBuffer())
+        w.insert_resource(ParticleBuffer())
+        w.insert_resource(EventQueue())
+
+        app.add_system(Stage.ASSET_LOADING, start_loading_models)
+        app.add_system(Stage.ASSET_LOADING, finish_loading_models)
+        app.add_system(Stage.ASSET_LOADING, update_ibl_resources)
+        app.add_system(Stage.ASSET_LOADING, update_lightvol_textures)
+        app.add_system(Stage.ASSET_LOADING, add_joints_to_instances)
+        app.add_system(Stage.BUFFER_RESETTING, clear_frame_buffers)
+        app.add_system(Stage.BUFFER_RESETTING, sample_animations)
+        app.add_system(Stage.INSTANCE_BUFFERING, push_joints)
+        app.add_system(Stage.BUFFER_UPLOADING, progress_animation_times)
+        app.add_system(Stage.RENDERING, render)
