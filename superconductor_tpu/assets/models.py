@@ -91,6 +91,7 @@ def _load_texture(
     client: Optional[FetchClient],
     cache: _TextureCache,
     dummy: int,
+    defer=None,  # (streamer, field_name, material_index_getter) for async
 ) -> int:
     if tex_index is None:
         return dummy
@@ -110,6 +111,26 @@ def _load_texture(
         return cache.by_image[key]
 
     image = doc["images"][source]
+    wrap = WRAP_REPEAT
+    sampler_idx = tex.get("sampler")
+    if sampler_idx is not None:
+        sampler = doc.get("samplers", [])[sampler_idx]
+        if sampler.get("wrapS") == 33071:
+            wrap = WRAP_CLAMP
+
+    # Async path: external-URI images keep the dummy bound and stream in
+    # via the TextureStreamer (dummy hot-swap, texture_loading.rs:162-240).
+    if defer is not None and "uri" in image and not image["uri"].startswith("data:"):
+        streamer, field, material_index = defer
+        streamer.request(
+            material_index,
+            field,
+            client.resolve(url, image["uri"]),
+            srgb,
+            wrap=wrap,
+        )
+        return dummy
+
     try:
         if "bufferView" in image:
             data = gltf.buffer_views[image["bufferView"]].tobytes()
@@ -123,13 +144,6 @@ def _load_texture(
     except Exception:
         log.exception("texture %s failed to load; keeping dummy", source)
         return dummy
-
-    wrap = WRAP_REPEAT
-    sampler_idx = tex.get("sampler")
-    if sampler_idx is not None:
-        sampler = doc.get("samplers", [])[sampler_idx]
-        if sampler.get("wrapS") == 33071:
-            wrap = WRAP_CLAMP
     tex_id = scene.textures.add_texture(
         build_mip_chain(rgba), wrap=wrap, flags=TEXFLAG_SRGB if srgb else 0
     )
@@ -138,7 +152,8 @@ def _load_texture(
 
 
 def _load_materials(
-    scene: Scene, gltf: Gltf, url: str, client: Optional[FetchClient]
+    scene: Scene, gltf: Gltf, url: str, client: Optional[FetchClient],
+    streamer=None,
 ) -> List[int]:
     """Create scene materials for every glTF material; returns id mapping.
 
@@ -176,7 +191,10 @@ def _load_materials(
         if mat.get("doubleSided"):
             flags |= MAT_DOUBLE_SIDED
 
-        def tex(info, srgb, dummy):
+        material_index = len(scene.materials)  # id this material will get
+
+        def tex(info, srgb, dummy, field):
+            defer = (streamer, field, material_index) if streamer else None
             return _load_texture(
                 scene,
                 gltf,
@@ -186,6 +204,7 @@ def _load_materials(
                 client,
                 cache,
                 dummy,
+                defer=defer,
             )
 
         settings = MaterialSettings(
@@ -200,12 +219,21 @@ def _load_materials(
             flags=flags,
             alpha_cutoff=mat.get("alphaCutoff", 0.5),
             blend_mode=_ALPHA_MODES.get(mat.get("alphaMode", "OPAQUE"), BLEND_OPAQUE),
-            albedo_tex=tex(pbr.get("baseColorTexture"), True, TEX_DUMMY_WHITE),
-            normal_tex=tex(mat.get("normalTexture"), False, TEX_DUMMY_NORMAL),
-            metallic_roughness_tex=tex(
-                pbr.get("metallicRoughnessTexture"), False, TEX_DUMMY_MR
+            albedo_tex=tex(
+                pbr.get("baseColorTexture"), True, TEX_DUMMY_WHITE, "albedo_tex"
             ),
-            emissive_tex=tex(mat.get("emissiveTexture"), True, TEX_DUMMY_WHITE),
+            normal_tex=tex(
+                mat.get("normalTexture"), False, TEX_DUMMY_NORMAL, "normal_tex"
+            ),
+            metallic_roughness_tex=tex(
+                pbr.get("metallicRoughnessTexture"),
+                False,
+                TEX_DUMMY_MR,
+                "metallic_roughness_tex",
+            ),
+            emissive_tex=tex(
+                mat.get("emissiveTexture"), True, TEX_DUMMY_WHITE, "emissive_tex"
+            ),
         )
         ids.append(scene.add_material(settings))
     return ids
@@ -265,11 +293,16 @@ def load_model(
     client: Optional[FetchClient] = None,
     name: Optional[str] = None,
     animated: bool = False,
+    streamer=None,
 ) -> Model:
-    """Parse + insert a glTF model into the scene; returns the Model."""
+    """Parse + insert a glTF model into the scene; returns the Model.
+
+    With ``streamer`` (a TextureStreamer), external textures load
+    asynchronously: materials start with dummies and hot-swap as decodes
+    land (start_loading_all_material_textures semantics)."""
     gltf = parse_gltf(data, url, client)
     doc = gltf.json
-    material_ids = _load_materials(scene, gltf, url, client)
+    material_ids = _load_materials(scene, gltf, url, client, streamer=streamer)
     node_tree = NodeTree.from_gltf_nodes(doc.get("nodes", ()))
 
     # Nodes that only exist as LOD targets of other nodes.

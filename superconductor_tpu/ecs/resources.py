@@ -37,6 +37,13 @@ class RenderSettings:
 @dataclass
 class HttpClientResource:
     client: FetchClient = field(default_factory=FileClient)
+    streamer: Optional[object] = None  # TextureStreamer
+
+    def __post_init__(self):
+        if self.streamer is None:
+            from ..assets.texture_stream import TextureStreamer
+
+            self.streamer = TextureStreamer(self.client)
 
 
 @dataclass

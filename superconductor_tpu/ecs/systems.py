@@ -81,7 +81,7 @@ def start_loading_models(world: World) -> None:
 def finish_loading_models(world: World) -> None:
     """Swap finished loads into ModelComponent (systems.rs:1112-1123)."""
     scene = world.resource(SceneResource).scene
-    client = world.resource(HttpClientResource).client
+    res = world.resource(HttpClientResource)
     for entity, pending in list(world.components.get(PendingModel, {}).items()):
         if not pending.future.done():
             continue
@@ -89,11 +89,24 @@ def finish_loading_models(world: World) -> None:
         try:
             data, animated, url = pending.future.result()
             model = load_model(
-                scene, data, url=url, client=client, animated=animated
+                scene,
+                data,
+                url=url,
+                client=res.client,
+                animated=animated,
+                streamer=res.streamer,
             )
             world.insert(entity, ModelComponent(model))
         except Exception:
             log.exception("model load failed; entity stays empty")
+
+
+def pump_texture_streams(world: World) -> None:
+    """Apply finished async texture decodes (the MutableBindGroup swap
+    moment, texture_loading.rs:223-240)."""
+    res = world.resource(HttpClientResource)
+    if res.streamer is not None:
+        res.streamer.pump(world.resource(SceneResource).scene)
 
 
 def update_ibl_resources(world: World) -> None:
@@ -288,6 +301,7 @@ class CorePlugin:
 
         app.add_system(Stage.ASSET_LOADING, start_loading_models)
         app.add_system(Stage.ASSET_LOADING, finish_loading_models)
+        app.add_system(Stage.ASSET_LOADING, pump_texture_streams)
         app.add_system(Stage.ASSET_LOADING, update_ibl_resources)
         app.add_system(Stage.ASSET_LOADING, update_lightvol_textures)
         app.add_system(Stage.ASSET_LOADING, add_joints_to_instances)
