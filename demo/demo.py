@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--raster", default="auto")
     ap.add_argument("--particles", action="store_true", help="spawn test particles")
     ap.add_argument("--debug-lines", action="store_true")
+    ap.add_argument(
+        "--ibl",
+        default=None,
+        help="IBL cubemap ktx2 (default: reference noon.ktx2 if present)",
+    )
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -101,6 +106,13 @@ def main():
                 scale=(24.0, 12.0, 12.0),
             )
         )
+
+    # IBL cubemap (NewIblCubemap message, demo/src/lib.rs:114-119).
+    from superconductor_tpu.ecs.resources import NewIblCubemap
+
+    ibl = args.ibl or os.path.join(REF_ASSETS, "cubemaps/noon.ktx2")
+    if os.path.exists(ibl):
+        w.insert_resource(NewIblCubemap(ibl))
 
     model_e = w.spawn(ModelUrl(model_path))
     w.spawn(Instance(sc.Similarity()), InstanceOf(model_e))

@@ -411,3 +411,15 @@ def render_frame_impl(
 
 
 render_frame = partial(jax.jit, static_argnames=("config", "env"))(render_frame_impl)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def frame_capacity_stats(scene: dict, state: FrameState, config: RenderConfig):
+    """(num_triangles, num_bin_pairs) the frame would need — compare with
+    t_cap/p_cap via utils.profiler.frame_capacity_report. Run once per
+    scene/camera change, not per frame (capacities are static under jit,
+    so overflow would silently drop triangles)."""
+    u = state.uniforms
+    tri, _attrs = _merged_geometry(scene, state, u["view_proj"][0], config)
+    bins = bin_triangles(tri, config.width, config.height, 1)
+    return tri.num_valid, bins.num_pairs

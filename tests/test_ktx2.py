@@ -97,3 +97,33 @@ def test_lightvol_lit_render():
     img = np.asarray(render_frame(scene.device_arrays(), state, config, env))[0]
     center = img[32, 32, :3]
     assert center.sum() > 30  # sphere is lit by the volume
+
+
+def test_ibl_cubemap_end_to_end():
+    """noon.ktx2 (BC6H) -> skybox render: the sky gradient must appear."""
+    from superconductor_tpu import (
+        Camera,
+        EnvBindings,
+        RenderConfig,
+        Scene,
+        make_uniforms,
+        render_frame,
+    )
+    from superconductor_tpu.assets.environment import load_ibl_cubemap
+    from superconductor_tpu.render.draws import build_frame_state
+
+    data = _read("/root/reference/demo/web/assets/cubemaps/noon.ktx2")
+    scene = Scene()
+    base = load_ibl_cubemap(scene, data)
+    env = EnvBindings.from_scene(scene)
+    assert env.ibl_cubemap_base == base
+
+    camera = Camera(position=np.zeros(3, np.float32))
+    uniforms = make_uniforms(camera, 96, 64)
+    state = build_frame_state(scene, [], uniforms)
+    config = RenderConfig(width=96, height=64, t_cap=8, t_cap_anim=8, raster="ref")
+    img = np.asarray(render_frame(scene.device_arrays(), state, config, env))[0]
+    # A sky cubemap: top of frame bluish-bright, overall non-trivial variance
+    top = img[:8, :, :3].astype(int)
+    assert top.mean() > 60
+    assert img[..., :3].std() > 5

@@ -114,3 +114,21 @@ def test_depth_ordering(box_glb):
     assert edge[0] == 255 and edge[1] < 140  # red big box behind
     # Outside both boxes: background.
     assert img[48, 10, 0] < 60
+
+
+def test_frame_capacity_stats(box_glb):
+    import jax.numpy as jnp
+
+    from superconductor_tpu.render.frame import frame_capacity_stats
+    from superconductor_tpu.utils.profiler import frame_capacity_report
+
+    scene = Scene()
+    model = load_model(scene, box_glb, name="box")
+    camera = Camera(position=np.array([0, 0, 2.0], np.float32))
+    uniforms = make_uniforms(camera, 64, 64)
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    config = RenderConfig(width=64, height=64, t_cap=8, t_cap_anim=8)
+    ntri, npairs = frame_capacity_stats(scene.device_arrays(), state, config)
+    # 12 triangles > t_cap 8: the report must flag it
+    warnings = frame_capacity_report(state, int(ntri), int(npairs), config)
+    assert warnings and "t_cap" in warnings[0]
