@@ -61,7 +61,10 @@ def main():
     model_path = args.model
     if model_path is None:
         candidate = os.path.join(REF_ASSETS, "models/Sponza/glTF/Sponza.gltf")
-        if os.path.exists(candidate):
+        # the reference checkout ships Sponza.gltf without its .bin
+        if os.path.exists(candidate) and os.path.exists(
+            os.path.join(os.path.dirname(candidate), "Sponza.bin")
+        ):
             model_path = candidate
         else:
             candidate = os.path.join(REF_ASSETS, "models/sponza_cubes.glb")
@@ -117,8 +120,31 @@ def main():
     model_e = w.spawn(ModelUrl(model_path))
     w.spawn(Instance(sc.Similarity()), InstanceOf(model_e))
 
-    if args.particles:
-        pb = w.resource(ParticleBuffer)
+    # Per-frame pushes must happen AFTER BufferResetting clears; register
+    # a system in the InstanceBuffering stage (like the reference's debug
+    # systems, src/systems/debugging.rs).
+    from superconductor_tpu.ecs.app import Stage
+
+    frame_no = {"n": 0}
+
+    def push_debug_content(world):
+        n = frame_no["n"]
+        if args.particles:
+            pb = world.resource(ParticleBuffer)
+            for k in range(8):
+                pb.push(
+                    center=[1.5 * np.cos(0.8 * k), 1.0 + 0.25 * k, 1.5 * np.sin(0.8 * k)],
+                    scale=[1.2, 1.2],
+                    colour=[0.85, 0.85, 0.9],
+                    emissive_colour=[0.4, 0.25, 0.1],
+                )
+        if args.debug_lines:
+            lb = world.resource(LineBuffer)
+            for g in range(-5, 6):
+                lb.push([g, 0.02, -5], [g, 0.02, 5], 7)
+                lb.push([-5, 0.02, g], [5, 0.02, g], 11)
+
+    app.add_system(Stage.INSTANCE_BUFFERING, push_debug_content)
 
     os.makedirs(args.out, exist_ok=True)
     import imageio.v3 as iio
@@ -135,18 +161,7 @@ def main():
         cam_res.camera.position = eye
         cam_res.camera.rotation = mat3_to_quat(mat4_inverse(view)[:3, :3])
 
-        if args.particles:
-            pb.push(
-                center=[0.0, 2.0 + 0.2 * n, 0.0],
-                scale=[2.0, 2.0],
-                colour=[0.8, 0.8, 0.8],
-                emissive_colour=[0.5, 0.3, 0.1],
-            )
-        if args.debug_lines:
-            lb = w.resource(LineBuffer)
-            lb.push([-5, 0.02, 0], [5, 0.02, 0], 11)
-            lb.push([0, 0.02, -5], [0, 0.02, 5], 7)
-
+        frame_no["n"] = n
         t0 = time.time()
         app.update()
         out = w.resource(FrameOutput)
