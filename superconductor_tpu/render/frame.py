@@ -390,6 +390,17 @@ def render_view(
             la = jnp.where(g.valid, la, 0.0)
             rgb = lrgb * la[..., None] + rgb * (1.0 - la[..., None])
 
+    # Non-inline path: the reference renders linear HDR to an intermediate
+    # buffer and tonemaps in a composite pass (tonemap shader,
+    # lib.rs:645-669, which converts everything — unlit included). The
+    # deferred equivalent is one tonemap over the finished band.
+    from ..ops.tonemap import aces_filmic, linear_to_srgb_approx
+
+    if not config.inline_tonemapping:
+        rgb = aces_filmic(rgb)
+    if not config.inline_srgb:
+        rgb = linear_to_srgb_approx(rgb)
+
     img = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1).reshape(
         band_height, config.width, 4
     )

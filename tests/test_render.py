@@ -132,3 +132,59 @@ def test_frame_capacity_stats(box_glb):
     # 12 triangles > t_cap 8: the report must flag it
     warnings = frame_capacity_report(state, int(ntri), int(npairs), config)
     assert warnings and "t_cap" in warnings[0]
+
+
+def test_non_inline_tonemap_matches_inline_for_lit(box_glb):
+    """inline vs deferred tonemapping agree for lit geometry (the unlit
+    reference materials differ by design: the composite pass tonemaps them
+    while the inline path does not)."""
+    from superconductor_tpu.scene.scene import MaterialSettings
+
+    scene = Scene()
+    model = load_model(scene, box_glb, name="box")
+    # make the material LIT (strip the unlit flag)
+    scene.materials[model.primitives[0].material].flags = 0
+    scene._materials_dirty = True
+    camera = Camera(position=np.array([0, 0, 2.0], np.float32))
+    uniforms = make_uniforms(camera, 48, 48)
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    from superconductor_tpu.utils.procgen import default_ambient_sh
+
+    env = EnvBindings(ambient_sh=default_ambient_sh())
+    imgs = {}
+    for inline in (True, False):
+        config = RenderConfig(
+            width=48, height=48, t_cap=32, t_cap_anim=8, raster="ref",
+            inline_tonemapping=inline, inline_srgb=inline,
+        )
+        imgs[inline] = np.asarray(
+            render_frame(scene.device_arrays(), state, config, env)
+        )[0].astype(int)
+    diff = np.abs(imgs[True] - imgs[False])
+    assert diff.max() <= 1  # rounding only
+
+
+def test_texture_gallery_renders():
+    import os
+
+    import pytest
+
+    from superconductor_tpu.utils.gallery import SPONZA_TEX_DIR, build_gallery
+
+    if not os.path.isdir(SPONZA_TEX_DIR):
+        pytest.skip("reference assets unavailable")
+    scene = Scene()
+    model = build_gallery(scene, tex_limit=4)
+    assert len(model.primitives) == 4
+    camera = Camera(position=np.array([0, 1.0, 0], np.float32))
+    from superconductor_tpu.math3d import look_at, mat3_to_quat, mat4_inverse
+
+    v = look_at(camera.position, [6, 1, 0])
+    camera.rotation = mat3_to_quat(mat4_inverse(v)[:3, :3])
+    uniforms = make_uniforms(camera, 64, 64)
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    config = RenderConfig(width=64, height=64, t_cap=256, t_cap_anim=8, raster="ref")
+    img = np.asarray(
+        render_frame(scene.device_arrays(), state, config, EnvBindings())
+    )[0]
+    assert img[..., :3].std() > 3  # textured boxes visible
