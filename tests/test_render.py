@@ -176,15 +176,17 @@ def test_texture_gallery_renders():
     scene = Scene()
     model = build_gallery(scene, tex_limit=4)
     assert len(model.primitives) == 4
-    camera = Camera(position=np.array([0, 1.0, 0], np.float32))
+    # box 0 sits at (6, 0, 0); park the camera right in front of it
+    camera = Camera(position=np.array([4.2, 0.2, 0], np.float32))
     from superconductor_tpu.math3d import look_at, mat3_to_quat, mat4_inverse
 
-    v = look_at(camera.position, [6, 1, 0])
+    v = look_at(camera.position, [6, 0, 0])
     camera.rotation = mat3_to_quat(mat4_inverse(v)[:3, :3])
     uniforms = make_uniforms(camera, 64, 64)
     state = build_frame_state(scene, [(model, Similarity())], uniforms)
     config = RenderConfig(width=64, height=64, t_cap=256, t_cap_anim=8, raster="ref")
-    img = np.asarray(
-        render_frame(scene.device_arrays(), state, config, EnvBindings())
-    )[0]
+    from superconductor_tpu.utils.procgen import default_ambient_sh
+
+    env = EnvBindings(ambient_sh=default_ambient_sh())
+    img = np.asarray(render_frame(scene.device_arrays(), state, config, env))[0]
     assert img[..., :3].std() > 3  # textured boxes visible
