@@ -34,6 +34,7 @@ from .geometry import TriangleAttrs, TriangleSetup
 from .texture import (
     mip_level_from_derivatives,
     sample_3d_from_layers,
+    sample_anisotropic,
     sample_bilinear_level,
     sample_trilinear,
 )
@@ -301,6 +302,7 @@ def shade(
     env=None,
     inline_tonemapping: bool = True,
     inline_srgb: bool = True,
+    aniso_taps: int = 1,
 ):
     """Returns (rgb (P,3) display-encoded, alpha (P,)).
 
@@ -326,9 +328,9 @@ def shade(
     )
     lod = jnp.maximum(lod, 0.0)
 
-    albedo = sample_trilinear(texels, tex, alb, gbuf.uv, lod) * m[
-        "base_color_factor"
-    ][mat]
+    albedo = sample_anisotropic(
+        texels, tex, alb, gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps
+    ) * m["base_color_factor"][mat]
     mr = sample_trilinear(texels, tex, m["mr_tex"][mat], gbuf.uv, lod)
     emissive_tex = sample_trilinear(texels, tex, m["emissive_tex"][mat], gbuf.uv, lod)
     normal_tex = sample_trilinear(texels, tex, m["normal_tex"][mat], gbuf.uv, lod)
@@ -410,7 +412,7 @@ def albedo_alpha(gbuf: GBuffer, scene: dict):
         ),
         0.0,
     )
-    albedo = sample_trilinear(texels, tex, alb, gbuf.uv, lod) * m[
-        "base_color_factor"
-    ][mat]
+    albedo = sample_anisotropic(
+        texels, tex, alb, gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps
+    ) * m["base_color_factor"][mat]
     return albedo[..., 3]

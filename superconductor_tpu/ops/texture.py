@@ -164,3 +164,37 @@ def sample_3d_from_layers(
     b = sample_bilinear_level(texels_hdr, tex_desc, tex_id, xy, zi1, decode_srgb=False)
     # Match the reference exactly: out-of-range layers clamp; weights lerp.
     return a * (1 - fz) + b * fz
+
+
+def sample_anisotropic(
+    texels, tex_desc, tex_id, uv, duvdx, duvdy, taps: int, decode_srgb=True
+):
+    """Anisotropic approximation: average `taps` trilinear samples along the
+    major-axis uv derivative, lod chosen from the minor axis (clamped by the
+    tap count) — the software stand-in for the reference's sampler
+    anisotropy_clamp (texture_loading.rs:140-158). taps=1 degrades to plain
+    trilinear with isotropic (major-axis) lod.
+    """
+    base = tex_desc["tex_mip_base"][tex_id]
+    w = tex_desc["mip_w"][base].astype(jnp.float32)
+    h = tex_desc["mip_h"][base].astype(jnp.float32)
+    dx2 = (duvdx[..., 0] * w) ** 2 + (duvdx[..., 1] * h) ** 2
+    dy2 = (duvdy[..., 0] * w) ** 2 + (duvdy[..., 1] * h) ** 2
+    if taps <= 1:
+        lod = jnp.maximum(0.5 * jnp.log2(jnp.maximum(jnp.maximum(dx2, dy2), 1e-12)), 0.0)
+        return sample_trilinear(texels, tex_desc, tex_id, uv, lod, decode_srgb)
+    major_is_x = dx2 >= dy2
+    rho_maj2 = jnp.maximum(dx2, dy2)
+    rho_min2 = jnp.minimum(dx2, dy2)
+    # effective anisotropy ratio clamped by the tap budget
+    ratio2 = jnp.clip(rho_maj2 / jnp.maximum(rho_min2, 1e-12), 1.0, float(taps) ** 2)
+    lod = jnp.maximum(0.5 * jnp.log2(jnp.maximum(rho_maj2 / ratio2, 1e-12)), 0.0)
+    major = jnp.where(major_is_x[..., None], duvdx, duvdy)
+    out = None
+    for i in range(taps):
+        t = (i + 0.5) / taps - 0.5
+        s = sample_trilinear(
+            texels, tex_desc, tex_id, uv + major * t, lod, decode_srgb
+        )
+        out = s if out is None else out + s
+    return out / taps

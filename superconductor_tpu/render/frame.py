@@ -54,6 +54,7 @@ class RenderConfig:
     enable_lines: bool = False
     enable_particles: bool = False
     line_width_px: float = 1.5
+    aniso_taps: int = 1  # albedo anisotropic filtering (1 = trilinear)
 
     def resolve_raster(self) -> str:
         if self.raster != "auto":
@@ -274,6 +275,7 @@ def render_view(
         env=env,
         inline_tonemapping=config.inline_tonemapping,
         inline_srgb=config.inline_srgb,
+        aniso_taps=config.aniso_taps,
     )
     hit = gbuf.valid
 

@@ -73,3 +73,20 @@ def test_bc6h_cubemap_decodes():
     down = faces[0][..., :3].reshape(128, 2, 128, 2, 3).mean((1, 3))
     corr = np.corrcoef(down.ravel(), m1.ravel())[0, 1]
     assert corr > 0.95
+
+
+@pytest.mark.skipif(not _gl_available(), reason="EGL/Mesa unavailable")
+def test_bc6h_signed_matches_oracle():
+    lib = _lib()
+    if lib is None:
+        pytest.skip("scnative not built")
+    from superconductor_tpu.native.bc6h import decode_bc6h
+    from superconductor_tpu.native.gldecode import decode_bc6h_gl
+
+    rng = np.random.default_rng(777)
+    for _ in range(200):
+        block = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+        np.testing.assert_array_equal(
+            decode_bc6h(block, 4, 4, signed=True),
+            decode_bc6h_gl(block, 4, 4, signed=True),
+        )

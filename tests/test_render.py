@@ -190,3 +190,40 @@ def test_texture_gallery_renders():
     env = EnvBindings(ambient_sh=default_ambient_sh())
     img = np.asarray(render_frame(scene.device_arrays(), state, config, env))[0]
     assert img[..., :3].std() > 3  # textured boxes visible
+
+
+def test_double_sided_backface_renders_and_flips_normal():
+    """A single-sided quad vanishes from behind; a double-sided one renders
+    with the normal flipped toward the viewer (glTF spec behavior,
+    calculate_normal's front_facing flip)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_blend import make_quad_model
+
+    from superconductor_tpu.scene.scene import MAT_DOUBLE_SIDED, MaterialSettings
+    from superconductor_tpu.utils.procgen import default_ambient_sh
+
+    for double_sided, expect_visible in ((False, False), (True, True)):
+        scene = Scene()
+        flags = MAT_DOUBLE_SIDED if double_sided else 0
+        mat = scene.add_material(
+            MaterialSettings(
+                base_color_factor=(1, 0, 0, 1), metallic_factor=0.0, flags=flags
+            )
+        )
+        model = make_quad_model(scene, mat)
+        # camera BEHIND the quad (quad faces +z, camera at -z)
+        camera = Camera(position=np.array([0, 0, -1.5], np.float32))
+        from superconductor_tpu.math3d import quat_from_axis_angle
+
+        camera.rotation = quat_from_axis_angle([0, 1, 0], np.pi)
+        uniforms = make_uniforms(camera, 48, 48)
+        state = build_frame_state(scene, [(model, Similarity())], uniforms)
+        config = RenderConfig(width=48, height=48, t_cap=16, t_cap_anim=8, raster="ref")
+        env = EnvBindings(ambient_sh=default_ambient_sh())
+        img = np.asarray(render_frame(scene.device_arrays(), state, config, env))[0]
+        # sample off the quad's diagonal (exact e=0 knife-edge pixels can
+        # round out under different fma orderings; see docs/KERNELS.md)
+        visible = img[24, 18, 0] > 30
+        assert visible == expect_visible, (double_sided, img[24, 18])
