@@ -12,7 +12,7 @@ Mirrors the reference's resource-update systems:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

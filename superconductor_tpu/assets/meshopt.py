@@ -24,9 +24,6 @@ first (its corner cases are the subtlest).
 
 from __future__ import annotations
 
-import struct
-from typing import Optional
-
 import numpy as np
 
 VERTEX_HEADER = 0xA0
@@ -104,7 +101,6 @@ def decode_vertex_buffer(data: bytes, count: int, stride: int) -> np.ndarray:
     version = data[0] & 0x0F
     if version != 0:
         raise ValueError(f"unsupported vertex codec version {version}")
-    tail_size = max(stride, 32)
     last = np.frombuffer(data[len(data) - stride :], np.uint8).astype(np.int32).copy()
     out = np.zeros((count, stride), np.uint8)
     pos = 1

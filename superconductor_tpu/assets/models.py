@@ -438,3 +438,52 @@ def _load_animation_data(model: Model, gltf: Gltf) -> None:
 
 def new_animation_joints(model: Model) -> AnimationJoints:
     return AnimationJoints(model.initial_local_transforms)
+
+
+def unload_model(scene: Scene, model: Model) -> None:
+    """Free the model's vertex/index mega-buffer ranges (the drop-side of
+    AllocatedBuffer in the reference, buffers.rs:211-231). Safe to call once;
+    the model's primitives become invalid afterwards."""
+    for prim in model.primitives:
+        for lod in prim.lods:
+            count = lod.index_count
+            first = lod.first_index
+            if prim.animated:
+                scene.anim_indices.remove(first, count)
+            else:
+                scene.indices.remove(first, count)
+    # Vertex ranges: the loader allocates one contiguous range per lod
+    # insert; recover them from the index contents before zeroing.
+    # (Index values point at mega-buffer vertex rows.)
+    for prim in model.primitives:
+        for lod in prim.lods:
+            buf = scene.anim_indices if prim.animated else scene.indices
+            lo = int(buf.host[lod.first_index : lod.first_index + lod.index_count].min(initial=0))
+            hi = int(buf.host[lod.first_index : lod.first_index + lod.index_count].max(initial=0))
+            n = hi - lo + 1 if lod.index_count else 0
+            if n <= 0:
+                continue
+            if prim.animated:
+                for arr in (
+                    scene.anim_positions,
+                    scene.anim_normals,
+                    scene.anim_uvs,
+                    scene.anim_joint_indices,
+                    scene.anim_joint_weights,
+                ):
+                    arr.remove(lo, n)
+            else:
+                for arr in (
+                    scene.positions,
+                    scene.normals,
+                    scene.uvs,
+                    scene.lightmap_uvs,
+                ):
+                    arr.remove(lo, n)
+            # zero the freed index range so stale triangles can't render
+            buf.array.write(
+                lod.first_index, np.zeros(lod.index_count, np.uint32)
+            )
+    for name, m in list(scene.models.items()):
+        if m is model:
+            del scene.models[name]

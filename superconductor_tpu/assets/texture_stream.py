@@ -21,9 +21,8 @@ import io
 import logging
 import struct
 import threading
-from concurrent.futures import Future
 from dataclasses import dataclass
-from typing import Callable, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

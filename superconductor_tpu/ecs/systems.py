@@ -16,8 +16,6 @@ Stage layout (XrPlugin::build, src/lib.rs:84-171):
 from __future__ import annotations
 
 import logging
-from typing import List, Optional
-
 import numpy as np
 
 from ..assets.models import load_model, new_animation_joints

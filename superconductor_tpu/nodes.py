@@ -10,7 +10,7 @@ hierarchies can be flattened in one pass per frame.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

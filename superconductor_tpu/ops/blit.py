@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .tonemap import linear_to_srgb_exact, srgb_to_linear_exact
+from .tonemap import linear_to_srgb_exact
 
 
 def blit(image: jax.Array, out_h: int, out_w: int) -> jax.Array:

@@ -19,9 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..math3d import quat_rotate
 from .geometry import TriangleSetup, _setup_from_clip
-from .shade import _normalize, compute_cotangent_frame_normal, sh_channel_vectors
+from .shade import _normalize, sh_channel_vectors
 from .texture import sample_bilinear_level
 from .tonemap import aces_filmic, linear_to_srgb_approx
 

@@ -25,7 +25,7 @@ Lighting model (identical math to the reference):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -392,7 +392,7 @@ def shade(
     return rgb, alpha
 
 
-def albedo_alpha(gbuf: GBuffer, scene: dict):
+def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
     """Alpha channel of the albedo sample (for the alpha-clip test), using
     the same trilinear lod as full shading — matches sampling all textures
     before the discard in fragment_alpha_clipped (lib.rs:405-407)."""

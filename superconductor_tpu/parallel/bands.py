@@ -23,12 +23,9 @@ replicated-weights training the default.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.tonemap import to_u8
 from ..render.env import EnvBindings

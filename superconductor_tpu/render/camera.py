@@ -18,8 +18,6 @@ from ..math3d import (
     mat4_inverse,
     perspective_reversed_z_infinite,
     perspective_z01,
-    quat_conj,
-    quat_to_mat3,
     view_from_camera,
 )
 

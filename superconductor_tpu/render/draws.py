@@ -15,13 +15,9 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..math3d import Similarity
-from ..scene.scene import Model, Primitive, Scene
+from ..scene.scene import Model, Scene
 from .camera import Uniforms
-from .culling import (
-    BoundingSphereParams,
-    sphere_culling_params,
-    test_bounding_spheres,
-)
+from .culling import BoundingSphereParams, test_bounding_spheres
 from .frame import FrameState
 from .lod import select_lod
 

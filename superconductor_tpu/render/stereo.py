@@ -10,11 +10,9 @@ own a device group (parallel/bands.py).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
-from ..math3d import mat4_inverse, perspective_reversed_z_infinite, view_from_camera
+from ..math3d import perspective_reversed_z_infinite, view_from_camera
 from .camera import Camera, Uniforms, make_stereo_uniforms
 
 

@@ -56,3 +56,19 @@ def test_growable_and_range_alloc():
     assert arr.capacity >= 8
     np.testing.assert_array_equal(arr.host[s1 : s1 + 3], 1.0)
     np.testing.assert_array_equal(arr.host[s2 : s2 + 5], 2.0)
+
+
+def test_unload_model_frees_ranges(box_glb):
+    from superconductor_tpu.assets.models import unload_model
+
+    scene = Scene()
+    m1 = load_model(scene, box_glb, name="a")
+    used_after_one = scene.positions.alloc.used()
+    m2 = load_model(scene, box_glb, name="b")
+    assert scene.positions.alloc.used() == 2 * used_after_one
+    unload_model(scene, m1)
+    assert scene.positions.alloc.used() == used_after_one
+    assert "a" not in scene.models and "b" in scene.models
+    # freed space is reused by the next load
+    m3 = load_model(scene, box_glb, name="c")
+    assert scene.positions.alloc.used() == 2 * used_after_one
