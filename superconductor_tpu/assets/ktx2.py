@@ -30,6 +30,8 @@ VK_FORMAT_R32G32B32A32_SFLOAT = 109
 VK_FORMAT_BC6H_UFLOAT = 143
 VK_FORMAT_BC7_UNORM = 145
 VK_FORMAT_BC7_SRGB = 146
+VK_FORMAT_ASTC_4x4_UNORM = 157
+VK_FORMAT_ASTC_4x4_SRGB = 158
 VK_FORMAT_UNDEFINED = 0  # Basis Universal (UASTC / ETC1S)
 
 SUPERCOMPRESSION_NONE = 0
@@ -153,6 +155,21 @@ def _decode_image_payload(
                 rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
             )
         return arr
+    if fmt in (VK_FORMAT_ASTC_4x4_UNORM, VK_FORMAT_ASTC_4x4_SRGB):
+        # ASTC LDR via the Mesa GL decoder (the reference transcodes to
+        # ASTC for mobile-class GPUs; llvmpipe decodes it for us). sRGB
+        # decode handled by the sRGB internal format.
+        from ..native.gldecode import decode_astc4x4_gl
+
+        arr = decode_astc4x4_gl(
+            payload, w, h, srgb=(fmt == VK_FORMAT_ASTC_4x4_SRGB)
+        ).astype(np.float32) / 255.0
+        if fmt == VK_FORMAT_ASTC_4x4_SRGB:
+            rgb = arr[..., :3]
+            arr[..., :3] = np.where(
+                rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
+            )
+        return arr
     raise NotImplementedError(f"vkFormat {fmt}")
 
 
@@ -164,7 +181,13 @@ def _image_size_bytes(ktx: Ktx2, w: int, h: int) -> int:
         return w * h * 8
     if fmt == VK_FORMAT_R32G32B32A32_SFLOAT:
         return w * h * 16
-    if fmt in (VK_FORMAT_BC6H_UFLOAT, VK_FORMAT_BC7_UNORM, VK_FORMAT_BC7_SRGB):
+    if fmt in (
+        VK_FORMAT_BC6H_UFLOAT,
+        VK_FORMAT_BC7_UNORM,
+        VK_FORMAT_BC7_SRGB,
+        VK_FORMAT_ASTC_4x4_UNORM,
+        VK_FORMAT_ASTC_4x4_SRGB,
+    ):
         return ((w + 3) // 4) * ((h + 3) // 4) * 16
     raise NotImplementedError(f"vkFormat {fmt}")
 

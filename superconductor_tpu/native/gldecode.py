@@ -117,3 +117,13 @@ def decode_bc6h_gl(payload: bytes, width: int, height: int, signed=False) -> np.
     return np.concatenate(
         [rgb, np.ones((height, width, 1), np.float32)], axis=-1
     )
+
+
+GL_COMPRESSED_RGBA_ASTC_4x4 = 0x93B0
+GL_COMPRESSED_SRGB8_ALPHA8_ASTC_4x4 = 0x93D0
+
+
+def decode_astc4x4_gl(payload: bytes, width: int, height: int, srgb=False) -> np.ndarray:
+    """(h, w, 4) uint8 — ASTC 4x4 LDR via GL_KHR_texture_compression_astc_ldr."""
+    fmt = GL_COMPRESSED_SRGB8_ALPHA8_ASTC_4x4 if srgb else GL_COMPRESSED_RGBA_ASTC_4x4
+    return _decode(payload, width, height, fmt, GL_RGBA, GL_UNSIGNED_BYTE, 4, np.uint8)

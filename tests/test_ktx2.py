@@ -127,3 +127,25 @@ def test_ibl_cubemap_end_to_end():
     top = img[:8, :, :3].astype(int)
     assert top.mean() > 60
     assert img[..., :3].std() > 5
+
+
+def test_astc_lightvol_matches_uncompressed():
+    """ASTC 4x4 decode (Mesa GL path) vs the uncompressed ground truth."""
+    path = "/root/reference/demo/web/assets/lighting/astc/lightvol_x.ktx2"
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("reference assets unavailable")
+    try:
+        astc = np.stack(
+            decode_level_images(parse_ktx2(_read(path)), 0)
+        )[..., :3]
+    except Exception:
+        pytest.skip("GL ASTC decode unavailable")
+    un = np.stack(
+        decode_level_images(
+            parse_ktx2(_read(f"{LIGHTING}/lightvol_x.ktx2")), 0
+        )
+    )[..., :3]
+    corr = np.corrcoef(astc.ravel(), un.ravel())[0, 1]
+    assert corr > 0.99
