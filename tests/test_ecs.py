@@ -104,3 +104,33 @@ def test_ecs_bad_url_degrades(box_glb):
     assert w.get(bad_e, ModelComponent) is None
     img = np.asarray(w.resource(FrameOutput).image)
     assert img is not None
+
+
+def test_debug_line_systems(skinned_glb, box_glb):
+    from superconductor_tpu.ecs.app import Stage
+    from superconductor_tpu.ecs.debugging import (
+        push_bounding_boxes_to_lines,
+        push_joints_to_lines,
+    )
+    from superconductor_tpu.ecs.resources import LineBuffer
+
+    app = _make_app(
+        {"ribbon.glb": skinned_glb, "box.glb": box_glb},
+        enable_lines=True,
+    )
+    app.add_system(Stage.INSTANCE_BUFFERING, push_joints_to_lines)
+    app.add_system(Stage.INSTANCE_BUFFERING, push_bounding_boxes_to_lines)
+    w = app.world
+    w.resource(CameraResource).camera.position = np.array([0, 1, 4], np.float32)
+    skinned_e = w.spawn(AnimatedModelUrl("ribbon.glb"))
+    box_e = w.spawn(ModelUrl("box.glb"))
+    w.spawn(Instance(Similarity()), InstanceOf(skinned_e))
+    w.spawn(Instance(Similarity(translation=[2, 0, 0])), InstanceOf(box_e))
+    assert _wait_loaded(app, skinned_e)
+    assert _wait_loaded(app, box_e)
+    app.update()
+    # skeleton: 2 bone links; bboxes: 12 edges per primitive x 2 models
+    lines = w.resource(LineBuffer)
+    assert len(lines.segments) == 2 + 12 * 2
+    img = np.asarray(w.resource(FrameOutput).image)
+    assert img is not None
