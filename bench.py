@@ -27,6 +27,10 @@ import numpy as np
 def main():
     import jax
 
+    from superconductor_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import superconductor_tpu as sc
     from superconductor_tpu.render.draws import build_frame_state

@@ -44,6 +44,9 @@ def main():
     )
 
     import superconductor_tpu as sc
+    from superconductor_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from superconductor_tpu.ecs.app import App
     from superconductor_tpu.ecs.components import Instance, InstanceOf, ModelUrl
     from superconductor_tpu.ecs.resources import (

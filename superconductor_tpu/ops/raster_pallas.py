@@ -54,23 +54,19 @@ def _raster_kernel(
     tile_start_ref,  # (ntiles,) SMEM
     tile_count_ref,  # (ntiles,) SMEM
     y_off_ref,  # (1,) SMEM — global pixel row of this band's first row
-    depth_in,
-    pair_in,
-    b0_in,
-    b1_in,
-    setup_hbm,  # (R, 128) HBM — packed setup rows
-    depth_out,
-    pair_out,
-    b0_out,
-    b1_out,
-    setup_smem,  # (2, ROWS_PER_CHUNK + 1, 128) SMEM scratch
-    dma_sem,
-    *,
+    *refs,  # [depth_in, pair_in, b0_in, b1_in,] setup_hbm, outs, scratch
     tile_h: int,
     tile_w: int,
     ntx: int,
     reverse_z: bool,
+    has_init: bool,
 ):
+    if has_init:
+        (depth_in, pair_in, b0_in, b1_in, setup_hbm,
+         depth_out, pair_out, b0_out, b1_out, setup_smem, dma_sem) = refs
+    else:
+        (setup_hbm, depth_out, pair_out, b0_out, b1_out,
+         setup_smem, dma_sem) = refs
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * ntx + tx
@@ -88,10 +84,17 @@ def _raster_kernel(
     px = col + (tx * tile_w).astype(jnp.float32) + 0.5
     py = row + (ty * tile_h + y_off_ref[0]).astype(jnp.float32) + 0.5
 
-    depth = depth_in[:, :]
-    pair = pair_in[:, :]
-    b0 = b0_in[:, :]
-    b1 = b1_in[:, :]
+    if has_init:
+        depth = depth_in[:, :]
+        pair = pair_in[:, :]
+        b0 = b0_in[:, :]
+        b1 = b1_in[:, :]
+    else:
+        far = 0.0 if reverse_z else 1.0
+        depth = jnp.full((tile_h, tile_w), far, jnp.float32)
+        pair = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        b0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+        b1 = jnp.zeros((tile_h, tile_w), jnp.float32)
 
     num_chunks = pl.cdiv(count, CHUNK)
 
@@ -187,13 +190,18 @@ def rasterize_pallas_sorted(
     pad_h = nty * tile_h
     pad_w = ntx * tile_w
 
-    if init is None:
-        far = 0.0 if reverse_z else 1.0
-        depth0 = jnp.full((pad_h, pad_w), far, jnp.float32)
-        pair0 = jnp.full((pad_h, pad_w), -1, jnp.int32)
-        b00 = jnp.zeros((pad_h, pad_w), jnp.float32)
-        b10 = jnp.zeros((pad_h, pad_w), jnp.float32)
-    else:
+    has_init = init is not None
+    inputs = [
+        tile_start.astype(jnp.int32),
+        tile_count.astype(jnp.int32),
+        jnp.asarray(y_offset, jnp.int32).reshape(1),
+    ]
+    blocked = pl.BlockSpec(
+        (tile_h, tile_w), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM
+    )
+    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem_full, smem_full, smem_full]
+    if has_init:
 
         def padto(a, fill):
             return jnp.pad(
@@ -202,12 +210,17 @@ def rasterize_pallas_sorted(
                 constant_values=fill,
             )
 
-        depth0 = padto(init.depth, 0.0 if reverse_z else 1.0)
-        pair0 = padto(init.pair, -1)
-        b00 = padto(init.b0, 0.0)
-        b10 = padto(init.b1, 0.0)
+        inputs += [
+            padto(init.depth, 0.0 if reverse_z else 1.0),
+            padto(init.pair, -1),
+            padto(init.b0, 0.0),
+            padto(init.b1, 0.0),
+        ]
+        in_specs += [blocked, blocked, blocked, blocked]
 
     packed = pack_setup_rows(sorted_setup)
+    inputs.append(packed)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
 
     kernel = functools.partial(
         _raster_kernel,
@@ -215,26 +228,13 @@ def rasterize_pallas_sorted(
         tile_w=tile_w,
         ntx=ntx,
         reverse_z=reverse_z,
+        has_init=has_init,
     )
-
-    blocked = pl.BlockSpec(
-        (tile_h, tile_w), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM
-    )
-    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     depth, pair, b0, b1 = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
-        in_specs=[
-            smem_full,  # tile_start
-            smem_full,  # tile_count
-            smem_full,  # y_offset
-            blocked,  # depth_in
-            blocked,  # pair_in
-            blocked,  # b0_in
-            blocked,  # b1_in
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # packed setup
-        ],
+        in_specs=in_specs,
         out_specs=(blocked, blocked, blocked, blocked),
         out_shape=(
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
@@ -247,16 +247,7 @@ def rasterize_pallas_sorted(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(
-        tile_start.astype(jnp.int32),
-        tile_count.astype(jnp.int32),
-        jnp.asarray(y_offset, jnp.int32).reshape(1),
-        depth0,
-        pair0,
-        b00,
-        b10,
-        packed,
-    )
+    )(*inputs)
     return VisibilityBuffer(
         depth=depth[:height, :width],
         pair=pair[:height, :width],
