@@ -55,6 +55,10 @@ class RenderConfig:
     enable_particles: bool = False
     line_width_px: float = 1.5
     aniso_taps: int = 1  # albedo anisotropic filtering (1 = trilinear)
+    # Render each view in this many horizontal bands, sequentially (lax.map)
+    # — bounds peak HBM for large resolutions (4K+) at the cost of repeated
+    # geometry work per band. 1 = whole frame at once.
+    row_chunks: int = 1
 
     def resolve_raster(self) -> str:
         if self.raster != "auto":
@@ -416,10 +420,25 @@ def render_frame_impl(
     env: EnvBindings = EnvBindings(),
 ):
     """Unjitted frame body (all views) -> (V, H, W, 4) uint8."""
-    views = [
-        to_u8(render_view(scene, state, v, config, env))
-        for v in range(config.num_views)
-    ]
+    views = []
+    for v in range(config.num_views):
+        if config.row_chunks <= 1:
+            views.append(to_u8(render_view(scene, state, v, config, env)))
+            continue
+        assert config.height % config.row_chunks == 0
+        band_h = config.height // config.row_chunks
+        y0s = jnp.arange(config.row_chunks, dtype=jnp.int32) * band_h
+
+        def band(y0, v=v):
+            return to_u8(
+                render_view(
+                    scene, state, v, config, env,
+                    band_height=band_h, y_offset=y0,
+                )
+            )
+
+        bands = jax.lax.map(band, y0s)  # (chunks, band_h, W, 4)
+        views.append(bands.reshape(config.height, config.width, 4))
     return jnp.stack(views)
 
 

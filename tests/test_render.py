@@ -227,3 +227,53 @@ def test_double_sided_backface_renders_and_flips_normal():
         # round out under different fma orderings; see docs/KERNELS.md)
         visible = img[24, 18, 0] > 30
         assert visible == expect_visible, (double_sided, img[24, 18])
+
+
+def test_khr_texture_transform_tiles_uv():
+    """uv_scale=2 with REPEAT wrap tiles the texture twice across the quad
+    (KHR_texture_transform in the vertex stage + repeat wrap in sampling)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_blend import make_quad_model
+
+    from superconductor_tpu.scene.scene import (
+        MAT_UNLIT,
+        MaterialSettings,
+        TEXFLAG_SRGB,
+    )
+
+    scene = Scene()
+    # 2x1 texture: left black, right white, one mip
+    tex_img = np.zeros((1, 2, 4), np.uint8)
+    tex_img[0, 1] = 255
+    tex_img[..., 3] = 255
+    tex = scene.textures.add_texture([tex_img], flags=TEXFLAG_SRGB)
+
+    for scale, expected_stripes in ((1.0, 2), (2.0, 4)):
+        mat = scene.add_material(
+            MaterialSettings(
+                albedo_tex=tex, flags=MAT_UNLIT, uv_scale=(scale, scale)
+            )
+        )
+        model = make_quad_model(scene, mat)
+        camera = Camera(position=np.array([0, 0, 1.2], np.float32))
+        uniforms = make_uniforms(camera, 64, 64)
+        state = build_frame_state(scene, [(model, Similarity())], uniforms)
+        config = RenderConfig(
+            width=64, height=64, t_cap=64, t_cap_anim=8, raster="ref"
+        )
+        img = np.asarray(
+            render_frame(scene.device_arrays(), state, config, EnvBindings())
+        )[0]
+        row = img[32, :, 0].astype(float)
+        # quad spans ~cols 9..55; trim the wrap-blended edges and compare
+        # stripe means: scale 1 -> [dark, bright]; scale 2 -> [d, b, d, b]
+        quad = row[11:53]
+        stripes = np.array_split(quad, expected_stripes)
+        means = [float(s2.mean()) for s2 in stripes]
+        for k in range(len(means) - 1):
+            if k % 2 == 0:
+                assert means[k] < means[k + 1] - 40, (scale, means)
+            else:
+                assert means[k] > means[k + 1] + 40, (scale, means)
