@@ -347,7 +347,7 @@ def load_model(
                     positions0 = at["positions"]
                 lm = at["lightmap_uvs"]
                 if animated:
-                    first, count = scene.insert_animated_mesh(
+                    first, count, fv, vc = scene.insert_animated_mesh(
                         at["positions"],
                         at["normals"],
                         at["uvs"],
@@ -359,7 +359,7 @@ def load_model(
                         else material_ids[0],
                     )
                 else:
-                    first, count = scene.insert_static_mesh(
+                    first, count, fv, vc = scene.insert_static_mesh(
                         at["positions"],
                         at["normals"],
                         at["uvs"],
@@ -369,7 +369,15 @@ def load_model(
                         if lp.get("material", 0) < len(material_ids)
                         else material_ids[0],
                     )
-                lods.append(PrimitiveLod(first_index=first, index_count=count, lightmapped=lm is not None))
+                lods.append(
+                    PrimitiveLod(
+                        first_index=first,
+                        index_count=count,
+                        lightmapped=lm is not None,
+                        first_vertex=fv,
+                        vertex_count=vc,
+                    )
+                )
 
             radius = float(np.linalg.norm(positions0, axis=1).max()) if len(positions0) else 0.0
             primitives.append(

@@ -48,7 +48,10 @@ class DrawList(NamedTuple):
                         primitive's node transform on host)
     first_tri:  (N,)    first triangle (first_index / 3) in the mega-buffer
     tri_count:  (N,)    number of triangles
+    first_vertex: (N,)  first vertex row of the primitive's range
+    vertex_count: (N,)  vertices in the range (shared-transform stage)
     joints_offset: (N,) base row into the frame's joint palette (animated)
+    material:   (N,)    the draw's material (uv transform per vertex)
     lightmapped: (N,)   bool — primitive has a second UV set
     valid:      (N,)    bool mask (padding rows are False)
     """
@@ -56,7 +59,10 @@ class DrawList(NamedTuple):
     sim8: jax.Array
     first_tri: jax.Array
     tri_count: jax.Array
+    first_vertex: jax.Array
+    vertex_count: jax.Array
     joints_offset: jax.Array
+    material: jax.Array
     lightmapped: jax.Array
     valid: jax.Array
 
@@ -127,6 +133,25 @@ def _uv_transform(uv, offset, scale, rotation):
     return offset + jnp.stack([x, y], axis=-1)
 
 
+def expand_draw_vertices(draws: DrawList, v_cap: int):
+    """Expand a draw list into (draw, vertex) pairs — the shared
+    post-transform vertex stage. Returns (vp_inst, scene_vertex, voffsets,
+    vp_valid, vtotal)."""
+    counts = jnp.where(draws.valid, draws.vertex_count, 0)
+    offsets = jnp.cumsum(counts) - counts
+    total = counts.sum()
+    n = draws.first_vertex.shape[0]
+    vp_inst = jnp.repeat(
+        jnp.arange(n, dtype=jnp.int32), counts, total_repeat_length=v_cap
+    )
+    pos = jnp.arange(v_cap, dtype=jnp.int32)
+    vp_valid = pos < total
+    vp_inst = jnp.where(vp_valid, vp_inst, 0)
+    local = pos - offsets[vp_inst]
+    scene_vertex = jnp.where(vp_valid, draws.first_vertex[vp_inst] + local, 0)
+    return vp_inst, scene_vertex, offsets, vp_valid, total
+
+
 def geometry_pass(
     draws: DrawList,
     indices: jax.Array,
@@ -140,43 +165,71 @@ def geometry_pass(
     width: int,
     height: int,
     t_cap: int,
+    v_cap: Optional[int] = None,
     flip_viewport: bool = False,
     joint_palette: Optional[jax.Array] = None,
     joint_indices: Optional[jax.Array] = None,
     joint_weights: Optional[jax.Array] = None,
     double_sided_from_material: bool = True,
 ):
-    """Full geometry stage for one pass -> (TriangleSetup, TriangleAttrs)."""
-    pair_inst, scene_tri, pair_valid, total = expand_draws(draws, t_cap)
+    """Full geometry stage for one pass -> (TriangleSetup, TriangleAttrs).
 
-    idx3 = indices[scene_tri[:, None] * 3 + jnp.arange(3)[None, :]].astype(jnp.int32)
-    pos = positions[idx3]  # (T, 3, 3) model space
-    nrm = normals[idx3]
-    uv = uvs[idx3]
-    lm = lm_uvs[idx3] if lm_uvs is not None else jnp.zeros_like(uv)
-    mat = tri_material[scene_tri]
+    Two sub-stages, like a GPU's post-transform vertex cache:
+      1. vertex stage — every (draw, vertex) pair is skinned/transformed
+         exactly ONCE (~3-6x fewer transforms than per-corner work, and
+         triangles sharing a vertex read bit-identical clip coords, so
+         shared edges are exactly complementary: no T-junction seams from
+         per-corner rounding);
+      2. triangle stage — gathers the three transformed rows per triangle
+         and runs homogeneous setup.
+    """
+    v_cap = v_cap or t_cap
+
+    # ---- vertex stage ----
+    vp_inst, scene_v, voffsets, vp_valid, vtotal = expand_draw_vertices(
+        draws, v_cap
+    )
+    pos = positions[scene_v]  # (V, 3) model space
+    nrm = normals[scene_v]
+    uv = uvs[scene_v]
+    lm = lm_uvs[scene_v] if lm_uvs is not None else jnp.zeros_like(uv)
 
     if joint_palette is not None:
-        ji = joint_indices[idx3] + draws.joints_offset[pair_inst][:, None, None]
-        jw = joint_weights[idx3]
+        ji = joint_indices[scene_v] + draws.joints_offset[vp_inst][:, None]
+        jw = joint_weights[scene_v]
         pos, nrm = skin_vertices(pos, nrm, ji, jw, joint_palette)
 
-    sim8 = draws.sim8[pair_inst]  # (T, 8)
-    world = similarity_apply(sim8[:, None, :], pos)  # (T, 3, 3)
-    world_nrm = quat_rotate(sim8[:, None, 4:8], nrm)
+    sim8 = draws.sim8[vp_inst]  # (V, 8)
+    world_v = similarity_apply(sim8, pos)  # (V, 3)
+    nrm_v = quat_rotate(sim8[:, 4:8], nrm)
 
-    # Material uv transform (vertex-stage in the reference, lib.rs:55).
-    uv = _uv_transform(
+    # Material uv transform (vertex-stage in the reference, lib.rs:55);
+    # vertices belong to exactly one primitive = one draw material.
+    dmat = draws.material[vp_inst]
+    uv_v = _uv_transform(
         uv,
-        materials["uv_offset"][mat][:, None, :],
-        materials["uv_scale"][mat][:, None, :],
-        materials["uv_rotation"][mat][:, None],
+        materials["uv_offset"][dmat],
+        materials["uv_scale"][dmat],
+        materials["uv_rotation"][dmat],
     )
 
-    # Clip-space transform: one (T*3, 4) x (4, 4) matmul — MXU food.
-    w1 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
-    clip = (w1.reshape(-1, 4) @ view_proj.T).reshape(-1, 3, 4)
+    # Clip transform: one (V, 4) x (4, 4) matmul — MXU food.
+    w1 = jnp.concatenate([world_v, jnp.ones_like(world_v[..., :1])], axis=-1)
+    clip_v = w1 @ view_proj.T  # (V, 4)
 
+    # ---- triangle stage ----
+    pair_inst, scene_tri, pair_valid, total = expand_draws(draws, t_cap)
+    idx3 = indices[scene_tri[:, None] * 3 + jnp.arange(3)[None, :]].astype(jnp.int32)
+    # scene vertex id -> transformed-vertex row of this draw
+    row3 = voffsets[pair_inst][:, None] + (
+        idx3 - draws.first_vertex[pair_inst][:, None]
+    )
+    row_ok = jnp.all((row3 >= 0) & (row3 < vtotal), axis=1)
+    row3 = jnp.clip(row3, 0, v_cap - 1)
+    pair_valid = pair_valid & row_ok
+
+    clip = clip_v[row3]  # (T, 3, 4)
+    mat = tri_material[scene_tri]
     double_sided = (
         (materials["flags"][mat] & 2) != 0
         if double_sided_from_material
@@ -184,7 +237,8 @@ def geometry_pass(
     )
 
     setup = _setup_from_clip(
-        clip, pair_valid, double_sided, width, height, flip_viewport
+        clip, pair_valid, double_sided, width, height, flip_viewport,
+        vertex_ids=row3,
     )
     setup = TriangleSetup(
         setup=setup[0],
@@ -195,18 +249,28 @@ def geometry_pass(
         num_valid=total.astype(jnp.int32),
     )
     attrs = TriangleAttrs(
-        world_pos=world,
-        normal=world_nrm,
-        uv=uv,
-        lm_uv=lm,
+        world_pos=world_v[row3],
+        normal=nrm_v[row3],
+        uv=uv_v[row3],
+        lm_uv=lm[row3],
         material=mat,
         lightmapped=draws.lightmapped[pair_inst],
     )
     return setup, attrs
 
 
-def _setup_from_clip(clip, pair_valid, double_sided, width, height, flip_viewport):
-    """Homogeneous triangle setup from clip coords (T, 3, 4)."""
+def _setup_from_clip(clip, pair_valid, double_sided, width, height,
+                     flip_viewport, vertex_ids=None):
+    """Homogeneous triangle setup from clip coords (T, 3, 4).
+
+    vertex_ids (T, 3) int32, optional: a per-corner identity (e.g. the
+    transformed-vertex row). When given, each edge's coefficients are
+    computed with the edge's two vertices in CANONICAL (id-sorted) operand
+    order and multiplied by an orientation sign. Two triangles sharing an
+    edge then compute bit-identical products (same fma contraction), so
+    their edge functions are exact negations of each other and a pixel
+    center on the shared edge is covered by at least one of them —
+    watertight rasterization without fixed-point snapping."""
     xc, yc, zc, wc = clip[..., 0], clip[..., 1], clip[..., 2], clip[..., 3]
     if flip_viewport:
         yc = -yc
@@ -216,21 +280,35 @@ def _setup_from_clip(clip, pair_valid, double_sided, width, height, flip_viewpor
     xv = (xc + wc) * (width * 0.5)
     yv = (wc - yc) * (height * 0.5)
 
-    m00, m01, m02 = xv[:, 0], yv[:, 0], wc[:, 0]
-    m10, m11, m12 = xv[:, 1], yv[:, 1], wc[:, 1]
-    m20, m21, m22 = xv[:, 2], yv[:, 2], wc[:, 2]
+    def edge_coeffs(j, k):
+        # adj row opposite vertex i = cross(row_j, row_k), rows (xv, yv, wc)
+        if vertex_ids is None:
+            yj, wj, xj = yv[:, j], wc[:, j], xv[:, j]
+            yk, wk, xk = yv[:, k], wc[:, k], xv[:, k]
+            sign = 1.0
+        else:
+            swap = vertex_ids[:, j] > vertex_ids[:, k]
+            sign = jnp.where(swap, -1.0, 1.0)
 
-    # adj rows: e_i(p) = adj_i . (px, py, 1), zero on the edge opposite
-    # vertex i, equal to det/w_i at vertex i.
-    a0 = m11 * m22 - m12 * m21
-    b0 = m12 * m20 - m10 * m22
-    c0 = m10 * m21 - m11 * m20
-    a1 = m21 * m02 - m22 * m01
-    b1 = m22 * m00 - m20 * m02
-    c1 = m20 * m01 - m21 * m00
-    a2 = m01 * m12 - m02 * m11
-    b2 = m02 * m10 - m00 * m12
-    c2 = m00 * m11 - m01 * m10
+            def pick(arr):
+                return (
+                    jnp.where(swap, arr[:, k], arr[:, j]),
+                    jnp.where(swap, arr[:, j], arr[:, k]),
+                )
+
+            (yj, yk) = pick(yv)
+            (wj, wk) = pick(wc)
+            (xj, xk) = pick(xv)
+        a = (yj * wk - yk * wj) * sign
+        b = (wj * xk - wk * xj) * sign
+        c = (xj * yk - xk * yj) * sign
+        return a, b, c
+
+    a0, b0, c0 = edge_coeffs(1, 2)
+    a1, b1, c1 = edge_coeffs(2, 0)
+    a2, b2, c2 = edge_coeffs(0, 1)
+
+    m00, m01, m02 = xv[:, 0], yv[:, 0], wc[:, 0]
 
     det = m00 * a0 + m01 * b0 + m02 * c0
 
@@ -287,8 +365,9 @@ def _setup_from_clip(clip, pair_valid, double_sided, width, height, flip_viewpor
     return setup, valid, bbox
 
 
-def make_draw_list(sim8, first_tri, tri_count, joints_offset=None, lightmapped=None,
-                   valid=None) -> DrawList:
+def make_draw_list(sim8, first_tri, tri_count, first_vertex=None,
+                   vertex_count=None, joints_offset=None, material=None,
+                   lightmapped=None, valid=None) -> DrawList:
     """Convenience constructor with defaults for optional fields."""
     n = sim8.shape[0]
     z = jnp.zeros(n, jnp.int32)
@@ -296,7 +375,10 @@ def make_draw_list(sim8, first_tri, tri_count, joints_offset=None, lightmapped=N
         sim8=jnp.asarray(sim8, jnp.float32),
         first_tri=jnp.asarray(first_tri, jnp.int32),
         tri_count=jnp.asarray(tri_count, jnp.int32),
+        first_vertex=z if first_vertex is None else jnp.asarray(first_vertex, jnp.int32),
+        vertex_count=z if vertex_count is None else jnp.asarray(vertex_count, jnp.int32),
         joints_offset=z if joints_offset is None else jnp.asarray(joints_offset, jnp.int32),
+        material=z if material is None else jnp.asarray(material, jnp.int32),
         lightmapped=jnp.zeros(n, bool) if lightmapped is None else jnp.asarray(lightmapped, bool),
         valid=jnp.ones(n, bool) if valid is None else jnp.asarray(valid, bool),
     )

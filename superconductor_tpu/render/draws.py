@@ -31,14 +31,21 @@ class DrawRows:
     sim8: List[np.ndarray] = field(default_factory=list)
     first_tri: List[int] = field(default_factory=list)
     tri_count: List[int] = field(default_factory=list)
+    first_vertex: List[int] = field(default_factory=list)
+    vertex_count: List[int] = field(default_factory=list)
     joints_offset: List[int] = field(default_factory=list)
+    material: List[int] = field(default_factory=list)
     lightmapped: List[bool] = field(default_factory=list)
 
-    def add(self, sim8, first_index, index_count, joints_offset=0, lightmapped=False):
+    def add(self, sim8, first_index, index_count, first_vertex=0,
+            vertex_count=0, joints_offset=0, material=0, lightmapped=False):
         self.sim8.append(sim8)
         self.first_tri.append(first_index // 3)
         self.tri_count.append(index_count // 3)
+        self.first_vertex.append(first_vertex)
+        self.vertex_count.append(vertex_count)
         self.joints_offset.append(joints_offset)
+        self.material.append(material)
         self.lightmapped.append(lightmapped)
 
     def to_arrays(self, cap: Optional[int] = None):
@@ -48,24 +55,25 @@ class DrawRows:
         sim8[:, 7] = 1.0  # identity quat w
         if n:
             sim8[:n] = np.stack(self.sim8)
-        first = np.zeros(cap, np.int32)
-        first[:n] = self.first_tri
-        count = np.zeros(cap, np.int32)
-        count[:n] = self.tri_count
-        joff = np.zeros(cap, np.int32)
-        joff[:n] = self.joints_offset
-        lm = np.zeros(cap, bool)
-        lm[:n] = self.lightmapped
+
+        def col(vals, dtype=np.int32):
+            out = np.zeros(cap, dtype)
+            out[:n] = vals
+            return out
+
         valid = np.zeros(cap, bool)
         valid[:n] = True
         from ..ops.geometry import DrawList
 
         return DrawList(
             sim8=sim8,
-            first_tri=first,
-            tri_count=count,
-            joints_offset=joff,
-            lightmapped=lm,
+            first_tri=col(self.first_tri),
+            tri_count=col(self.tri_count),
+            first_vertex=col(self.first_vertex),
+            vertex_count=col(self.vertex_count),
+            joints_offset=col(self.joints_offset),
+            material=col(self.material),
+            lightmapped=col(self.lightmapped, bool),
             valid=valid,
         )
 
@@ -169,7 +177,10 @@ def build_frame_state(
                 sim.to_array(),
                 lod.first_index,
                 lod.index_count,
+                first_vertex=getattr(lod, "first_vertex", 0),
+                vertex_count=getattr(lod, "vertex_count", 0),
                 joints_offset=joints_offset,
+                material=prim.material,
                 lightmapped=getattr(lod, "lightmapped", False),
             )
 

@@ -41,6 +41,8 @@ class RenderConfig:
     height: int = 512
     t_cap: int = 1 << 14  # static-geometry triangle-pair capacity
     t_cap_anim: int = 1 << 10  # animated-geometry capacity
+    v_cap: int = 0  # vertex-pair capacity (0 = t_cap)
+    v_cap_anim: int = 0  # animated vertex-pair capacity (0 = t_cap_anim)
     p_cap: int = 1 << 16  # binned (triangle, tile) pair capacity
     raster: str = "auto"  # 'ref' | 'pallas' | 'auto'
     reverse_z: bool = True
@@ -172,6 +174,7 @@ def _merged_geometry(scene, state, view_proj, config):
         config.width,
         config.height,
         config.t_cap,
+        v_cap=config.v_cap or config.t_cap,
         flip_viewport=config.flip_viewport,
     )
     tri_a, attrs_a = geometry_pass(
@@ -187,6 +190,7 @@ def _merged_geometry(scene, state, view_proj, config):
         config.width,
         config.height,
         config.t_cap_anim,
+        v_cap=config.v_cap_anim or config.t_cap_anim,
         flip_viewport=config.flip_viewport,
         joint_palette=state.joint_palette,
         joint_indices=scene["anim_joint_indices"],

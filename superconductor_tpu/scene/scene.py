@@ -188,12 +188,15 @@ class MaterialSettings:
 
 @dataclass
 class PrimitiveLod:
-    """One LOD of a primitive: index range + lightmap flag (the reference's
-    PrimitiveLod, models.rs:694-708)."""
+    """One LOD of a primitive: index + vertex ranges + lightmap flag (the
+    reference's PrimitiveLod, models.rs:694-708; the vertex range feeds the
+    shared post-transform vertex stage)."""
 
     first_index: int
     index_count: int
     lightmapped: bool = False
+    first_vertex: int = 0
+    vertex_count: int = 0
 
 
 @dataclass
@@ -330,8 +333,9 @@ class Scene:
         lightmap_uvs: np.ndarray,
         indices: np.ndarray,
         material: int,
-    ) -> Tuple[int, int]:
-        """Insert one primitive; returns (first_index, index_count).
+    ) -> Tuple[int, int, int, int]:
+        """Insert one primitive; returns (first_index, index_count,
+        first_vertex, vertex_count).
 
         Indices are rebased by the vertex range start so the frame kernels
         index the mega-buffer directly (models.rs:405-436 does the same).
@@ -348,7 +352,7 @@ class Scene:
         self.tri_material.array.write(
             tri_start, np.full(len(rebased) // 3, material, np.int32)
         )
-        return istart, len(rebased)
+        return istart, len(rebased), vstart, n
 
     def insert_animated_mesh(
         self,
@@ -359,7 +363,7 @@ class Scene:
         joint_weights,
         indices,
         material: int,
-    ) -> Tuple[int, int]:
+    ) -> Tuple[int, int, int, int]:
         vstart = self.anim_positions.insert(positions)
         self.anim_normals.insert(normals)
         self.anim_uvs.insert(uvs)
@@ -370,7 +374,7 @@ class Scene:
         self.anim_tri_material.array.write(
             istart // 3, np.full(len(rebased) // 3, material, np.int32)
         )
-        return istart, len(rebased)
+        return istart, len(rebased), vstart, len(positions)
 
     # ------------------------------------------------------------------
     def device_arrays(self) -> dict:

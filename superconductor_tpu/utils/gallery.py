@@ -94,7 +94,7 @@ def build_gallery(
                 albedo_tex=tid, metallic_factor=0.0, roughness_factor=0.85
             )
         )
-        first, count = scene.insert_static_mesh(
+        first, count, fv, vc = scene.insert_static_mesh(
             pos, nrm, uv, np.zeros_like(uv), idx, mat
         )
         prim = Primitive(
@@ -102,7 +102,7 @@ def build_gallery(
             blend_mode=0,
             double_sided=False,
             animated=False,
-            lods=[PrimitiveLod(first_index=first, index_count=count)],
+            lods=[PrimitiveLod(first_index=first, index_count=count, first_vertex=fv, vertex_count=vc)],
             bounding_sphere_radius=float(np.sqrt(0.75)),
             bbox_min=pos.min(0),
             bbox_max=pos.max(0),

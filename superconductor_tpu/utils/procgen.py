@@ -102,7 +102,7 @@ def add_pbr_sphere(scene: Scene, stacks: int = 88, slices: int = 88, name: str =
         )
     )
     pos, nrm, uv, idx = uv_sphere(stacks, slices)
-    first, count = scene.insert_static_mesh(
+    first, count, fv, vc = scene.insert_static_mesh(
         pos, nrm, uv, np.zeros_like(uv), idx, mat
     )
     prim = Primitive(
@@ -110,7 +110,7 @@ def add_pbr_sphere(scene: Scene, stacks: int = 88, slices: int = 88, name: str =
         blend_mode=0,
         double_sided=False,
         animated=False,
-        lods=[PrimitiveLod(first_index=first, index_count=count)],
+        lods=[PrimitiveLod(first_index=first, index_count=count, first_vertex=fv, vertex_count=vc)],
         bounding_sphere_radius=1.0,
         bbox_min=pos.min(0),
         bbox_max=pos.max(0),

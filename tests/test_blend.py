@@ -39,7 +39,7 @@ def quad_mesh():
 
 def make_quad_model(scene, material, transform=None):
     pos, nrm, uv, idx = quad_mesh()
-    first, count = scene.insert_static_mesh(
+    first, count, fv, vc = scene.insert_static_mesh(
         pos, nrm, uv, np.zeros_like(uv), idx, material
     )
     prim = Primitive(
@@ -47,7 +47,7 @@ def make_quad_model(scene, material, transform=None):
         blend_mode=scene.materials[material].blend_mode,
         double_sided=False,
         animated=False,
-        lods=[PrimitiveLod(first_index=first, index_count=count)],
+        lods=[PrimitiveLod(first_index=first, index_count=count, first_vertex=fv, vertex_count=vc)],
         bounding_sphere_radius=0.71,
         bbox_min=pos.min(0),
         bbox_max=pos.max(0),

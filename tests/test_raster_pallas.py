@@ -23,10 +23,14 @@ def _setup_box_scene(box_glb, width, height, rotate_y=0.6):
     uniforms = make_uniforms(camera, width, height)
     sim = Similarity(rotation=quat_from_axis_angle([0, 1, 0], rotate_y))
     prim = model.primitives[0]
+    lod = prim.lods[0]
     draws = make_draw_list(
         sim.to_array()[None],
-        np.array([prim.lods[0].first_index // 3]),
-        np.array([prim.lods[0].index_count // 3]),
+        np.array([lod.first_index // 3]),
+        np.array([lod.index_count // 3]),
+        first_vertex=np.array([lod.first_vertex]),
+        vertex_count=np.array([lod.vertex_count]),
+        material=np.array([prim.material]),
     )
     dev = scene.device_arrays()
     tri, attrs = geometry_pass(

@@ -89,9 +89,11 @@ def test_depth_ordering(box_glb):
     nrm = scene.normals.host[: scene.normals.array.length].copy()
     uv = scene.uvs.host[: scene.uvs.array.length].copy()
     idx = scene.indices.host[: scene.indices.array.length].copy()
-    first, count = scene.insert_static_mesh(pos, nrm, uv, np.zeros_like(uv), idx - idx.min(), green)
+    first, count, fv, vc = scene.insert_static_mesh(pos, nrm, uv, np.zeros_like(uv), idx - idx.min(), green)
     green_model.primitives[0].lods[0].first_index = first
     green_model.primitives[0].lods[0].index_count = count
+    green_model.primitives[0].lods[0].first_vertex = fv
+    green_model.primitives[0].lods[0].vertex_count = vc
 
     camera = Camera(position=np.array([0.0, 0.0, 3.0], np.float32))
     uniforms = make_uniforms(camera, 96, 96)
