@@ -86,32 +86,56 @@ def line_geometry(
     tri_b = jnp.stack([c0, c2, c3], axis=1)
     tris = jnp.concatenate([tri_a, tri_b])  # (2L, 3, 3)
     tri_ok = jnp.concatenate([ok, ok])
-
-    return _screen_space_setup(tris, tri_ok, width, height), jnp.concatenate(
-        [jnp.asarray(DEBUG_COLOURS)[color_ids % 16]] * 2
+    corner_ids = jnp.concatenate(
+        [
+            jnp.arange(l, dtype=jnp.int32)[:, None] * 4
+            + jnp.array([0, 1, 2], jnp.int32)[None, :],
+            jnp.arange(l, dtype=jnp.int32)[:, None] * 4
+            + jnp.array([0, 2, 3], jnp.int32)[None, :],
+        ]
     )
+
+    return _screen_space_setup(
+        tris, tri_ok, width, height, vertex_ids=corner_ids
+    ), jnp.concatenate([jnp.asarray(DEBUG_COLOURS)[color_ids % 16]] * 2)
 
 
 def _screen_space_setup(
-    tris: jax.Array, valid: jax.Array, width: int, height: int
+    tris: jax.Array, valid: jax.Array, width: int, height: int,
+    vertex_ids=None,
 ) -> TriangleSetup:
     """TriangleSetup rows from screen-space (px, py, z_ndc) triangles
     (w = 1 homogeneous — used by lines and particles-in-screen-space)."""
     x, y, z = tris[..., 0], tris[..., 1], tris[..., 2]
     one = jnp.ones_like(x)
-    m00, m01, m02 = x[:, 0], y[:, 0], one[:, 0]
-    m10, m11, m12 = x[:, 1], y[:, 1], one[:, 1]
-    m20, m21, m22 = x[:, 2], y[:, 2], one[:, 2]
 
-    a0 = m11 * m22 - m12 * m21
-    b0 = m12 * m20 - m10 * m22
-    c0 = m10 * m21 - m11 * m20
-    a1 = m21 * m02 - m22 * m01
-    b1 = m22 * m00 - m20 * m02
-    c1 = m20 * m01 - m21 * m00
-    a2 = m01 * m12 - m02 * m11
-    b2 = m02 * m10 - m00 * m12
-    c2 = m00 * m11 - m01 * m10
+    def edge_coeffs(j, k):
+        if vertex_ids is None:
+            yj, wj, xj = y[:, j], one[:, j], x[:, j]
+            yk, wk, xk = y[:, k], one[:, k], x[:, k]
+            sign = 1.0
+        else:
+            swap = vertex_ids[:, j] > vertex_ids[:, k]
+            sign = jnp.where(swap, -1.0, 1.0)
+
+            def pick(arr):
+                return (
+                    jnp.where(swap, arr[:, k], arr[:, j]),
+                    jnp.where(swap, arr[:, j], arr[:, k]),
+                )
+
+            (yj, yk) = pick(y)
+            (wj, wk) = pick(one)
+            (xj, xk) = pick(x)
+        a = (yj * wk - yk * wj) * sign
+        b = (wj * xk - wk * xj) * sign
+        c = (xj * yk - xk * yj) * sign
+        return a, b, c
+
+    a0, b0, c0 = edge_coeffs(1, 2)
+    a1, b1, c1 = edge_coeffs(2, 0)
+    a2, b2, c2 = edge_coeffs(0, 1)
+    m00, m01, m02 = x[:, 0], y[:, 0], one[:, 0]
     det = m00 * a0 + m01 * b0 + m02 * c0
 
     # Double-sided: flip edges so e_i > 0 inside regardless of orientation.

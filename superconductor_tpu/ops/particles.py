@@ -93,6 +93,17 @@ def particle_geometry(
     valid_t = jnp.concatenate([valid, valid])
     pid = jnp.concatenate([jnp.arange(p), jnp.arange(p)]).astype(jnp.int32)
 
+    # corner identities make the quad diagonal watertight (see
+    # _setup_from_clip's canonical edge ordering)
+    corner_ids = jnp.concatenate(
+        [
+            jnp.arange(p, dtype=jnp.int32)[:, None] * 4
+            + jnp.array([0, 1, 2], jnp.int32)[None, :],
+            jnp.arange(p, dtype=jnp.int32)[:, None] * 4
+            + jnp.array([0, 2, 3], jnp.int32)[None, :],
+        ]
+    )
+
     setup, tvalid, bbox = _setup_from_clip(
         clip_t,
         valid_t,
@@ -100,6 +111,7 @@ def particle_geometry(
         width,
         height,
         flip_viewport,
+        vertex_ids=corner_ids,
     )
     t = clip_t.shape[0]
     tri_setup = TriangleSetup(
