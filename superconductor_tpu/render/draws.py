@@ -17,7 +17,12 @@ import numpy as np
 from ..math3d import Similarity
 from ..scene.scene import Model, Scene
 from .camera import Uniforms
-from .culling import BoundingSphereParams, test_bounding_spheres
+from .culling import (
+    BoundingSphereParams,
+    CullingFrustum,
+    test_bounding_spheres,
+    test_obbs_sat_exact,
+)
 from .frame import FrameState
 from .lod import select_lod
 
@@ -131,6 +136,7 @@ def build_frame_state(
     draw_cap: Optional[int] = None,
     lines: Optional[dict] = None,
     particles: Optional[dict] = None,
+    sat: Optional[tuple] = None,  # (view_matrix (4,4), CullingFrustum)
 ) -> FrameState:
     """Walk instances, cull, select LODs, emit the FrameState.
 
@@ -138,36 +144,61 @@ def build_frame_state(
     animated instances; palettes are concatenated and joints_offset set per
     draw (the reference chunks 2048-joint uniform buffers instead,
     src/components.rs:123-172).
+
+    Culling mirrors push_entity_instances (src/systems.rs:258-291):
+    bounding-sphere test against each view's planes (union for VR), then
+    the optional exact SAT OBB refinement when ``sat`` is given — here the
+    SAT runs vectorized over every candidate primitive at once.
     """
     static_rows = DrawRows()
     anim_rows = DrawRows()
     palettes: List[np.ndarray] = []
     palette_offset = 0
 
+    # Collect candidates first so culling runs batched.
+    candidates = []  # (inst_index, model, prim, sim)
     for inst_index, (model, instance_sim) in enumerate(instances):
+        for prim in model.primitives:
+            candidates.append((inst_index, model, prim, instance_sim * prim.transform))
+
+    visible_mask = np.ones(len(candidates), bool)
+    if candidates and cull_params:
+        centers = np.stack([c[3].translation for c in candidates])
+        radii = np.array(
+            [c[3].scale * c[2].bounding_sphere_radius for c in candidates],
+            np.float32,
+        )
+        vis = np.zeros(len(candidates), bool)
+        for cp in cull_params:
+            vis |= test_bounding_spheres(centers, radii, cp)
+        visible_mask &= vis
+    if candidates and sat is not None:
+        view_m, frustum = sat
+        idxs = np.where(visible_mask)[0]
+        if len(idxs):
+            def _bb(v):
+                return np.zeros(3, np.float32) if v is None else np.asarray(v, np.float32)
+
+            mins = np.stack([_bb(candidates[i][2].bbox_min) for i in idxs])
+            maxs = np.stack([_bb(candidates[i][2].bbox_max) for i in idxs])
+            sims = np.stack([candidates[i][3].to_array() for i in idxs])
+            keep = test_obbs_sat_exact(mins, maxs, sims, view_m, frustum)
+            visible_mask[idxs] &= keep
+
+    seen_palette: dict = {}
+    for ci, (inst_index, model, prim, sim) in enumerate(candidates):
+        if not visible_mask[ci]:
+            continue
         joints_offset = 0
         if model.animated and joint_palettes is not None:
             pal = joint_palettes.get(inst_index)
             if pal is not None and len(pal):
-                joints_offset = palette_offset
-                palettes.append(np.asarray(pal, np.float32))
-                palette_offset += len(pal)
-
-        for prim in model.primitives:
-            sim = instance_sim * prim.transform
-            # Bounding-sphere culling (test_bounding_sphere,
-            # renderer-core/src/culling.rs:381-401).
-            if cull_params:
-                center = sim.translation
-                radius = sim.scale * prim.bounding_sphere_radius
-                visible = any(
-                    test_bounding_spheres(
-                        center[None], np.array([radius], np.float32), cp
-                    )[0]
-                    for cp in cull_params
-                )
-                if not visible:
-                    continue
+                if inst_index not in seen_palette:
+                    seen_palette[inst_index] = palette_offset
+                    palettes.append(np.asarray(pal, np.float32))
+                    palette_offset += len(pal)
+                joints_offset = seen_palette[inst_index]
+        if True:
             lod_index = select_lod(
                 prim, sim, uniforms.eye[0], screen_height
             )

@@ -95,3 +95,49 @@ def test_sat_no_false_negatives_vs_spheres():
     assert not np.any(sat & ~sph)
     # SAT must cull strictly more than spheres on this population.
     assert sat.sum() < sph.sum()
+
+
+def test_build_frame_state_sat_culling(box_glb=None):
+    """SAT refinement drops a box the sphere test keeps."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from conftest import make_box_glb
+
+    from superconductor_tpu import Camera, Scene, Similarity, make_uniforms
+    from superconductor_tpu.assets.models import load_model
+    from superconductor_tpu.render.draws import build_frame_state
+    from superconductor_tpu.render.culling import (
+        CullingFrustum,
+        sphere_culling_params,
+    )
+
+    scene = Scene()
+    model = load_model(scene, make_box_glb(), name="box")
+    cam = Camera(position=np.array([0, 0, 5.0], np.float32))
+    uniforms = make_uniforms(cam, 128, 128, fov_y=np.pi / 3)
+    params = [sphere_culling_params(uniforms.view_proj[0])]
+    frustum = CullingFrustum.new(np.pi / 3, 1.0, 0.05, 1000.0)
+    # A thin sliver position: just outside the corner diagonally — the
+    # bounding sphere clips the frustum but the OBB does not.
+    corner = Similarity(
+        translation=[3.6, 3.6, 0.0],
+        rotation=quat_from_axis_angle([0, 0, 1], 0.785),
+    )
+    inside = Similarity()
+    view = cam.view_matrix()
+
+    state_sphere = build_frame_state(
+        scene, [(model, corner), (model, inside)], uniforms, cull_params=params
+    )
+    state_sat = build_frame_state(
+        scene,
+        [(model, corner), (model, inside)],
+        uniforms,
+        cull_params=params,
+        sat=(view, frustum),
+    )
+    n_sphere = int(np.asarray(state_sphere.draws_static.valid).sum())
+    n_sat = int(np.asarray(state_sat.draws_static.valid).sum())
+    assert n_sat <= n_sphere
+    assert n_sat >= 1  # the inside box always survives
