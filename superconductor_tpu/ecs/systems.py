@@ -23,7 +23,7 @@ from ..render.camera import make_uniforms
 from ..render.culling import sphere_culling_params
 from ..render.draws import build_frame_state, pack_lines, pack_particles
 from ..render.env import EnvBindings
-from ..render.frame import render_frame
+from ..render.frame import render_frame_stats
 from .app import App, Stage, World
 from .components import (
     AnimatedModelUrl,
@@ -214,12 +214,78 @@ def push_joints(world: World) -> None:
 # ------------------------ Instance building + render ----------------------
 
 
+def _derive_config(config, scene, lines, particles):
+    """Derive pass enables from scene content so materials never silently
+    skip a pass (the reference renders every blend mode unconditionally,
+    rendering.rs:506-558). Enables are monotonic: once on, they stay on, so
+    the jit cache doesn't flap as content churns."""
+    from dataclasses import replace
+
+    from ..scene.scene import BLEND_ALPHA_BLENDED, BLEND_ALPHA_CLIPPED
+
+    modes = {m.blend_mode for m in scene.materials}
+    want = {}
+    if not config.enable_clip and BLEND_ALPHA_CLIPPED in modes:
+        want["enable_clip"] = True
+    if not config.enable_blend and BLEND_ALPHA_BLENDED in modes:
+        want["enable_blend"] = True
+    if not config.enable_lines and lines is not None and lines.segments:
+        want["enable_lines"] = True
+    if not config.enable_particles and particles is not None and particles.particles:
+        want["enable_particles"] = True
+    if want:
+        log.info("enabling passes from scene content: %s", sorted(want))
+        config = replace(config, **want)
+    return config
+
+
+def _grow_capacities(config, state):
+    """Grow triangle/vertex capacities to fit the frame's draw lists (exact
+    host-side counts — expand_draws truncates at t_cap otherwise). Pow2
+    growth, mirroring the reference's never-drop buffer doubling
+    (buffers.rs:61-106)."""
+    from dataclasses import replace
+
+    from ..render.draws import _next_pow2
+
+    def needed(draws):
+        v = draws.valid
+        return (
+            int(np.asarray(draws.tri_count)[v].sum()),
+            int(np.asarray(draws.vertex_count)[v].sum()),
+        )
+
+    t_s, v_s = needed(state.draws_static)
+    t_a, v_a = needed(state.draws_animated)
+    grow = {}
+    if t_s > config.t_cap:
+        grow["t_cap"] = _next_pow2(t_s)
+    if v_s > (config.v_cap or config.t_cap):
+        grow["v_cap"] = _next_pow2(v_s)
+    if t_a > config.t_cap_anim:
+        grow["t_cap_anim"] = _next_pow2(t_a)
+    if v_a > (config.v_cap_anim or config.t_cap_anim):
+        grow["v_cap_anim"] = _next_pow2(v_a)
+    if grow:
+        log.warning(
+            "frame exceeds geometry capacity; growing %s (tris %d/%d static, "
+            "%d/%d animated)", grow, t_s, config.t_cap, t_a, config.t_cap_anim,
+        )
+        config = replace(config, **grow)
+    return config
+
+
 def render(world: World) -> None:
     """InstanceBuffering + BufferUploading + Rendering in one system:
     collect visible instances, build the FrameState, call the jitted frame.
 
     Separated host phases buy nothing here — build_frame_state already does
     culling/LOD (push_entity_instances) and array packing (upload_*).
+
+    Robustness: pass enables are derived from scene content, geometry
+    capacities are grown from exact host-side counts before the frame, and
+    bin-pair overflow is detected from the frame's stats output and fixed by
+    growing p_cap + re-rendering — nothing is ever silently dropped.
     """
     scene_res = world.resource(SceneResource)
     cam = world.resource(CameraResource)
@@ -264,11 +330,37 @@ def render(world: World) -> None:
         particles=pack_particles(particles.particles) if particles else None,
     )
 
+    config = _derive_config(config, scene, lines, particles)
+    config = _grow_capacities(config, state)
+    settings.config = config
+
     if settings.env is None:
         settings.env = EnvBindings.from_scene(scene)
 
     out = world.resource(FrameOutput)
-    out.image = render_frame(scene.device_arrays(), state, config, settings.env)
+    image, stats = render_frame_stats(
+        scene.device_arrays(), state, config, settings.env
+    )
+    # Bin-pair capacity check (pallas path; the ref path reports 0). The
+    # scalar fetch synchronizes on frame completion — acceptable in the app
+    # loop; bench paths call render_frame directly.
+    pairs = int(stats["pairs_needed"])
+    if pairs > config.p_cap:
+        from dataclasses import replace
+
+        from ..render.draws import _next_pow2
+
+        new_p = _next_pow2(pairs * 2)
+        log.warning(
+            "bin-pair capacity exceeded (%d > p_cap=%d); growing p_cap to %d "
+            "and re-rendering", pairs, config.p_cap, new_p,
+        )
+        config = replace(config, p_cap=new_p)
+        settings.config = config
+        image, stats = render_frame_stats(
+            scene.device_arrays(), state, config, settings.env
+        )
+    out.image = image
     out.frame_index += 1
 
 

@@ -198,22 +198,19 @@ def build_frame_state(
                     palettes.append(np.asarray(pal, np.float32))
                     palette_offset += len(pal)
                 joints_offset = seen_palette[inst_index]
-        if True:
-            lod_index = select_lod(
-                prim, sim, uniforms.eye[0], screen_height
-            )
-            lod = prim.lods[lod_index]
-            rows = anim_rows if prim.animated else static_rows
-            rows.add(
-                sim.to_array(),
-                lod.first_index,
-                lod.index_count,
-                first_vertex=getattr(lod, "first_vertex", 0),
-                vertex_count=getattr(lod, "vertex_count", 0),
-                joints_offset=joints_offset,
-                material=prim.material,
-                lightmapped=getattr(lod, "lightmapped", False),
-            )
+        lod_index = select_lod(prim, sim, uniforms.eye[0], screen_height)
+        lod = prim.lods[lod_index]
+        rows = anim_rows if prim.animated else static_rows
+        rows.add(
+            sim.to_array(),
+            lod.first_index,
+            lod.index_count,
+            first_vertex=lod.first_vertex,
+            vertex_count=lod.vertex_count,
+            joints_offset=joints_offset,
+            material=prim.material,
+            lightmapped=lod.lightmapped,
+        )
 
     palette = (
         np.concatenate(palettes, axis=0)

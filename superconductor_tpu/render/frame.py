@@ -86,9 +86,12 @@ def _rasterize(
     y_offset,
     init=None,
 ):
+    """-> (VisibilityBuffer, pairs_needed i32). pairs_needed is the bin-pair
+    count this pass would need (0 on the unbinned ref path); the host checks
+    it against p_cap so overflow grows capacity instead of dropping work."""
     method = config.resolve_raster()
     if method == "ref":
-        return rasterize_ref(
+        vis = rasterize_ref(
             tri,
             band_height,
             config.width,
@@ -96,13 +99,14 @@ def _rasterize(
             init=init,
             y_offset=y_offset,
         )
+        return vis, jnp.int32(0)
     from ..ops.raster_pallas import rasterize_pallas
 
     bins = bin_triangles(
         tri, config.width, band_height, config.p_cap, y_offset=y_offset
     )
     sorted_setup = gather_sorted_setup(tri, bins)
-    return rasterize_pallas(
+    vis = rasterize_pallas(
         sorted_setup,
         bins,
         band_height,
@@ -111,6 +115,7 @@ def _rasterize(
         init=init,
         y_offset=y_offset,
     )
+    return vis, bins.num_pairs
 
 
 def _rasterize_kbuffer(
@@ -120,11 +125,12 @@ def _rasterize_kbuffer(
     y_offset,
     depth_floor,
 ):
+    """-> (KBuffer, pairs_needed i32); see _rasterize."""
     from ..ops.raster_kbuffer import rasterize_kbuffer_ref
 
     method = config.resolve_raster()
     if method == "ref":
-        return rasterize_kbuffer_ref(
+        kb = rasterize_kbuffer_ref(
             tri,
             band_height,
             config.width,
@@ -133,13 +139,14 @@ def _rasterize_kbuffer(
             depth_floor=depth_floor,
             y_offset=y_offset,
         )
+        return kb, jnp.int32(0)
     from ..ops.raster_pallas import kbuffer_pallas
 
     bins = bin_triangles(
         tri, config.width, band_height, config.p_cap, y_offset=y_offset
     )
     sorted_setup = gather_sorted_setup(tri, bins)
-    return kbuffer_pallas(
+    kb = kbuffer_pallas(
         sorted_setup,
         bins,
         band_height,
@@ -149,6 +156,7 @@ def _rasterize_kbuffer(
         depth_floor=depth_floor,
         y_offset=y_offset,
     )
+    return kb, bins.num_pairs
 
 
 def _pixel_centers(config: RenderConfig, band_height: int, y_offset):
@@ -216,8 +224,12 @@ def render_view(
     env: EnvBindings,
     band_height: Optional[int] = None,
     y_offset=0,
+    with_stats: bool = False,
 ):
-    """Render one view (or one horizontal band of it) -> (bh, W, 4) f32."""
+    """Render one view (or one horizontal band of it) -> (bh, W, 4) f32.
+
+    with_stats: also return {"pairs_needed": i32} — the max bin-pair count
+    any raster pass in this view needed (vs config.p_cap)."""
     band_height = band_height or config.height
     u = state.uniforms
     view_proj = u["view_proj"][view_index]
@@ -235,7 +247,7 @@ def render_view(
 
     # --- pass 1: opaque visibility ---
     opaque_tri = merged_tri._replace(valid=merged_tri.valid & (blend_mode == 0))
-    vis = _rasterize(opaque_tri, config, band_height, y_offset)
+    vis, pairs_needed = _rasterize(opaque_tri, config, band_height, y_offset)
 
     # --- pass 2: alpha-clip resolve (K nearest candidates, keep the nearest
     # one whose albedo alpha passes the cutoff; the same decision the
@@ -246,9 +258,10 @@ def render_view(
         clip_tri = merged_tri._replace(
             valid=merged_tri.valid & (blend_mode == 1)
         )
-        kb = _rasterize_kbuffer(
+        kb, clip_pairs = _rasterize_kbuffer(
             clip_tri, config, band_height, y_offset, vis.depth
         )
+        pairs_needed = jnp.maximum(pairs_needed, clip_pairs)
         chosen_pair = jnp.full_like(vis.pair, -1)
         chosen_depth = vis.depth
         chosen_b0 = jnp.zeros_like(vis.b0)
@@ -325,7 +338,10 @@ def render_view(
             b0=jnp.zeros_like(vis.b0),
             b1=jnp.zeros_like(vis.b1),
         )
-        lvis = _rasterize(line_tri, config, band_height, y_offset, init=line_init)
+        lvis, line_pairs = _rasterize(
+            line_tri, config, band_height, y_offset, init=line_init
+        )
+        pairs_needed = jnp.maximum(pairs_needed, line_pairs)
         lhit = (lvis.pair >= 0).reshape(-1)
         lcol = line_colors[jnp.maximum(lvis.pair.reshape(-1), 0)]
         rgb = jnp.where(lhit[..., None], lcol, rgb)
@@ -346,9 +362,10 @@ def render_view(
             config.height,
             flip_viewport=config.flip_viewport,
         )
-        pkb = _rasterize_kbuffer(
+        pkb, p_pairs = _rasterize_kbuffer(
             p_tri, config, band_height, y_offset, depth_floor
         )
+        pairs_needed = jnp.maximum(pairs_needed, p_pairs)
 
         def sh_sampler(world_pos):
             fake = _GB(
@@ -383,9 +400,10 @@ def render_view(
         blend_tri = merged_tri._replace(
             valid=merged_tri.valid & (blend_mode == 2)
         )
-        kb = _rasterize_kbuffer(
+        kb, blend_pairs = _rasterize_kbuffer(
             blend_tri, config, band_height, y_offset, depth_floor
         )
+        pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
         for k in range(config.blend_layers - 1, -1, -1):
             g = gbuffer_of(kb.pair[k], kb.b0[k], kb.b1[k])
             lrgb, la = shade(
@@ -414,6 +432,8 @@ def render_view(
     img = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1).reshape(
         band_height, config.width, 4
     )
+    if with_stats:
+        return img, {"pairs_needed": pairs_needed}
     return img
 
 
@@ -422,31 +442,60 @@ def render_frame_impl(
     state: FrameState,
     config: RenderConfig,
     env: EnvBindings = EnvBindings(),
+    with_stats: bool = False,
 ):
-    """Unjitted frame body (all views) -> (V, H, W, 4) uint8."""
+    """Unjitted frame body (all views) -> (V, H, W, 4) uint8.
+
+    with_stats: also return {"pairs_needed": i32} aggregated (max) over all
+    views/bands, so the host can grow p_cap instead of silently truncating."""
     views = []
+    pairs_needed = jnp.int32(0)
     for v in range(config.num_views):
         if config.row_chunks <= 1:
-            views.append(to_u8(render_view(scene, state, v, config, env)))
+            out = render_view(scene, state, v, config, env, with_stats=with_stats)
+            if with_stats:
+                out, stats = out
+                pairs_needed = jnp.maximum(pairs_needed, stats["pairs_needed"])
+            views.append(to_u8(out))
             continue
         assert config.height % config.row_chunks == 0
         band_h = config.height // config.row_chunks
         y0s = jnp.arange(config.row_chunks, dtype=jnp.int32) * band_h
 
         def band(y0, v=v):
-            return to_u8(
-                render_view(
-                    scene, state, v, config, env,
-                    band_height=band_h, y_offset=y0,
-                )
+            out = render_view(
+                scene, state, v, config, env,
+                band_height=band_h, y_offset=y0, with_stats=with_stats,
             )
+            if with_stats:
+                img, stats = out
+                return to_u8(img), stats["pairs_needed"]
+            return to_u8(out)
 
         bands = jax.lax.map(band, y0s)  # (chunks, band_h, W, 4)
+        if with_stats:
+            bands, band_pairs = bands
+            pairs_needed = jnp.maximum(pairs_needed, band_pairs.max())
         views.append(bands.reshape(config.height, config.width, 4))
-    return jnp.stack(views)
+    image = jnp.stack(views)
+    if with_stats:
+        return image, {"pairs_needed": pairs_needed}
+    return image
 
 
 render_frame = partial(jax.jit, static_argnames=("config", "env"))(render_frame_impl)
+
+
+def _render_frame_stats_impl(scene, state, config, env=EnvBindings()):
+    return render_frame_impl(scene, state, config, env, with_stats=True)
+
+
+# (image, {"pairs_needed": i32}) variant — used by the ECS render system to
+# detect bin-pair overflow and grow p_cap (the grow-never-drop policy of
+# buffers.rs:61-106).
+render_frame_stats = partial(jax.jit, static_argnames=("config", "env"))(
+    _render_frame_stats_impl
+)
 
 
 @partial(jax.jit, static_argnames=("config",))

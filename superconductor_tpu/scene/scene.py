@@ -32,6 +32,12 @@ import numpy as np
 
 from .buffers import AllocatedArray, GrowableArray
 
+
+def _identity_similarity():
+    from ..math3d import Similarity
+
+    return Similarity()
+
 # Blend modes (pass order: opaque -> alpha_clipped -> ... -> alpha_blended,
 # rendering.rs:506-558).
 BLEND_OPAQUE = 0
@@ -214,6 +220,9 @@ class Primitive:
     bounding_sphere_radius: float = 0.0
     bbox_min: np.ndarray = None
     bbox_max: np.ndarray = None
+    # node global transform, composed with the instance transform per frame
+    # (Similarity; identity unless the loader sets it)
+    transform: "Similarity" = field(default_factory=lambda: _identity_similarity())
 
 
 @dataclass

@@ -32,8 +32,10 @@ def sponza_cubes_glb():
         return f.read()
 
 
-def make_box_glb() -> bytes:
-    """Author a minimal GLB (unit cube, one material) in-memory."""
+def make_box_glb(alpha_mode: str = None, base_color=(1.0, 0.2, 0.1, 1.0)) -> bytes:
+    """Author a minimal GLB (unit cube, one material) in-memory.
+
+    alpha_mode: None (opaque) | 'MASK' | 'BLEND' on the material."""
     import json
     import struct
 
@@ -80,11 +82,12 @@ def make_box_glb() -> bytes:
         "materials": [
             {
                 "pbrMetallicRoughness": {
-                    "baseColorFactor": [1.0, 0.2, 0.1, 1.0],
+                    "baseColorFactor": list(base_color),
                     "metallicFactor": 0.0,
                     "roughnessFactor": 1.0,
                 },
                 "extensions": {"KHR_materials_unlit": {}},
+                **({"alphaMode": alpha_mode} if alpha_mode else {}),
             }
         ],
         "extensionsUsed": ["KHR_materials_unlit"],
