@@ -6,23 +6,30 @@ Reproduces the reference's texture pipeline behavior
   * materials draw immediately with 1x1 dummy textures;
   * texture fetch+decode runs on the loader thread pool;
   * KTX2 textures stream progressively: the smallest mip level is fetched
-    (by byte range) and becomes visible first, then the full mip chain
-    replaces it in the background;
+    (by byte range) and becomes visible first, then the rest of the chain
+    fills in;
   * completion "hot-swaps" by pointing the material's texture id at the
-    new pool texture — the analog of MutableBindGroup entry swapping
-    (mutable_bind_group.rs:19-29); the swap is applied on the frame thread
+    pool texture — the analog of MutableBindGroup entry swapping
+    (mutable_bind_group.rs:19-29); swaps are applied on the frame thread
     by ``pump()`` so scene mutation stays single-threaded;
   * failures are logged and leave the dummy bound (degrade, never fail).
+
+Pool lifecycle: the preview phase allocates the texture's FULL mip layout
+up front (the KTX2 header gives every level's dims), writes only the
+smallest mip, and restricts the sampler's mip view to it
+(create_texture_with_first_mip_data analog, textures.rs:526-575). The
+final phase writes the remaining levels in place and restores the view —
+no second allocation, no stranded preview texels, and the device upload
+is just the new texels' dirty range.
 """
 
 from __future__ import annotations
 
-import io
 import logging
 import struct
 import threading
-from dataclasses import dataclass
-from typing import List
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -34,12 +41,18 @@ log = logging.getLogger(__name__)
 
 @dataclass
 class _PendingSwap:
-    material_index: int
-    field: str  # 'albedo_tex' | 'normal_tex' | 'metallic_roughness_tex' | 'emissive_tex'
-    levels: List[np.ndarray]
-    srgb: bool
-    wrap: int
-    final: bool  # False for the low-res preview phase
+    key: tuple  # (url, srgb) dedup key
+    phase: str  # 'preview' | 'final' | 'alias'
+    srgb: bool = False
+    wrap: int = WRAP_REPEAT
+    # preview: full-chain level dims (finest first) + the smallest mip image
+    dims: Optional[List[Tuple[int, int]]] = None
+    preview_level: int = 0
+    preview_image: Optional[np.ndarray] = None
+    # final: the full mip chain
+    levels: Optional[List[np.ndarray]] = None
+    # alias: serve these waiters from the already-loaded texture
+    materials: List[tuple] = field(default_factory=list)
 
 
 class TextureStreamer:
@@ -49,10 +62,18 @@ class TextureStreamer:
         self.client = client
         self._done: List[_PendingSwap] = []
         self._lock = threading.Lock()
-        self.inflight = 0
+        self._inflight = 0
         # dedup by (url, srgb) -> materials waiting (Shared-future analog,
-        # texture_loading.rs:249-336)
+        # texture_loading.rs:249-336); kept after completion so later
+        # requesters are served from the loaded texture, never re-fetched.
         self._by_url: dict = {}
+        self._tex_of_key: dict = {}  # key -> pool tex_id (set in pump)
+        self._final: set = set()  # keys whose full chain has been applied
+
+    @property
+    def inflight(self) -> int:
+        with self._lock:
+            return self._inflight
 
     # ------------------------------------------------------------------
     def request(
@@ -64,19 +85,23 @@ class TextureStreamer:
         wrap: int = WRAP_REPEAT,
     ) -> None:
         key = (url, srgb)
-        if key in self._by_url:
-            self._by_url[key].append((material_index, field))
-            return
-        self._by_url[key] = [(material_index, field)]
-        self.inflight += 1
+        waiter = (material_index, field)
+        with self._lock:
+            if key in self._by_url:
+                self._by_url[key].append(waiter)
+                if key in self._final:
+                    # Already loaded: serve this material at the next pump.
+                    self._done.append(
+                        _PendingSwap(key=key, phase="alias", materials=[waiter])
+                    )
+                return
+            self._by_url[key] = [waiter]
+            self._inflight += 1
         self.client.submit(self._job, url, srgb, wrap, key)
 
-    def _push(self, key, levels, srgb, wrap, final):
+    def _push(self, swap: _PendingSwap) -> None:
         with self._lock:
-            for material_index, field in self._by_url.get(key, ()):
-                self._done.append(
-                    _PendingSwap(material_index, field, levels, srgb, wrap, final)
-                )
+            self._done.append(swap)
 
     def _job(self, url: str, srgb: bool, wrap: int, key) -> None:
         try:
@@ -88,19 +113,29 @@ class TextureStreamer:
                 from .models import _decode_image
 
                 rgba = _decode_image(data)
-                self._push(key, build_mip_chain(rgba), srgb, wrap, True)
+                self._push(
+                    _PendingSwap(
+                        key=key, phase="final", srgb=srgb, wrap=wrap,
+                        levels=build_mip_chain(rgba),
+                    )
+                )
         except Exception:
             log.exception("texture stream failed for %s; dummy stays", url)
             with self._lock:
-                self._by_url.pop(key, None)
+                self._by_url.pop(key, None)  # allow a retry request
         finally:
-            self.inflight -= 1
+            with self._lock:
+                self._inflight -= 1
 
     def _stream_ktx2(self, url, srgb, wrap, key, head: bytes) -> None:
         """Smallest-mip-first via byte-range reads (textures.rs:784-923)."""
         from .ktx2 import decode_level_images, parse_ktx2
 
+        width, height = struct.unpack_from("<2I", head, 20)
         levels_n = struct.unpack_from("<I", head, 40)[0] or 1
+        dims = [
+            (max(1, height >> i), max(1, width >> i)) for i in range(levels_n)
+        ]
         # level index sits at offset 80
         index = [
             struct.unpack_from("<3Q", head, 80 + i * 24) for i in range(levels_n)
@@ -109,13 +144,18 @@ class TextureStreamer:
         off, blen, _ = index[-1]
         smallest = self.client.fetch_bytes_range(url, off, off + blen)
         # Reassemble a buffer where only that level's bytes exist.
-        fake = bytearray(head[:80 + 24 * levels_n])
+        fake = bytearray(head[: 80 + 24 * levels_n])
         fake.extend(b"\0" * max(0, off + blen - len(fake)))
         fake[off : off + blen] = smallest
         ktx = parse_ktx2(bytes(fake))
         img = decode_level_images(ktx, levels_n - 1)[0]
         img8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
-        self._push(key, [img8], srgb, wrap, False)
+        self._push(
+            _PendingSwap(
+                key=key, phase="preview", srgb=srgb, wrap=wrap,
+                dims=dims, preview_level=levels_n - 1, preview_image=img8,
+            )
+        )
 
         # Phase 2: everything.
         data = self.client.fetch_bytes(url)
@@ -126,31 +166,81 @@ class TextureStreamer:
             ).astype(np.uint8)
             for i in range(levels_n)
         ]
-        self._push(key, chain, srgb, wrap, True)
+        self._push(
+            _PendingSwap(key=key, phase="final", srgb=srgb, wrap=wrap, levels=chain)
+        )
 
     # ------------------------------------------------------------------
+    def _apply(self, scene: Scene, waiters, tex_id: int) -> int:
+        for material_index, field in waiters:
+            setattr(scene.materials[material_index], field, tex_id)
+        if waiters:
+            scene._materials_dirty = True
+        return len(waiters)
+
     def pump(self, scene: Scene) -> int:
         """Apply finished loads (frame thread). Returns number applied."""
         with self._lock:
             done, self._done = self._done, []
         applied = 0
-        swapped_tex: dict = {}
         for swap in done:
-            sig = (id(swap.levels), swap.srgb)
-            if sig not in swapped_tex:
-                swapped_tex[sig] = scene.textures.add_texture(
-                    swap.levels,
-                    wrap=swap.wrap,
-                    flags=TEXFLAG_SRGB if swap.srgb else 0,
+            if swap.phase == "alias":
+                tex_id = self._tex_of_key.get(swap.key)
+                if tex_id is not None:
+                    applied += self._apply(scene, swap.materials, tex_id)
+                continue
+            flags = TEXFLAG_SRGB if swap.srgb else 0
+            if swap.phase == "preview":
+                tex_id = self._tex_of_key.get(swap.key)
+                if tex_id is None:
+                    tex_id = scene.textures.allocate_texture(
+                        swap.dims, wrap=swap.wrap, flags=flags
+                    )
+                    self._tex_of_key[swap.key] = tex_id
+                scene.textures.write_level(
+                    tex_id, swap.preview_level, swap.preview_image
                 )
-            tex_id = swapped_tex[sig]
-            mat = scene.materials[swap.material_index]
-            setattr(mat, swap.field, tex_id)
-            scene._materials_dirty = True
-            applied += 1
+                scene.textures.set_mip_view(tex_id, swap.preview_level, 1)
+                with self._lock:
+                    waiters = list(self._by_url.get(swap.key, ()))
+            else:  # final
+                tex_id = self._tex_of_key.get(swap.key)
+                dims = [lvl.shape[:2] for lvl in swap.levels]
+                if tex_id is not None and self._layout_matches(scene, tex_id, dims):
+                    for i, lvl in enumerate(swap.levels):
+                        scene.textures.write_level(tex_id, i, lvl)
+                    scene.textures.restore_mip_view(tex_id)
+                    scene.textures._desc_dirty = True
+                else:
+                    if tex_id is not None:
+                        scene.textures.free_texture(tex_id)
+                    tex_id = scene.textures.add_texture(
+                        swap.levels, wrap=swap.wrap, flags=flags
+                    )
+                    self._tex_of_key[swap.key] = tex_id
+                # Snapshot waiters atomically with completion: requests
+                # before this lock land in the snapshot; requests after see
+                # _final and self-serve via an alias swap.
+                with self._lock:
+                    self._final.add(swap.key)
+                    waiters = list(self._by_url.get(swap.key, ()))
+            applied += self._apply(scene, waiters, tex_id)
         return applied
+
+    @staticmethod
+    def _layout_matches(scene: Scene, tex_id: int, dims) -> bool:
+        pool = scene.textures
+        base, count = pool._full_view.get(
+            tex_id, (pool.tex_mip_base[tex_id], pool.tex_mip_count[tex_id])
+        )
+        if count != len(dims):
+            return False
+        return all(
+            pool.mip_h[base + i] == h and pool.mip_w[base + i] == w
+            for i, (h, w) in enumerate(dims)
+        )
 
     @property
     def idle(self) -> bool:
         with self._lock:
-            return self.inflight == 0 and not self._done
+            return self._inflight == 0 and not self._done

@@ -34,8 +34,33 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _ranged_update(dev, update, lo):
+    """Upload ``update`` into dev[lo:lo+len] on device. Jitted per shape;
+    update lengths are pow2-padded by the caller so the jit cache stays
+    small (<= log2(capacity) entries per buffer shape)."""
+    import jax
+
+    global _RANGED_UPDATE_JIT
+    if _RANGED_UPDATE_JIT is None:
+        def impl(dev, update, lo):
+            idx = (lo,) + (0,) * (dev.ndim - 1)
+            return jax.lax.dynamic_update_slice(dev, update, idx)
+
+        _RANGED_UPDATE_JIT = jax.jit(impl)
+    return _RANGED_UPDATE_JIT(dev, update, lo)
+
+
+_RANGED_UPDATE_JIT = None
+
+
 class GrowableArray:
-    """Append/insert-able array with doubling growth and a device cache."""
+    """Append/insert-able array with doubling growth and a device cache.
+
+    Writes accumulate a dirty row range; ``device()`` uploads only that
+    range (pow2-padded) via an on-device dynamic_update_slice instead of
+    re-uploading the whole pool — the analog of queue.write_buffer's
+    offset+size argument. A capacity change still re-uploads everything.
+    """
 
     def __init__(self, shape_tail: Tuple[int, ...], dtype, initial_capacity: int = 1024):
         self.shape_tail = tuple(shape_tail)
@@ -44,7 +69,15 @@ class GrowableArray:
         self.host = np.zeros((self.capacity, *self.shape_tail), dtype=self.dtype)
         self.length = 0
         self._device = None
-        self._dirty = True
+        self._dirty_lo = 0
+        self._dirty_hi = self.capacity  # full upload initially
+
+    def _mark_dirty(self, lo: int, hi: int) -> None:
+        if self._dirty_lo >= self._dirty_hi:  # currently clean
+            self._dirty_lo, self._dirty_hi = lo, hi
+        else:
+            self._dirty_lo = min(self._dirty_lo, lo)
+            self._dirty_hi = max(self._dirty_hi, hi)
 
     def _ensure(self, needed: int) -> None:
         if needed <= self.capacity:
@@ -56,7 +89,7 @@ class GrowableArray:
         self.host = new_host
         self.capacity = new_cap
         self._device = None
-        self._dirty = True
+        self._mark_dirty(0, new_cap)
 
     def push(self, rows: np.ndarray) -> int:
         """Append rows; returns the start offset."""
@@ -67,7 +100,7 @@ class GrowableArray:
         self._ensure(start + len(rows))
         self.host[start : start + len(rows)] = rows
         self.length = start + len(rows)
-        self._dirty = True
+        self._mark_dirty(start, self.length)
         return start
 
     def write(self, offset: int, rows: np.ndarray) -> None:
@@ -75,19 +108,26 @@ class GrowableArray:
         self._ensure(offset + len(rows))
         self.host[offset : offset + len(rows)] = rows
         self.length = max(self.length, offset + len(rows))
-        self._dirty = True
+        self._mark_dirty(offset, offset + len(rows))
 
     def clear(self) -> None:
         self.length = 0
-        self._dirty = True
+        self._mark_dirty(0, self.capacity)
 
     def device(self):
-        """Full-capacity jax array (padded); cached until content changes."""
-        if self._device is None or self._dirty:
+        """Full-capacity jax array (padded); dirty ranges uploaded lazily."""
+        dirty = self._dirty_hi > self._dirty_lo
+        if self._device is None or (dirty and self._dirty_hi - self._dirty_lo >= self.capacity):
             import jax
 
             self._device = jax.device_put(self.host)
-            self._dirty = False
+        elif dirty:
+            n = _next_pow2(self._dirty_hi - self._dirty_lo)
+            lo = min(self._dirty_lo, self.capacity - n)
+            self._device = _ranged_update(
+                self._device, self.host[lo : lo + n], lo
+            )
+        self._dirty_lo, self._dirty_hi = 0, 0
         return self._device
 
     def __len__(self) -> int:
@@ -150,16 +190,26 @@ class AllocatedArray:
         self.array = GrowableArray(shape_tail, dtype, initial_capacity)
         self.alloc = RangeAllocator(self.array.capacity)
 
-    def insert(self, rows: np.ndarray) -> int:
-        rows = np.asarray(rows, dtype=self.array.dtype)
-        n = len(rows)
+    def _allocate(self, n: int) -> int:
         start = self.alloc.allocate(n)
         while start is None:
             new_cap = _next_pow2(max(self.array.capacity * 2, n))
             self.array._ensure(new_cap)
             self.alloc.grow(new_cap)
             start = self.alloc.allocate(n)
+        return start
+
+    def insert(self, rows: np.ndarray) -> int:
+        rows = np.asarray(rows, dtype=self.array.dtype)
+        start = self._allocate(len(rows))
         self.array.write(start, rows)
+        return start
+
+    def insert_zeros(self, n: int) -> int:
+        """Allocate a range without writing content (content is undefined
+        until written — callers hide it, e.g. via TexturePool mip views)."""
+        start = self._allocate(n)
+        self.array.length = max(self.array.length, start + n)
         return start
 
     def remove(self, start: int, size: int) -> None:

@@ -73,7 +73,9 @@ class TexturePool:
     """
 
     def __init__(self, dtype=np.uint8):
-        self.texels = GrowableArray((4,), dtype, initial_capacity=4096)
+        # Range-allocated so freed textures return their texels to the pool
+        # (the reference range-allocs its mega-buffers the same way).
+        self.texels = AllocatedArray((4,), dtype, initial_capacity=4096)
         self.mip_offset: List[int] = []
         self.mip_w: List[int] = []
         self.mip_h: List[int] = []
@@ -81,6 +83,10 @@ class TexturePool:
         self.tex_mip_count: List[int] = []
         self.tex_wrap: List[int] = []
         self.tex_flags: List[int] = []
+        # Streaming view: while a texture is in its preview phase only some
+        # of its mips are visible to the sampler; maps tex_id -> the full
+        # (base, count) to restore (see set_mip_view).
+        self._full_view: Dict[int, Tuple[int, int]] = {}
         self._desc_device = None
         self._desc_dirty = True
 
@@ -95,30 +101,92 @@ class TexturePool:
         flags: int = 0,
     ) -> int:
         """Add a texture from its mip chain (finest first), each (h, w, 4)."""
+        tex_id = self.allocate_texture(
+            [lvl.shape[:2] for lvl in levels], wrap=wrap, flags=flags
+        )
+        for i, lvl in enumerate(levels):
+            self.write_level(tex_id, i, lvl)
+        return tex_id
+
+    def allocate_texture(
+        self,
+        level_dims: List[Tuple[int, int]],
+        wrap: int = WRAP_REPEAT,
+        flags: int = 0,
+    ) -> int:
+        """Allocate a texture's full mip layout (dims finest-first, each
+        (h, w)) without content — the streaming path allocates the final
+        layout up front so the hot-swap is an in-place write, never a second
+        allocation (MutableBindGroup swap semantics)."""
         tex_id = self.num_textures
         self.tex_mip_base.append(len(self.mip_offset))
-        self.tex_mip_count.append(len(levels))
+        self.tex_mip_count.append(len(level_dims))
         self.tex_wrap.append(wrap)
         self.tex_flags.append(flags)
-        for lvl in levels:
-            assert lvl.ndim == 3 and lvl.shape[2] == 4, lvl.shape
-            h, w = lvl.shape[:2]
-            offset = self.texels.push(lvl.reshape(-1, 4))
+        for h, w in level_dims:
+            offset = self.texels.insert_zeros(h * w)
             self.mip_offset.append(offset)
             self.mip_w.append(w)
             self.mip_h.append(h)
         self._desc_dirty = True
         return tex_id
 
+    def write_level(self, tex_id: int, level: int, image: np.ndarray) -> None:
+        """Write one mip level's texels ((h, w, 4), dims must match)."""
+        assert image.ndim == 3 and image.shape[2] == 4, image.shape
+        base = self.tex_mip_base[tex_id]
+        if tex_id in self._full_view:
+            base = self._full_view[tex_id][0]
+        h, w = image.shape[:2]
+        assert w == self.mip_w[base + level] and h == self.mip_h[base + level], (
+            (h, w), (self.mip_h[base + level], self.mip_w[base + level])
+        )
+        self.texels.array.write(self.mip_offset[base + level], image.reshape(-1, 4))
+
+    def set_mip_view(self, tex_id: int, first_level: int, count: int) -> None:
+        """Restrict sampling to [first_level, first_level+count) of the full
+        chain — the preview phase exposes only the smallest mip while the
+        rest streams in (create_texture_with_first_mip_data analog,
+        textures.rs:526-575)."""
+        if tex_id not in self._full_view:
+            self._full_view[tex_id] = (
+                self.tex_mip_base[tex_id],
+                self.tex_mip_count[tex_id],
+            )
+        base, full_count = self._full_view[tex_id]
+        assert 0 <= first_level and first_level + count <= full_count
+        self.tex_mip_base[tex_id] = base + first_level
+        self.tex_mip_count[tex_id] = count
+        self._desc_dirty = True
+
+    def restore_mip_view(self, tex_id: int) -> None:
+        """Expose the full mip chain again (streaming finished)."""
+        if tex_id in self._full_view:
+            base, count = self._full_view.pop(tex_id)
+            self.tex_mip_base[tex_id] = base
+            self.tex_mip_count[tex_id] = count
+            self._desc_dirty = True
+
+    def free_texture(self, tex_id: int) -> None:
+        """Return a texture's texel ranges to the pool allocator. The
+        descriptor slot stays (ids are stable); sampling it yields the first
+        pool texel — callers must rebind materials first."""
+        self.restore_mip_view(tex_id)
+        base = self.tex_mip_base[tex_id]
+        for i in range(self.tex_mip_count[tex_id]):
+            self.texels.remove(
+                self.mip_offset[base + i],
+                self.mip_w[base + i] * self.mip_h[base + i],
+            )
+        self.tex_mip_count[tex_id] = 0
+        self._desc_dirty = True
+
     def replace_texture(self, tex_id: int, levels: List[np.ndarray]) -> None:
         """Hot-swap texture content (same mip layout) — the analog of
         MutableBindGroup entry swapping as async loads finish."""
-        base = self.tex_mip_base[tex_id]
         assert len(levels) == self.tex_mip_count[tex_id]
         for i, lvl in enumerate(levels):
-            h, w = lvl.shape[:2]
-            assert w == self.mip_w[base + i] and h == self.mip_h[base + i]
-            self.texels.write(self.mip_offset[base + i], lvl.reshape(-1, 4))
+            self.write_level(tex_id, i, lvl)
         self._desc_dirty = True
 
     def descriptor_arrays(self) -> Dict[str, np.ndarray]:
