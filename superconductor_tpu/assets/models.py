@@ -10,8 +10,10 @@ models.rs:280-671):
     grouping as per-primitive metadata rather than separate index ranges,
     because the TPU pipeline selects triangles per pass with masks, not
     with contiguous draw ranges;
-  * missing indices -> 0..N, missing normals/uvs/lightmap_uvs -> zeros
-    (models.rs:739-767); is_lightmapped = second UV set present;
+  * missing indices -> 0..N, missing uvs/lightmap_uvs -> zeros
+    (models.rs:739-767); missing normals -> area-weighted vertex normals
+    (the reference zero-fills, which shades black under PBR);
+    is_lightmapped = second UV set present;
   * the node's global transform is NOT baked into vertices; it is stored on
     the primitive and composed with the instance transform per frame
     (push_entity_instances, src/systems.rs:204-332 does the same);
@@ -239,15 +241,26 @@ def _load_materials(
     return ids
 
 
+def _synthesize_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals from triangle geometry. The reference
+    fills Vec3::ZERO for missing NORMAL attributes (models.rs:746-750),
+    which shades black under PBR; accumulated face normals keep vertex
+    sharing (and thus watertight shared-edge rasterization) while giving
+    usable lighting."""
+    tri = indices.reshape(-1, 3).astype(np.int64)
+    a, b, c = positions[tri[:, 0]], positions[tri[:, 1]], positions[tri[:, 2]]
+    face = np.cross(b - a, c - a)  # length = 2x area (weights the average)
+    normals = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(normals, tri[:, k], face)
+    lens = np.linalg.norm(normals, axis=1, keepdims=True)
+    return (normals / np.maximum(lens, 1e-20)).astype(np.float32)
+
+
 def _primitive_attributes(gltf: Gltf, prim: dict, animated: bool):
     attrs = prim["attributes"]
     positions = gltf.accessor(attrs["POSITION"]).astype(np.float32)
     n = len(positions)
-    normals = (
-        gltf.accessor(attrs["NORMAL"]).astype(np.float32)
-        if "NORMAL" in attrs
-        else np.zeros((n, 3), np.float32)
-    )
     uvs = (
         gltf.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
         if "TEXCOORD_0" in attrs
@@ -262,6 +275,11 @@ def _primitive_attributes(gltf: Gltf, prim: dict, animated: bool):
         gltf.accessor_index(prim["indices"])
         if "indices" in prim
         else np.arange(n, dtype=np.uint32)
+    )
+    normals = (
+        gltf.accessor(attrs["NORMAL"]).astype(np.float32)
+        if "NORMAL" in attrs
+        else _synthesize_normals(positions, indices)
     )
     out = {
         "positions": positions,
