@@ -7,9 +7,11 @@ RGBA8 (lightvol axis volumes), RGBA16F (lightvol L0), RGBA32F, and
 BC6H_UFLOAT (IBL cubemaps — the reference decompresses BC6H on the GPU
 with granite-shaders/bc6.frag when the device lacks native support; here
 the native scnative C++ decoder does it at load time, with a numpy
-fallback). UASTC/BasisLZ transcode (basis-universal in the reference) is
-routed through scnative when built, else the texture falls back to a
-dummy, mirroring the reference's degrade-don't-fail policy.
+fallback), BC7, ASTC 4x4 and UASTC (KHR_texture_basisu). UASTC blocks are
+valid ASTC 4x4 blocks, so the in-repo ASTC decoder plays the role
+basis-universal plays in the reference (textures.rs:1099-1153). ETC1S/
+BasisLZ is the remaining gap; unsupported formats degrade to a dummy
+texture, mirroring the reference's degrade-don't-fail policy.
 """
 
 from __future__ import annotations
@@ -39,6 +41,11 @@ SUPERCOMPRESSION_BASISLZ = 1
 SUPERCOMPRESSION_ZSTD = 2
 SUPERCOMPRESSION_ZLIB = 3
 
+# Khronos Data Format descriptor color models (for vkFormat == UNDEFINED)
+KDF_MODEL_ETC1S = 163
+KDF_MODEL_UASTC = 166
+KDF_TRANSFER_SRGB = 2
+
 
 @dataclass
 class Ktx2:
@@ -52,6 +59,22 @@ class Ktx2:
     scheme: int
     data: bytes
     kvd: dict
+    # From the Data Format Descriptor: identifies UASTC/ETC1S payloads when
+    # vkFormat is UNDEFINED, and the transfer function (sRGB vs linear).
+    color_model: int = 0
+    transfer: int = 0
+
+    @property
+    def is_uastc(self) -> bool:
+        return self.vk_format == VK_FORMAT_UNDEFINED and self.color_model == KDF_MODEL_UASTC
+
+    @property
+    def is_etc1s(self) -> bool:
+        return self.vk_format == VK_FORMAT_UNDEFINED and self.color_model == KDF_MODEL_ETC1S
+
+    @property
+    def is_srgb_transfer(self) -> bool:
+        return self.transfer == KDF_TRANSFER_SRGB
 
     @property
     def num_images(self) -> int:
@@ -94,7 +117,14 @@ def parse_ktx2(data: bytes) -> Ktx2:
         levels,
         scheme,
     ) = struct.unpack_from("<9I", data, 12)
+    dfd_off, dfd_len = struct.unpack_from("<2I", data, 48)
     kvd_off, kvd_len = struct.unpack_from("<2I", data, 56)
+    color_model = transfer = 0
+    if dfd_off and dfd_len >= 16 and dfd_off + 16 <= len(data):
+        # DFD: u32 total size, u32 vendor/type, u32 version/blockSize, then
+        # the basic block: colorModel u8, colorPrimaries u8, transfer u8.
+        color_model = data[dfd_off + 12]
+        transfer = data[dfd_off + 14]
     level_index = []
     for i in range(max(1, levels)):
         off, blen, ulen = struct.unpack_from("<3Q", data, 80 + i * 24)
@@ -120,22 +150,35 @@ def parse_ktx2(data: bytes) -> Ktx2:
         scheme=scheme,
         data=data,
         kvd=kvd,
+        color_model=color_model,
+        transfer=transfer,
     )
 
 
+def _srgb_to_linear(arr: np.ndarray) -> np.ndarray:
+    rgb = arr[..., :3]
+    arr[..., :3] = np.where(
+        rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
+    )
+    return arr
+
+
 def _decode_image_payload(
-    ktx: Ktx2, payload: bytes, w: int, h: int
+    ktx: Ktx2, payload: bytes, w: int, h: int, linearize: bool = True
 ) -> np.ndarray:
-    """One image (w, h) of a level -> (h, w, 4) float32 (linear)."""
+    """One image (w, h) of a level -> (h, w, 4) float32.
+
+    linearize=True converts sRGB-encoded sources to linear (the HDR/env
+    path). linearize=False returns the display-encoded values unchanged —
+    the LDR texture-pool path stores encoded u8 texels and lets the
+    sampler's TEXFLAG_SRGB do the conversion (one conversion, in-shader,
+    exactly like binding an sRGB texture view in the reference)."""
     fmt = ktx.vk_format
     if fmt in (VK_FORMAT_R8G8B8A8_UNORM, VK_FORMAT_R8G8B8A8_SRGB):
         arr = np.frombuffer(payload, np.uint8).reshape(h, w, 4).astype(np.float32)
         arr /= 255.0
-        if fmt == VK_FORMAT_R8G8B8A8_SRGB:
-            rgb = arr[..., :3]
-            arr[..., :3] = np.where(
-                rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
-            )
+        if fmt == VK_FORMAT_R8G8B8A8_SRGB and linearize:
+            arr = _srgb_to_linear(arr)
         return arr
     if fmt == VK_FORMAT_R16G16B16A16_SFLOAT:
         return np.frombuffer(payload, np.float16).reshape(h, w, 4).astype(np.float32)
@@ -149,27 +192,28 @@ def _decode_image_payload(
         from ..native import bc7
 
         arr = bc7.decode_bc7(payload, w, h).astype(np.float32) / 255.0
-        if fmt == VK_FORMAT_BC7_SRGB:
-            rgb = arr[..., :3]
-            arr[..., :3] = np.where(
-                rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
-            )
+        if fmt == VK_FORMAT_BC7_SRGB and linearize:
+            arr = _srgb_to_linear(arr)
         return arr
-    if fmt in (VK_FORMAT_ASTC_4x4_UNORM, VK_FORMAT_ASTC_4x4_SRGB):
-        # ASTC LDR via the Mesa GL decoder (the reference transcodes to
-        # ASTC for mobile-class GPUs; llvmpipe decodes it for us). sRGB
-        # decode handled by the sRGB internal format.
-        from ..native.gldecode import decode_astc4x4_gl
+    if fmt in (VK_FORMAT_ASTC_4x4_UNORM, VK_FORMAT_ASTC_4x4_SRGB) or ktx.is_uastc:
+        # ASTC LDR via the in-repo C++ decoder (bit-exact vs the Mesa GL
+        # oracle, tests/test_native.py). UASTC blocks are valid ASTC 4x4
+        # blocks, so the same decoder transcodes KHR_texture_basisu
+        # payloads — the reference's basis-universal role
+        # (textures.rs:1099-1153).
+        from ..native.astc import decode_astc
 
-        arr = decode_astc4x4_gl(
-            payload, w, h, srgb=(fmt == VK_FORMAT_ASTC_4x4_SRGB)
-        ).astype(np.float32) / 255.0
-        if fmt == VK_FORMAT_ASTC_4x4_SRGB:
-            rgb = arr[..., :3]
-            arr[..., :3] = np.where(
-                rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
-            )
+        srgb = fmt == VK_FORMAT_ASTC_4x4_SRGB or (
+            ktx.is_uastc and ktx.is_srgb_transfer
+        )
+        arr = decode_astc(payload, w, h, srgb=srgb).astype(np.float32) / 255.0
+        if srgb and linearize:
+            arr = _srgb_to_linear(arr)
         return arr
+    if ktx.is_etc1s:
+        raise NotImplementedError(
+            "ETC1S/BasisLZ transcode not implemented yet (UASTC is)"
+        )
     raise NotImplementedError(f"vkFormat {fmt}")
 
 
@@ -187,26 +231,34 @@ def _image_size_bytes(ktx: Ktx2, w: int, h: int) -> int:
         VK_FORMAT_BC7_SRGB,
         VK_FORMAT_ASTC_4x4_UNORM,
         VK_FORMAT_ASTC_4x4_SRGB,
-    ):
+    ) or ktx.is_uastc:
         return ((w + 3) // 4) * ((h + 3) // 4) * 16
     raise NotImplementedError(f"vkFormat {fmt}")
 
 
-def decode_level_images(ktx: Ktx2, level: int) -> List[np.ndarray]:
+def decode_level_images(
+    ktx: Ktx2, level: int, linearize: bool = True
+) -> List[np.ndarray]:
     """All images (faces x layers x z-slices, in KTX2 order) of one level,
-    each (h, w, 4) float32 linear."""
+    each (h, w, 4) float32 (linear unless linearize=False)."""
     w, h, d = ktx.level_dims(level)
     raw = ktx.level_bytes(level)
     size = _image_size_bytes(ktx, w, h)
     images = []
     n = max(1, ktx.layers) * ktx.faces * d
     for i in range(n):
-        images.append(_decode_image_payload(ktx, raw[i * size : (i + 1) * size], w, h))
+        images.append(
+            _decode_image_payload(
+                ktx, raw[i * size : (i + 1) * size], w, h, linearize=linearize
+            )
+        )
     return images
 
 
 def decode_ktx2_rgba8(data: bytes) -> np.ndarray:
-    """First image of mip 0 as (h, w, 4) uint8 — glTF texture decode path."""
+    """First image of mip 0 as display-encoded (h, w, 4) uint8 — the glTF
+    LDR texture-pool path (TEXFLAG_SRGB handles transfer in-shader, so the
+    bytes are NOT linearized here; double conversion otherwise)."""
     ktx = parse_ktx2(data)
-    img = decode_level_images(ktx, 0)[0]
+    img = decode_level_images(ktx, 0, linearize=False)[0]
     return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)

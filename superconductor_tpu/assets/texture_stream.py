@@ -147,8 +147,10 @@ class TextureStreamer:
         fake = bytearray(head[: 80 + 24 * levels_n])
         fake.extend(b"\0" * max(0, off + blen - len(fake)))
         fake[off : off + blen] = smallest
+        # linearize=False: the LDR pool stores display-encoded u8 texels;
+        # TEXFLAG_SRGB converts in-shader (one conversion, not two).
         ktx = parse_ktx2(bytes(fake))
-        img = decode_level_images(ktx, levels_n - 1)[0]
+        img = decode_level_images(ktx, levels_n - 1, linearize=False)[0]
         img8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
         self._push(
             _PendingSwap(
@@ -162,7 +164,8 @@ class TextureStreamer:
         ktx = parse_ktx2(data)
         chain = [
             np.clip(
-                np.round(decode_level_images(ktx, i)[0] * 255.0), 0, 255
+                np.round(decode_level_images(ktx, i, linearize=False)[0] * 255.0),
+                0, 255,
             ).astype(np.uint8)
             for i in range(levels_n)
         ]
