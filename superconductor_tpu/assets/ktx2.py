@@ -34,6 +34,7 @@ VK_FORMAT_BC7_UNORM = 145
 VK_FORMAT_BC7_SRGB = 146
 VK_FORMAT_ASTC_4x4_UNORM = 157
 VK_FORMAT_ASTC_4x4_SRGB = 158
+VK_FORMAT_ASTC_4x4_SFLOAT = 1000066000  # ASTC HDR (astc-tier lightvol L0)
 VK_FORMAT_UNDEFINED = 0  # Basis Universal (UASTC / ETC1S)
 
 SUPERCOMPRESSION_NONE = 0
@@ -210,6 +211,10 @@ def _decode_image_payload(
         if srgb and linearize:
             arr = _srgb_to_linear(arr)
         return arr
+    if fmt == VK_FORMAT_ASTC_4x4_SFLOAT:
+        from ..native.astc import decode_astc_hdr
+
+        return decode_astc_hdr(payload, w, h)
     if ktx.is_etc1s:
         raise NotImplementedError(
             "ETC1S/BasisLZ transcode not implemented yet (UASTC is)"
@@ -231,6 +236,7 @@ def _image_size_bytes(ktx: Ktx2, w: int, h: int) -> int:
         VK_FORMAT_BC7_SRGB,
         VK_FORMAT_ASTC_4x4_UNORM,
         VK_FORMAT_ASTC_4x4_SRGB,
+        VK_FORMAT_ASTC_4x4_SFLOAT,
     ) or ktx.is_uastc:
         return ((w + 3) // 4) * ((h + 3) // 4) * 16
     raise NotImplementedError(f"vkFormat {fmt}")

@@ -45,3 +45,36 @@ def decode_astc(
     from .gldecode import decode_astc4x4_gl
 
     return decode_astc4x4_gl(payload, width, height, srgb=srgb)
+
+
+def decode_astc_hdr(
+    payload: bytes,
+    width: int,
+    height: int,
+    block_w: int = 4,
+    block_h: int = 4,
+) -> np.ndarray:
+    """(h, w, 4) float32 — ASTC HDR profile decode (LNS endpoints).
+
+    No GL fallback: llvmpipe's ASTC decode quantizes to UNORM8
+    internally, so it cannot serve HDR content. Validated against the
+    uncompressed RGBA16F twin of the reference's astc lightvol at ~51 dB
+    (the codec's own loss)."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "sc_decode_astc_hdr"):
+        raise NotImplementedError("scnative required for ASTC HDR decode")
+    bx = (width + block_w - 1) // block_w
+    by = (height + block_h - 1) // block_h
+    need = bx * by * 16
+    if len(payload) < need:
+        payload = payload + b"\0" * (need - len(payload))
+    out = np.zeros((height, width, 4), np.float32)
+    lib.sc_decode_astc_hdr(
+        payload,
+        ctypes.c_int(width),
+        ctypes.c_int(height),
+        ctypes.c_int(block_w),
+        ctypes.c_int(block_h),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

@@ -476,6 +476,7 @@ static BlockMode decode_block_mode(uint32_t mode) {
 
 // --------------------------------------------------------- color modes --
 static inline int clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+static inline int clamp12(int v) { return v < 0 ? 0 : (v > 0xFFF ? 0xFFF : v); }
 
 static void bit_transfer_signed(int& a, int& b) {
     b >>= 1;
@@ -490,8 +491,299 @@ static void blue_contract(int e[4]) {
     e[1] = (e[1] + e[2]) >> 1;
 }
 
+// ------------------------------------------------------- HDR endpoints --
+// HDR color endpoint modes produce 12-bit per-channel values (Khronos
+// spec "HDR Endpoint Decoding"); channels flagged hdr interpolate in the
+// LNS domain and convert via lns_to_sf16.
+
+static inline void swap_int(int& a, int& b) { int t = a; a = b; b = t; }
+
+static void hdr_mode2(const int* v, int e0[4], int e1[4]) {
+    int y0, y1;
+    if (v[1] >= v[0]) {
+        y0 = v[0] << 4;
+        y1 = v[1] << 4;
+    } else {
+        y0 = (v[1] << 4) + 8;
+        y1 = (v[0] << 4) - 8;
+    }
+    e0[0] = e0[1] = e0[2] = clamp12(y0);
+    e1[0] = e1[1] = e1[2] = clamp12(y1);
+    e0[3] = e1[3] = 0x780;
+}
+
+static void hdr_mode3(const int* v, int e0[4], int e1[4]) {
+    int y0, d;
+    if (v[0] & 0x80) {
+        y0 = ((v[1] & 0xE0) << 4) | ((v[0] & 0x7F) << 2);
+        d = (v[1] & 0x1F) << 2;
+    } else {
+        y0 = ((v[1] & 0xF0) << 4) | ((v[0] & 0x7F) << 1);
+        d = (v[1] & 0x0F) << 1;
+    }
+    int y1 = y0 + d;
+    if (y1 > 0xFFF) y1 = 0xFFF;
+    e0[0] = e0[1] = e0[2] = y0;
+    e1[0] = e1[1] = e1[2] = y1;
+    e0[3] = e1[3] = 0x780;
+}
+
+static void hdr_mode7(const int* v, int e0[4], int e1[4]) {
+    int modeval = ((v[0] & 0xC0) >> 6) | ((v[1] & 0x80) >> 5) | ((v[2] & 0x80) >> 4);
+    int majcomp, mode;
+    if ((modeval & 0xC) != 0xC) {
+        majcomp = modeval >> 2;
+        mode = modeval & 3;
+    } else if (modeval != 0xF) {
+        majcomp = modeval & 3;
+        mode = 4;
+    } else {
+        majcomp = 0;
+        mode = 5;
+    }
+    int red = v[0] & 0x3F, green = v[1] & 0x1F, blue = v[2] & 0x1F,
+        scale = v[3] & 0x1F;
+    int x0 = (v[1] >> 6) & 1, x1 = (v[1] >> 5) & 1, x2 = (v[2] >> 6) & 1,
+        x3 = (v[2] >> 5) & 1, x4 = (v[3] >> 7) & 1, x5 = (v[3] >> 6) & 1,
+        x6 = (v[3] >> 5) & 1;
+    int ohm = 1 << mode;
+    if (ohm & 0x30) green |= x0 << 6;
+    if (ohm & 0x3A) green |= x1 << 5;
+    if (ohm & 0x30) blue |= x2 << 6;
+    if (ohm & 0x3A) blue |= x3 << 5;
+    if (ohm & 0x3D) scale |= x6 << 5;
+    if (ohm & 0x2D) scale |= x5 << 6;
+    if (ohm & 0x04) scale |= x4 << 7;
+    if (ohm & 0x3B) red |= x4 << 6;
+    if (ohm & 0x04) red |= x3 << 6;
+    if (ohm & 0x10) red |= x5 << 7;
+    if (ohm & 0x0F) red |= x2 << 7;
+    if (ohm & 0x05) red |= x1 << 8;
+    if (ohm & 0x0A) red |= x0 << 8;
+    if (ohm & 0x05) red |= x0 << 9;
+    if (ohm & 0x02) red |= x6 << 9;
+    if (ohm & 0x01) red |= x3 << 10;
+    if (ohm & 0x02) red |= x5 << 10;
+    static const int shamts[6] = {1, 1, 2, 3, 4, 5};
+    int shamt = shamts[mode];
+    red <<= shamt;
+    green <<= shamt;
+    blue <<= shamt;
+    scale <<= shamt;
+    if (mode != 5) {
+        green = red - green;
+        blue = red - blue;
+    }
+    if (majcomp == 1) {
+        swap_int(red, green);
+    } else if (majcomp == 2) {
+        swap_int(red, blue);
+    }
+    e1[0] = clamp12(red);
+    e1[1] = clamp12(green);
+    e1[2] = clamp12(blue);
+    e1[3] = 0x780;
+    e0[0] = clamp12(red - scale);
+    e0[1] = clamp12(green - scale);
+    e0[2] = clamp12(blue - scale);
+    e0[3] = 0x780;
+}
+
+static inline int sign_extend(int v, int bits) {
+    int m = 1 << (bits - 1);
+    return (v ^ m) - m;
+}
+
+static void hdr_mode11(const int* v, int e0[4], int e1[4]) {
+    int majcomp = ((v[4] & 0x80) >> 7) | ((v[5] & 0x80) >> 6);
+    if (majcomp == 3) {
+        e0[0] = v[0] << 4; e0[1] = v[2] << 4; e0[2] = (v[4] & 0x7F) << 5;
+        e1[0] = v[1] << 4; e1[1] = v[3] << 4; e1[2] = (v[5] & 0x7F) << 5;
+        e0[3] = e1[3] = 0x780;
+        return;
+    }
+    int mode = ((v[1] & 0x80) >> 7) | ((v[2] & 0x80) >> 6) | ((v[3] & 0x80) >> 5);
+    int va = v[0] | ((v[1] & 0x40) << 2);
+    int vb0 = v[2] & 0x3F, vb1 = v[3] & 0x3F;
+    int vc = v[1] & 0x3F;
+    int vd0 = v[4] & 0x7F, vd1 = v[5] & 0x7F;
+    static const int dbits[8] = {7, 6, 7, 6, 5, 6, 5, 6};
+    vd0 = sign_extend(vd0 & ((1 << dbits[mode]) - 1), dbits[mode]);
+    vd1 = sign_extend(vd1 & ((1 << dbits[mode]) - 1), dbits[mode]);
+    int x0 = (v[2] >> 6) & 1, x1 = (v[3] >> 6) & 1, x2 = (v[4] >> 6) & 1,
+        x3 = (v[5] >> 6) & 1, x4 = (v[4] >> 5) & 1, x5 = (v[5] >> 5) & 1;
+    int ohm = 1 << mode;
+    if (ohm & 0xA4) va |= x0 << 9;
+    if (ohm & 0x08) va |= x2 << 9;
+    if (ohm & 0x50) va |= x4 << 9;
+    if (ohm & 0x50) va |= x5 << 10;
+    if (ohm & 0xA0) va |= x1 << 10;
+    if (ohm & 0xC0) va |= x2 << 11;
+    if (ohm & 0x04) vc |= x1 << 6;
+    if (ohm & 0xE8) vc |= x3 << 6;
+    if (ohm & 0x20) vc |= x2 << 7;
+    if (ohm & 0x5B) vb0 |= x0 << 6;
+    if (ohm & 0x5B) vb1 |= x1 << 6;
+    if (ohm & 0x12) vb0 |= x2 << 7;
+    if (ohm & 0x12) vb1 |= x3 << 7;
+    int shamt = (mode >> 1) ^ 3;
+    va <<= shamt;
+    vb0 <<= shamt;
+    vb1 <<= shamt;
+    vc <<= shamt;
+    vd0 <<= shamt;
+    vd1 <<= shamt;
+    e1[0] = clamp12(va);
+    e1[1] = clamp12(va - vb0);
+    e1[2] = clamp12(va - vb1);
+    e1[3] = 0x780;
+    e0[0] = clamp12(va - vc);
+    e0[1] = clamp12(va - vb0 - vc - vd0);
+    e0[2] = clamp12(va - vb1 - vc - vd1);
+    e0[3] = 0x780;
+    if (majcomp == 1) {
+        swap_int(e0[0], e0[1]);
+        swap_int(e1[0], e1[1]);
+    } else if (majcomp == 2) {
+        swap_int(e0[0], e0[2]);
+        swap_int(e1[0], e1[2]);
+    }
+}
+
+static void hdr_mode15_alpha(int v6, int v7, int& a0, int& a1) {
+    int mode = ((v6 >> 7) & 1) | ((v7 >> 6) & 2);
+    v6 &= 0x7F;
+    if (mode == 3) {
+        a0 = v6 << 5;
+        a1 = (v7 & 0x7F) << 5;
+        return;
+    }
+    v6 |= (v7 << (mode + 1)) & 0x780;
+    v7 &= 0x3F >> mode;
+    v7 ^= 0x20 >> mode;
+    v7 -= 0x20 >> mode;
+    v6 <<= 4 - mode;
+    v7 <<= 4 - mode;
+    v7 += v6;
+    if (v7 < 0) v7 = 0;
+    if (v7 > 0xFFF) v7 = 0xFFF;
+    a0 = v6;
+    a1 = v7;
+}
+
+// ---------------------------------------------------- fp16 conversions --
+// LNS interpolant -> fp16 (spec "...converted to FP16 as follows").
+static uint16_t lns_to_sf16(uint16_t p) {
+    uint16_t mc = p & 0x7FF;
+    uint16_t ec = p >> 11;
+    uint16_t mt;
+    if (mc < 512)
+        mt = 3 * mc;
+    else if (mc < 1536)
+        mt = 4 * mc - 512;
+    else
+        mt = 5 * mc - 2048;
+    uint16_t res = (uint16_t)((ec << 10) | (mt >> 3));
+    if (res >= 0x7BFF) res = 0x7BFF;
+    return res;
+}
+
+// UNORM16 interpolant -> fp16 (LDR channels inside an HDR-profile decode).
+static uint16_t unorm16_to_sf16(uint16_t p) {
+    if (p == 0xFFFF) return 0x3C00;  // 1.0
+    if (p == 0) return 0;
+    int lz = 0;
+    uint16_t v = p;
+    while (!(v & 0x8000)) {
+        v <<= 1;
+        lz++;
+    }
+    v <<= 1;   // drop the leading one
+    v >>= 6;   // 10-bit mantissa
+    return (uint16_t)(v | ((14 - lz) << 10));
+}
+
+static float sf16_to_f32(uint16_t h) {
+    uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+    uint32_t exp = (h >> 10) & 0x1F;
+    uint32_t man = h & 0x3FF;
+    uint32_t bits;
+    if (exp == 0) {
+        if (man == 0) {
+            bits = sign;
+        } else {
+            exp = 127 - 15 + 1;
+            while (!(man & 0x400)) {
+                man <<= 1;
+                exp--;
+            }
+            man &= 0x3FF;
+            bits = sign | (exp << 23) | (man << 13);
+        }
+    } else if (exp == 31) {
+        bits = sign | 0x7F800000 | (man << 13);
+    } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+    }
+    float f;
+    std::memcpy(&f, &bits, 4);
+    return f;
+}
+
+static bool decode_endpoints(int cem, const int* v, int e0[4], int e1[4]);
+
 // Decode one partition's endpoints from its unquantized color values.
-// Returns false for HDR modes (error in the LDR profile).
+// hdr[ch] marks channels holding 12-bit HDR (LNS) endpoints; LDR channels
+// hold 8-bit values. In the LDR profile (hdr_profile=false) HDR modes
+// return false -> error color.
+static bool decode_endpoints_full(int cem, const int* v, int e0[4], int e1[4],
+                                  bool hdr[4], bool hdr_profile) {
+    hdr[0] = hdr[1] = hdr[2] = hdr[3] = false;
+    switch (cem) {
+        case 2:
+            if (!hdr_profile) return false;
+            hdr_mode2(v, e0, e1);
+            hdr[0] = hdr[1] = hdr[2] = hdr[3] = true;
+            return true;
+        case 3:
+            if (!hdr_profile) return false;
+            hdr_mode3(v, e0, e1);
+            hdr[0] = hdr[1] = hdr[2] = hdr[3] = true;
+            return true;
+        case 7:
+            if (!hdr_profile) return false;
+            hdr_mode7(v, e0, e1);
+            hdr[0] = hdr[1] = hdr[2] = hdr[3] = true;
+            return true;
+        case 11:
+            if (!hdr_profile) return false;
+            hdr_mode11(v, e0, e1);
+            hdr[0] = hdr[1] = hdr[2] = hdr[3] = true;
+            return true;
+        case 14:
+            if (!hdr_profile) return false;
+            hdr_mode11(v, e0, e1);
+            hdr[0] = hdr[1] = hdr[2] = true;
+            e0[3] = v[6];
+            e1[3] = v[7];
+            return true;
+        case 15: {
+            if (!hdr_profile) return false;
+            hdr_mode11(v, e0, e1);
+            hdr[0] = hdr[1] = hdr[2] = hdr[3] = true;
+            int a0, a1;
+            hdr_mode15_alpha(v[6], v[7], a0, a1);
+            e0[3] = a0;
+            e1[3] = a1;
+            return true;
+        }
+        default:
+            break;
+    }
+    return decode_endpoints(cem, v, e0, e1);
+}
+
+// LDR color endpoint modes.
 static bool decode_endpoints(int cem, const int* v, int e0[4], int e1[4]) {
     switch (cem) {
         case 0:  // LDR luminance, direct
@@ -621,24 +913,36 @@ static bool decode_endpoints(int cem, const int* v, int e0[4], int e1[4]) {
 }
 
 // -------------------------------------------------------------- decode --
-static void error_color(uint8_t* out, int n) {
+static void error_color(uint8_t* out8, float* outf, int n) {
     for (int i = 0; i < n; i++) {
-        out[i * 4 + 0] = 0xFF;
-        out[i * 4 + 1] = 0x00;
-        out[i * 4 + 2] = 0xFF;
-        out[i * 4 + 3] = 0xFF;
+        if (out8) {
+            out8[i * 4 + 0] = 0xFF;
+            out8[i * 4 + 1] = 0x00;
+            out8[i * 4 + 2] = 0xFF;
+            out8[i * 4 + 3] = 0xFF;
+        }
+        if (outf) {
+            outf[i * 4 + 0] = 1.0f;
+            outf[i * 4 + 1] = 0.0f;
+            outf[i * 4 + 2] = 1.0f;
+            outf[i * 4 + 3] = 1.0f;
+        }
     }
 }
 
+// Decode one block. Exactly one of out8 (LDR profile, display-encoded u8)
+// / outf (HDR profile, float32) is non-null.
 static void decode_block(const Block& blk, int bw, int bh, int srgb,
-                         uint8_t* out) {
+                         uint8_t* out8, float* outf) {
     const int ntex = bw * bh;
+    const bool hdr_profile = outf != nullptr;
     uint32_t mode = blk.bits(0, 11);
 
     // Void-extent (constant color) block.
     if ((mode & 0x1FF) == 0x1FC) {
-        if (mode & 0x200) {  // HDR void extent: error in the LDR profile
-            error_color(out, ntex);
+        bool hdr_void = (mode & 0x200) != 0;
+        if (hdr_void && !hdr_profile) {  // error in the LDR profile
+            error_color(out8, outf, ntex);
             return;
         }
         // Extent coords: all-ones means "unspecified"; otherwise a
@@ -647,34 +951,39 @@ static void decode_block(const Block& blk, int bw, int bh, int srgb,
         uint32_t t0 = blk.bits(38, 13), t1 = blk.bits(51, 13);
         bool all_ones = (s0 & s1 & t0 & t1) == 0x1FFF;
         if (!all_ones && (s0 >= s1 || t0 >= t1)) {
-            error_color(out, ntex);
+            error_color(out8, outf, ntex);
             return;
         }
         uint16_t c[4];
         for (int i = 0; i < 4; i++)
             c[i] = (uint16_t)blk.bits(64 + 16 * i, 16);
         for (int i = 0; i < ntex; i++)
-            for (int ch = 0; ch < 4; ch++)
-                out[i * 4 + ch] = (uint8_t)(c[ch] >> 8);
+            for (int ch = 0; ch < 4; ch++) {
+                if (out8) out8[i * 4 + ch] = (uint8_t)(c[ch] >> 8);
+                if (outf)
+                    outf[i * 4 + ch] = hdr_void
+                                           ? sf16_to_f32(c[ch])
+                                           : sf16_to_f32(unorm16_to_sf16(c[ch]));
+            }
         return;
     }
 
     BlockMode bm = decode_block_mode(mode);
     if (!bm.ok || bm.gw > bw || bm.gh > bh) {
-        error_color(out, ntex);
+        error_color(out8, outf, ntex);
         return;
     }
     const Quant& wq = kQuants[bm.rq];
     int num_weights = bm.gw * bm.gh * (bm.dual ? 2 : 1);
     int weight_bits = ise_bits(wq, num_weights);
     if (num_weights > 64 || weight_bits < 24 || weight_bits > 96) {
-        error_color(out, ntex);
+        error_color(out8, outf, ntex);
         return;
     }
 
     int num_parts = (int)blk.bits(11, 2) + 1;
     if (bm.dual && num_parts == 4) {
-        error_color(out, ntex);
+        error_color(out8, outf, ntex);
         return;
     }
 
@@ -725,7 +1034,7 @@ static void decode_block(const Block& blk, int bw, int bh, int srgb,
         num_color_values += ((cems[i] >> 2) + 1) * 2;
     int color_avail = 128 - color_start - weight_bits - extra_cem_bits - ccs_bits;
     if (num_color_values > 18 || color_avail < 0) {
-        error_color(out, ntex);
+        error_color(out8, outf, ntex);
         return;
     }
     int cq = -1;
@@ -737,7 +1046,7 @@ static void decode_block(const Block& blk, int bw, int bh, int srgb,
         }
     }
     if (cq < 0) {
-        error_color(out, ntex);
+        error_color(out8, outf, ntex);
         return;
     }
 
@@ -751,10 +1060,12 @@ static void decode_block(const Block& blk, int bw, int bh, int srgb,
         v[i] = unquant_color(kQuants[cq], cvals[i]);
 
     int e0[4][4], e1[4][4];
+    bool ehdr[4][4];
     int voff = 0;
     for (int i = 0; i < num_parts; i++) {
-        if (!decode_endpoints(cems[i], v + voff, e0[i], e1[i])) {
-            error_color(out, ntex);
+        if (!decode_endpoints_full(cems[i], v + voff, e0[i], e1[i], ehdr[i],
+                                   hdr_profile)) {
+            error_color(out8, outf, ntex);
             return;
         }
         voff += ((cems[i] >> 2) + 1) * 2;
@@ -797,12 +1108,15 @@ static void decode_block(const Block& blk, int bw, int bh, int srgb,
             }
             int part = select_partition(part_seed, s, t, 0, num_parts,
                                         small_block);
-            uint8_t* px = out + (t * bw + s) * 4;
             for (int ch = 0; ch < 4; ch++) {
                 int wgt = (bm.dual && ch == ccs) ? tw[1] : tw[0];
                 int c0 = e0[part][ch], c1 = e1[part][ch];
                 int x0, x1;
-                if (srgb) {
+                bool ch_hdr = ehdr[part][ch];
+                if (ch_hdr) {
+                    x0 = c0 << 4;  // 12-bit LNS endpoint -> 16-bit domain
+                    x1 = c1 << 4;
+                } else if (srgb) {
                     x0 = (c0 << 8) | 0x80;
                     x1 = (c1 << 8) | 0x80;
                 } else {
@@ -810,7 +1124,11 @@ static void decode_block(const Block& blk, int bw, int bh, int srgb,
                     x1 = (c1 << 8) | c1;
                 }
                 int cc = (x0 * (64 - wgt) + x1 * wgt + 32) >> 6;
-                px[ch] = (uint8_t)(cc >> 8);
+                if (out8) out8[(t * bw + s) * 4 + ch] = (uint8_t)(cc >> 8);
+                if (outf)
+                    outf[(t * bw + s) * 4 + ch] = sf16_to_f32(
+                        ch_hdr ? lns_to_sf16((uint16_t)cc)
+                               : unorm16_to_sf16((uint16_t)cc));
             }
         }
     }
@@ -834,7 +1152,7 @@ int sc_astc_unquant_color(int levels, int d, int m) {
 }
 
 // Decode an ASTC LDR 2D payload: ceil(w/bw) x ceil(h/bh) 16-byte blocks in
-// raster order -> (height, width, 4) uint8.
+// raster order -> (height, width, 4) uint8 (display-encoded).
 void sc_decode_astc(const uint8_t* data, int width, int height, int block_w,
                     int block_h, int srgb, uint8_t* out) {
     int bx = (width + block_w - 1) / block_w;
@@ -844,7 +1162,7 @@ void sc_decode_astc(const uint8_t* data, int width, int height, int block_w,
         for (int bxi = 0; bxi < bx; bxi++) {
             Block blk;
             std::memcpy(blk.b, data + (byi * bx + bxi) * 16, 16);
-            decode_block(blk, block_w, block_h, srgb, texels);
+            decode_block(blk, block_w, block_h, srgb, texels, nullptr);
             for (int t = 0; t < block_h; t++) {
                 int y = byi * block_h + t;
                 if (y >= height) break;
@@ -853,6 +1171,33 @@ void sc_decode_astc(const uint8_t* data, int width, int height, int block_w,
                     if (x >= width) break;
                     std::memcpy(out + (y * width + x) * 4,
                                 texels + (t * block_w + s) * 4, 4);
+                }
+            }
+        }
+    }
+}
+
+// Decode an ASTC HDR 2D payload -> (height, width, 4) float32. LDR blocks
+// inside the payload decode fine (unorm16 -> fp16); HDR endpoint modes
+// decode through the LNS domain.
+void sc_decode_astc_hdr(const uint8_t* data, int width, int height,
+                        int block_w, int block_h, float* out) {
+    int bx = (width + block_w - 1) / block_w;
+    int by = (height + block_h - 1) / block_h;
+    float texels[12 * 12 * 4];
+    for (int byi = 0; byi < by; byi++) {
+        for (int bxi = 0; bxi < bx; bxi++) {
+            Block blk;
+            std::memcpy(blk.b, data + (byi * bx + bxi) * 16, 16);
+            decode_block(blk, block_w, block_h, 0, nullptr, texels);
+            for (int t = 0; t < block_h; t++) {
+                int y = byi * block_h + t;
+                if (y >= height) break;
+                for (int s = 0; s < block_w; s++) {
+                    int x = bxi * block_w + s;
+                    if (x >= width) break;
+                    std::memcpy(out + (y * width + x) * 4,
+                                texels + (t * block_w + s) * 4, 16);
                 }
             }
         }

@@ -141,6 +141,32 @@ def test_uastc_srgb_transfer():
     assert abs(float(img[0, 0, 3]) - 1.0) < 1e-6
 
 
+def test_astc_hdr_matches_uncompressed_twin():
+    """The astc-tier lightvol L0 is ASTC HDR (vkFormat 1000066000); its
+    uncompressed RGBA16F twin is the ground truth. ~51 dB is the codec's
+    own loss; a decoder bug craters this (llvmpipe can't oracle HDR — it
+    quantizes ASTC decodes to UNORM8 internally)."""
+    import os
+
+    if load_native() is None:
+        pytest.skip("scnative not built")
+    base = "/root/reference/demo/web/assets/lighting"
+    if not os.path.isdir(base):
+        pytest.skip("reference assets not available")
+    from superconductor_tpu.assets.ktx2 import decode_level_images, parse_ktx2
+
+    astc = parse_ktx2(open(f"{base}/astc/lightvol.ktx2", "rb").read())
+    unc = parse_ktx2(open(f"{base}/uncompressed/lightvol.ktx2", "rb").read())
+    assert astc.vk_format == 1000066000
+    mine = decode_level_images(astc, 0)
+    ref = decode_level_images(unc, 0)
+    assert len(mine) == len(ref)
+    mse = float(np.mean([(m - r) ** 2 for m, r in zip(mine, ref)]))
+    peak = max(float(np.abs(r).max()) for r in ref)
+    psnr = 10 * np.log10(peak**2 / mse)
+    assert psnr > 45.0, psnr
+
+
 def test_astc_unquant_tables_match_oracle():
     """Color unquantization tables vs values extracted from the oracle
     (full extraction lives in tools/astc_unquant_check.py; spot-check the
