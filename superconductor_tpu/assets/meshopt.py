@@ -11,15 +11,18 @@ Codec notes (meshopt format):
     of zigzag deltas, packed in 16-value groups with a 2-bit width
     selector (0/2/4/8 bits, escape values promote to a full byte). The
     buffer tail carries the seed vertex.
-  * index codec v1: edge/vertex FIFO prediction with a 16-entry codeaux
-    table in the buffer tail.
+  * index codec v1 (TRIANGLES): edge/vertex FIFO prediction with a
+    16-entry codeaux table in the buffer tail.
+  * index sequence codec (INDICES, arbitrary topology): per index one
+    vbyte — bit 0 selects one of two running baselines, the rest is a
+    zigzag delta applied to it.
   * filters: octahedral (normals), quaternion, exponential — applied after
     decode per EXT_meshopt_compression.
 
-Validated by encoder/decoder round-trip (tests/test_meshopt.py) — the
-encoder here is an independent implementation of the same published
-format. If a real-world meshopt asset misdecodes, suspect the index codec
-first (its corner cases are the subtlest).
+Validated by encoder/decoder round-trip plus hand-assembled wire-format
+vectors (tests/test_meshopt.py) that pin the byte layout independently of
+the repo's own encoder. If a real-world meshopt asset misdecodes, suspect
+the TRIANGLES codec first (its corner cases are the subtlest).
 """
 
 from __future__ import annotations
@@ -321,6 +324,48 @@ def decode_index_buffer(data: bytes, index_count: int) -> np.ndarray:
     return out
 
 
+SEQUENCE_HEADER = 0xD0
+
+
+def decode_index_sequence(data: bytes, index_count: int) -> np.ndarray:
+    """Index SEQUENCE codec (meshopt mode 2, arbitrary topology): per
+    index one vbyte v — bit 0 selects one of two running baselines, the
+    rest is a zigzag delta applied to (and stored back into) it."""
+    if not data or (data[0] & 0xF0) != SEQUENCE_HEADER:
+        raise ValueError("bad index sequence header")
+    version = data[0] & 0x0F
+    if version > 1:
+        raise ValueError(f"unsupported index sequence version {version}")
+    pos = 1
+    last = [0, 0]
+    out = np.zeros(index_count, np.uint32)
+    for i in range(index_count):
+        v, pos = _decode_vbyte(data, pos)
+        current = v & 1
+        v >>= 1
+        d = (v >> 1) ^ (-(v & 1))
+        last[current] = (last[current] + d) & 0xFFFFFFFF
+        out[i] = last[current]
+    return out
+
+
+def encode_index_sequence(indices: np.ndarray) -> bytes:
+    """Conformant index sequence encoder (baseline picked by smaller
+    absolute delta; 4-byte zero tail like meshoptimizer's)."""
+    out = bytearray([SEQUENCE_HEADER | 1])
+    last = [0, 0]
+    for idx in np.asarray(indices, np.uint32).reshape(-1):
+        idx = int(idx)
+        d0, d1 = idx - last[0], idx - last[1]
+        current = 0 if abs(d0) <= abs(d1) else 1
+        d = idx - last[current]
+        zz = (d << 1) if d >= 0 else ((-d << 1) - 1)
+        out += _encode_vbyte((zz << 1) | current)
+        last[current] = idx
+    out += b"\0" * 4
+    return bytes(out)
+
+
 def encode_index_buffer(indices: np.ndarray) -> bytes:
     """Trivial conformant encoder: every triangle uses the 0xff escape with
     explicit indices (large output, exercises the explicit-decode path)."""
@@ -434,10 +479,28 @@ def decode_buffer_view(
             return idx.astype(np.uint16).view(np.uint8)
         return idx.astype(np.uint32).view(np.uint8)
     if mode == "INDICES":
-        # index sequence codec: not used by the reference's assets; decode
-        # via the vbyte stream (meshopt "IndexSequence").
-        raise NotImplementedError("meshopt INDICES mode not supported yet")
+        lib = _native()
+        if lib is not None and hasattr(lib, "sc_meshopt_decode_index_sequence"):
+            idx = _native_index_sequence(lib, data, count)
+        else:
+            idx = decode_index_sequence(data, count)
+        if stride == 2:
+            return idx.astype(np.uint16).view(np.uint8)
+        return idx.astype(np.uint32).view(np.uint8)
     raise ValueError(f"unknown meshopt mode {mode}")
+
+
+def _native_index_sequence(lib, data: bytes, count: int) -> np.ndarray:
+    import ctypes
+
+    out = np.zeros(count, np.uint32)
+    rc = lib.sc_meshopt_decode_index_sequence(
+        data, ctypes.c_int(len(data)), ctypes.c_int(count),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError(f"native index sequence decode failed ({rc})")
+    return out
 
 
 def _native():

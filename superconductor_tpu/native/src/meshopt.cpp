@@ -240,3 +240,31 @@ extern "C" int sc_meshopt_decode_index(const uint8_t* data, int data_size,
   }
   return 0;
 }
+
+// Index SEQUENCE codec (EXT_meshopt_compression mode 2, arbitrary
+// topology): per index one vbyte — bit 0 selects one of two running
+// baselines, the remaining bits are a zigzag delta applied to (and stored
+// back into) it.
+extern "C" int sc_meshopt_decode_index_sequence(const uint8_t* data,
+                                                int data_size,
+                                                int index_count,
+                                                uint32_t* out) {
+  if (data_size < 1) return 1;
+  if ((data[0] & 0xF0) != 0xD0) return 2;
+  int version = data[0] & 0x0F;
+  if (version > 1) return 3;
+  const uint8_t* p = data + 1;
+  const uint8_t* end = data + data_size;
+  uint32_t last[2] = {0, 0};
+  for (int i = 0; i < index_count; i++) {
+    if (p >= end) return 4;
+    uint32_t v;
+    p = decode_vbyte(p, end, &v);
+    uint32_t current = v & 1;
+    v >>= 1;
+    uint32_t d = (v >> 1) ^ (~(v & 1) + 1);
+    last[current] += d;
+    out[i] = last[current];
+  }
+  return 0;
+}

@@ -111,3 +111,81 @@ def test_gltf_meshopt_bufferview():
     g = parse_gltf(glb)
     decoded = g.accessor(0)
     np.testing.assert_allclose(decoded, pos, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Index SEQUENCE codec (mode 2)
+# ---------------------------------------------------------------------------
+
+
+def test_index_sequence_roundtrip_python():
+    from superconductor_tpu.assets.meshopt import (
+        decode_index_sequence,
+        encode_index_sequence,
+    )
+
+    rng = np.random.default_rng(4)
+    for n in (1, 7, 100, 1000):
+        idx = rng.integers(0, 5000, n).astype(np.uint32)
+        enc = encode_index_sequence(idx)
+        np.testing.assert_array_equal(decode_index_sequence(enc, n), idx)
+    # line-strip-like monotone sequence (the codec's target workload)
+    idx = np.arange(500, dtype=np.uint32)
+    enc = encode_index_sequence(idx)
+    np.testing.assert_array_equal(decode_index_sequence(enc, 500), idx)
+
+
+def test_index_sequence_native_matches_python():
+    from superconductor_tpu.assets.meshopt import (
+        _native,
+        _native_index_sequence,
+        encode_index_sequence,
+    )
+
+    lib = _native()
+    if lib is None or not hasattr(lib, "sc_meshopt_decode_index_sequence"):
+        import pytest
+
+        pytest.skip("scnative not built")
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 100000, 777).astype(np.uint32)
+    enc = encode_index_sequence(idx)
+    np.testing.assert_array_equal(_native_index_sequence(lib, enc, 777), idx)
+
+
+def test_index_sequence_wire_format_hand_vector():
+    """Hand-assembled byte stream pinning the wire format (not produced by
+    the repo's own encoder): per index one vbyte, bit0 = baseline select,
+    rest = zigzag delta applied to that baseline."""
+    from superconductor_tpu.assets.meshopt import decode_buffer_view
+
+    stream = bytes([
+        0xD1,        # header: sequence codec, version 1
+        0x00,        # baseline0 += 0          -> 0
+        0x15,        # baseline1 += +5 (zz 10) -> 5
+        0x0C,        # baseline0 += +3 (zz 6)  -> 3
+        0x03,        # baseline1 += -1 (zz 1)  -> 4
+        0x94, 0x06,  # baseline0 += +197 (zz 394, vbyte 0x94 0x06) -> 200
+        0, 0, 0, 0,  # tail padding
+    ])
+    out = decode_buffer_view(stream, mode=2, count=5, stride=4)
+    np.testing.assert_array_equal(
+        out.view(np.uint32), np.array([0, 5, 3, 4, 200], np.uint32)
+    )
+    out16 = decode_buffer_view(stream, mode="INDICES", count=5, stride=2)
+    np.testing.assert_array_equal(
+        out16.view(np.uint16), np.array([0, 5, 3, 4, 200], np.uint16)
+    )
+
+
+def test_index_triangles_wire_format_hand_vector():
+    """Hand-assembled TRIANGLES stream (not from the repo's encoder):
+    tri 0 via the 0xFE explicit-codeaux escape (all-new vertices 0,1,2),
+    tri 1 via code 0x00 = reuse newest edge (a,c)=(0,2) + new vertex 3."""
+    from superconductor_tpu.assets.meshopt import decode_index_buffer
+
+    stream = bytes([0xE1, 0xFE, 0x00]) + bytes([0x00]) + bytes(16)
+    out = decode_index_buffer(stream, 6)
+    np.testing.assert_array_equal(
+        out, np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    )
