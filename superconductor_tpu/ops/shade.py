@@ -36,7 +36,6 @@ from .texture import (
     sample_3d_from_layers,
     sample_anisotropic,
     sample_bilinear_level,
-    sample_trilinear,
 )
 from .tonemap import aces_filmic, linear_to_srgb_approx
 
@@ -314,26 +313,21 @@ def shade(
     m = scene["materials"]
     mat = gbuf.material
 
-    # Texture LOD from analytic derivatives, using the albedo texture's
-    # finest mip dimensions (one LOD shared by all material textures, which
-    # matches sampling them with the same sampler+uv in the reference).
-    alb = m["albedo_tex"][mat]
-    base_entry = tex["tex_mip_base"][alb]
-    tw = tex["mip_w"][base_entry].astype(jnp.float32)
-    th = tex["mip_h"][base_entry].astype(jnp.float32)
-    lod = mip_level_from_derivatives(
-        gbuf.duvdx[..., 0], gbuf.duvdx[..., 1],
-        gbuf.duvdy[..., 0], gbuf.duvdy[..., 1],
-        tw, th,
-    )
-    lod = jnp.maximum(lod, 0.0)
+    # Every material texture samples with aniso/trilinear LOD derived from
+    # its OWN mip-0 dimensions (sample_anisotropic computes it from the
+    # analytic uv derivatives) — matching the reference, where one GL
+    # sampler with anisotropy_clamp serves all four bindings
+    # (texture_loading.rs:140-158) and LOD is per-texture by construction.
+    def material_sample(tex_id_field):
+        return sample_anisotropic(
+            texels, tex, m[tex_id_field][mat], gbuf.uv,
+            gbuf.duvdx, gbuf.duvdy, aniso_taps,
+        )
 
-    albedo = sample_anisotropic(
-        texels, tex, alb, gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps
-    ) * m["base_color_factor"][mat]
-    mr = sample_trilinear(texels, tex, m["mr_tex"][mat], gbuf.uv, lod)
-    emissive_tex = sample_trilinear(texels, tex, m["emissive_tex"][mat], gbuf.uv, lod)
-    normal_tex = sample_trilinear(texels, tex, m["normal_tex"][mat], gbuf.uv, lod)
+    albedo = material_sample("albedo_tex") * m["base_color_factor"][mat]
+    mr = material_sample("mr_tex")
+    emissive_tex = material_sample("emissive_tex")
+    normal_tex = material_sample("normal_tex")
 
     metallic = mr[..., 2] * m["metallic_factor"][mat]
     roughness = mr[..., 1] * m["roughness_factor"][mat]

@@ -279,3 +279,44 @@ def test_khr_texture_transform_tiles_uv():
                 assert means[k] < means[k + 1] - 40, (scale, means)
             else:
                 assert means[k] > means[k + 1] + 40, (scale, means)
+
+
+def test_material_textures_use_own_lod():
+    """Each material texture's mip LOD comes from its OWN dimensions: at
+    the same uv footprint, a 4x4 texture samples mip 0 while a 16x16 one
+    samples mip ~2 (round-1 gap: normal/MR/emissive shared the albedo's
+    LOD and only albedo was anisotropic)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from superconductor_tpu.ops.texture import sample_anisotropic
+    from superconductor_tpu.scene.scene import Scene, build_mip_chain
+
+    scene = Scene()
+
+    def chain(size, colors):
+        # distinct solid color per mip level
+        levels = build_mip_chain(np.zeros((size, size, 4), np.uint8))
+        return [
+            np.full_like(lvl, colors[i]) for i, lvl in enumerate(levels)
+        ]
+
+    small = scene.textures.add_texture(chain(4, [10, 50, 90]))
+    big = scene.textures.add_texture(chain(16, [10, 50, 90, 130, 170]))
+    dev = scene.device_arrays()
+
+    uv = jnp.array([[0.5, 0.5]])
+    # footprint: one texel of the 4x4 per pixel -> lod 0 for 4x4, lod 2
+    # for 16x16
+    duv = jnp.array([[0.25, 0.0]])
+    dzero = jnp.zeros((1, 2))
+    s_small = sample_anisotropic(
+        dev["texels"], dev["tex"], jnp.array([small]), uv, duv, dzero, 1,
+        decode_srgb=False,
+    )
+    s_big = sample_anisotropic(
+        dev["texels"], dev["tex"], jnp.array([big]), uv, duv, dzero, 1,
+        decode_srgb=False,
+    )
+    assert abs(float(s_small[0, 0]) * 255 - 10) < 2, s_small
+    assert abs(float(s_big[0, 0]) * 255 - 90) < 25, s_big
