@@ -30,7 +30,34 @@ def main():
     ap.add_argument("--out", default="/tmp/sc_demo")
     ap.add_argument("--raster", default="auto")
     ap.add_argument("--particles", action="store_true", help="spawn test particles")
-    ap.add_argument("--debug-lines", action="store_true")
+    ap.add_argument("--debug-lines", action="store_true", help="ground grid lines")
+    ap.add_argument(
+        "--debug-overlays",
+        action="store_true",
+        help="skeleton + bounding-box line overlays (src/systems/debugging.rs)",
+    )
+    ap.add_argument(
+        "--path",
+        default="orbit",
+        choices=["orbit", "fly"],
+        help="camera path: smoothed orbit, or a scripted fly-through",
+    )
+    ap.add_argument(
+        "--script",
+        default=None,
+        help="camera script file for --path fly (see render/rig.py syntax)",
+    )
+    ap.add_argument(
+        "--head-turn",
+        action="store_true",
+        help="VRM head-turn analog: sinusoidal yaw on animated models' last "
+        "joint (demo/src/lib.rs:196-228)",
+    )
+    ap.add_argument(
+        "--animated-model",
+        default=None,
+        help="additionally spawn an animated glTF/GLB at the origin",
+    )
     ap.add_argument(
         "--ibl",
         default=None,
@@ -88,7 +115,7 @@ def main():
                 raster=args.raster,
                 enable_clip=True,
                 enable_blend=True,
-                enable_lines=args.debug_lines,
+                enable_lines=args.debug_lines or args.debug_overlays,
                 enable_particles=args.particles,
             ),
             client=FileClient(),
@@ -123,6 +150,12 @@ def main():
     model_e = w.spawn(ModelUrl(model_path))
     w.spawn(Instance(sc.Similarity()), InstanceOf(model_e))
 
+    if args.animated_model:
+        from superconductor_tpu.ecs.components import AnimatedModelUrl
+
+        anim_e = w.spawn(AnimatedModelUrl(args.animated_model))
+        w.spawn(Instance(sc.Similarity()), InstanceOf(anim_e))
+
     # Per-frame pushes must happen AFTER BufferResetting clears; register
     # a system in the InstanceBuffering stage (like the reference's debug
     # systems, src/systems/debugging.rs).
@@ -149,20 +182,84 @@ def main():
 
     app.add_system(Stage.INSTANCE_BUFFERING, push_debug_content)
 
+    if args.debug_overlays:
+        from superconductor_tpu.ecs.debugging import (
+            push_bounding_boxes_to_lines,
+            push_joints_to_lines,
+        )
+
+        app.add_system(Stage.INSTANCE_BUFFERING, push_joints_to_lines)
+        app.add_system(Stage.INSTANCE_BUFFERING, push_bounding_boxes_to_lines)
+
+    if args.head_turn:
+        # VRM head-turn analog (animate_vrms, demo/src/lib.rs:196-228):
+        # after animation sampling, yaw the last joint sinusoidally.
+        from superconductor_tpu.ecs.components import (
+            InstanceOf as _IOf,
+            JointsComponent,
+            ModelComponent,
+        )
+        from superconductor_tpu.math3d import quat_from_axis_angle
+
+        def turn_heads(world):
+            t = frame_no["n"] / 60.0
+            yaw = 0.7 * np.sin(t * 2.0 * np.pi / 2.0)
+            for _e, jc, of in world.query(JointsComponent, _IOf):
+                mc = world.get(of.model_entity, ModelComponent)
+                if mc is None or mc.model.num_joints == 0:
+                    continue
+                head = int(mc.model.joint_node_indices[-1])
+                jc.joints.set_local(
+                    head,
+                    sc.Similarity(
+                        translation=jc.joints.local_translation[head],
+                        rotation=quat_from_axis_angle([0, 1, 0], yaw),
+                        scale=float(jc.joints.local_scale[head]),
+                    ),
+                )
+
+        app.add_system(Stage.INSTANCE_BUFFERING, turn_heads)
+
     os.makedirs(args.out, exist_ok=True)
     import imageio.v3 as iio
+
+    from superconductor_tpu.render.rig import FlyCameraRig, parse_camera_script
+
+    # Dolly-smoothed camera rig (CameraRig<Position+YawPitch+Smooth>,
+    # demo/src/lib.rs:88-98, 374-397).
+    rig = FlyCameraRig(position=(8.0, 2.0, 3.0), speed=6.0)
+    rig.look_at((8.0, 2.0, 3.0), (0, 1.5, 0))
+    rig.pos = rig.target_pos.copy()
+    rig.yaw, rig.pitch = rig.target_yaw, rig.target_pitch
+    script = None
+    if args.path == "fly":
+        if args.script:
+            with open(args.script) as f:
+                script = parse_camera_script(f.read())
+        else:
+            # default fly-through: push forward, sweep right, climb
+            script = parse_camera_script(
+                "0-30 w\n31-60 w+d mouse=1.2,0\n61-90 w mouse=-1.2,-0.4\n"
+                "91-999 w+e mouse=0.6,0.3\n"
+            )
 
     cam_res = w.resource(CameraResource)
     n = 0
     t_start = time.time()
     frame_times = []
+    dt = 1.0 / 60.0
     while n < args.frames:
-        # orbiting camera
-        ang = 0.35 + 0.1 * n
-        eye = np.array([8.0 * np.cos(ang), 2.0, 8.0 * np.sin(ang)], np.float32)
-        view = look_at(eye, [0, 1.5, 0])
-        cam_res.camera.position = eye
-        cam_res.camera.rotation = mat3_to_quat(mat4_inverse(view)[:3, :3])
+        if script is not None:
+            keys, mouse = script.get(n, (set(), (0.0, 0.0)))
+            rig.apply_keys(keys, dt=dt, mouse=mouse)
+        else:
+            # orbit waypoints; the rig smooths between them
+            ang = 0.35 + 0.1 * n
+            eye = np.array(
+                [8.0 * np.cos(ang), 2.0, 8.0 * np.sin(ang)], np.float32
+            )
+            rig.look_at(eye, [0, 1.5, 0])
+        cam_res.camera.position, cam_res.camera.rotation = rig.update(dt)
 
         frame_no["n"] = n
         t0 = time.time()
