@@ -94,12 +94,23 @@ def load_lightmaps(scene: Scene, l0: bytes, lx: bytes, ly: bytes, lz: bytes):
 
 
 def load_smoke_textures(scene: Scene, smoke_a: bytes, smoke_b: bytes, lut: bytes):
+    """Smoke light maps + emissive LUT into the LDR u8 pool.
+
+    The content is LDR (BC7 / RGBA8-sRGB, up to 4096x4096); storing it as
+    u8 like the reference's texture bindings keeps the pool 16x smaller
+    than float32 and skips a pathologically slow host-side u8->f32
+    inflation. The sampler normalizes u8 to [0,1] and TEXFLAG_SRGB handles
+    the LUT's transfer function in-shader."""
+    from ..scene.scene import TEXFLAG_SRGB
+    from .ktx2 import decode_level_u8
+
     ids = []
     for data in (smoke_a, smoke_b, lut):
         ktx = parse_ktx2(data)
-        img = decode_level_images(ktx, 0)[0]
+        u8 = decode_level_u8(ktx, 0)
+        flags = TEXFLAG_SRGB if ktx.is_srgb_transfer or ktx.vk_format == 43 else 0
         ids.append(
-            scene.textures_hdr.add_texture([img.astype(np.float32)], wrap=WRAP_CLAMP)
+            scene.textures.add_texture([u8], wrap=WRAP_CLAMP, flags=flags)
         )
     scene.smoke_tex = tuple(ids)
     return scene.smoke_tex

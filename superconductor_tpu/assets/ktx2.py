@@ -192,7 +192,9 @@ def _decode_image_payload(
     if fmt in (VK_FORMAT_BC7_UNORM, VK_FORMAT_BC7_SRGB):
         from ..native import bc7
 
-        arr = bc7.decode_bc7(payload, w, h).astype(np.float32) / 255.0
+        arr = bc7.decode_bc7(payload, w, h).astype(np.float32)
+        arr *= np.float32(1.0 / 255.0)  # in-place: scalar f32 division is
+        # pathologically slow in this numpy build (~200x vs multiply)
         if fmt == VK_FORMAT_BC7_SRGB and linearize:
             arr = _srgb_to_linear(arr)
         return arr
@@ -207,7 +209,8 @@ def _decode_image_payload(
         srgb = fmt == VK_FORMAT_ASTC_4x4_SRGB or (
             ktx.is_uastc and ktx.is_srgb_transfer
         )
-        arr = decode_astc(payload, w, h, srgb=srgb).astype(np.float32) / 255.0
+        arr = decode_astc(payload, w, h, srgb=srgb).astype(np.float32)
+        arr *= np.float32(1.0 / 255.0)
         if srgb and linearize:
             arr = _srgb_to_linear(arr)
         return arr
@@ -261,10 +264,44 @@ def decode_level_images(
     return images
 
 
+def decode_level_u8(ktx: Ktx2, level: int, image: int = 0) -> np.ndarray:
+    """Display-encoded (h, w, 4) uint8 decode of one LDR image with NO
+    float round trip — host allocations are expensive (first-touch page
+    faults run ~50 MB/s in this VM), so the LDR texture-pool path goes
+    decoder-output -> pool directly."""
+    w, h, _d = ktx.level_dims(level)
+    raw = ktx.level_bytes(level)
+    size = _image_size_bytes(ktx, w, h)
+    payload = raw[image * size : (image + 1) * size]
+    fmt = ktx.vk_format
+    if fmt in (VK_FORMAT_R8G8B8A8_UNORM, VK_FORMAT_R8G8B8A8_SRGB):
+        return np.frombuffer(payload, np.uint8).reshape(h, w, 4).copy()
+    if fmt in (VK_FORMAT_BC7_UNORM, VK_FORMAT_BC7_SRGB):
+        from ..native import bc7
+
+        return bc7.decode_bc7(payload, w, h)
+    if fmt in (VK_FORMAT_ASTC_4x4_UNORM, VK_FORMAT_ASTC_4x4_SRGB) or ktx.is_uastc:
+        from ..native.astc import decode_astc
+
+        srgb = fmt == VK_FORMAT_ASTC_4x4_SRGB or (
+            ktx.is_uastc and ktx.is_srgb_transfer
+        )
+        return decode_astc(payload, w, h, srgb=srgb)
+    raise NotImplementedError(f"vkFormat {fmt} has no u8 decode")
+
+
 def decode_ktx2_rgba8(data: bytes) -> np.ndarray:
     """First image of mip 0 as display-encoded (h, w, 4) uint8 — the glTF
     LDR texture-pool path (TEXFLAG_SRGB handles transfer in-shader, so the
     bytes are NOT linearized here; double conversion otherwise)."""
     ktx = parse_ktx2(data)
-    img = decode_level_images(ktx, 0, linearize=False)[0]
-    return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    try:
+        return decode_level_u8(ktx, 0)
+    except NotImplementedError:
+        img = decode_level_images(ktx, 0, linearize=False)[0]
+        out = np.empty(img.shape, np.uint8)
+        np.multiply(img, 255.0, out=img)
+        np.clip(img, 0, 255, out=img)
+        np.rint(img, out=img)
+        out[:] = img
+        return out

@@ -129,7 +129,7 @@ class TextureStreamer:
 
     def _stream_ktx2(self, url, srgb, wrap, key, head: bytes) -> None:
         """Smallest-mip-first via byte-range reads (textures.rs:784-923)."""
-        from .ktx2 import decode_level_images, parse_ktx2
+        from .ktx2 import decode_level_u8, parse_ktx2
 
         width, height = struct.unpack_from("<2I", head, 20)
         levels_n = struct.unpack_from("<I", head, 40)[0] or 1
@@ -147,11 +147,10 @@ class TextureStreamer:
         fake = bytearray(head[: 80 + 24 * levels_n])
         fake.extend(b"\0" * max(0, off + blen - len(fake)))
         fake[off : off + blen] = smallest
-        # linearize=False: the LDR pool stores display-encoded u8 texels;
+        # u8 end-to-end: the LDR pool stores display-encoded u8 texels;
         # TEXFLAG_SRGB converts in-shader (one conversion, not two).
         ktx = parse_ktx2(bytes(fake))
-        img = decode_level_images(ktx, levels_n - 1, linearize=False)[0]
-        img8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        img8 = decode_level_u8(ktx, levels_n - 1)
         self._push(
             _PendingSwap(
                 key=key, phase="preview", srgb=srgb, wrap=wrap,
@@ -162,13 +161,7 @@ class TextureStreamer:
         # Phase 2: everything.
         data = self.client.fetch_bytes(url)
         ktx = parse_ktx2(data)
-        chain = [
-            np.clip(
-                np.round(decode_level_images(ktx, i, linearize=False)[0] * 255.0),
-                0, 255,
-            ).astype(np.uint8)
-            for i in range(levels_n)
-        ]
+        chain = [decode_level_u8(ktx, i) for i in range(levels_n)]
         self._push(
             _PendingSwap(key=key, phase="final", srgb=srgb, wrap=wrap, levels=chain)
         )

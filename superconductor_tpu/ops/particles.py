@@ -155,8 +155,10 @@ def shade_particles(
 
     n = pair.shape[0]
     if env.smoke_tex_ids is not None:
-        texels = scene["texels_hdr"]
-        tex = scene["tex_hdr"]
+        # smoke maps live in the LDR u8 pool (environment.py); the sampler
+        # normalizes to [0,1]
+        texels = scene["texels"]
+        tex = scene["tex"]
         lvl = jnp.zeros(n, jnp.int32)
         smoke_a = sample_bilinear_level(
             texels, tex, jnp.full((n,), env.smoke_tex_ids[0], jnp.int32), uv, lvl, False
@@ -226,12 +228,12 @@ def shade_particles(
     if env.smoke_tex_ids is not None:
         lut_uv = jnp.stack([emissive_s, particles["lut_y"][pid]], axis=-1)
         lut = sample_bilinear_level(
-            scene["texels_hdr"],
-            scene["tex_hdr"],
+            scene["texels"],
+            scene["tex"],
             jnp.full((n,), env.smoke_tex_ids[2], jnp.int32),
             lut_uv,
             jnp.zeros(n, jnp.int32),
-            False,
+            True,  # the LUT is sRGB-encoded (TEXFLAG_SRGB decodes it)
         )[..., :3]
     else:
         lut = jnp.zeros((n, 3), jnp.float32)
