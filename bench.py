@@ -41,19 +41,24 @@ def _aim(cam, target, look_at, mat4_inverse, mat3_to_quat):
     cam.rotation = mat3_to_quat(mat4_inverse(v)[:3, :3])
 
 
-def _measure(frame_fn, n=60):
+def _measure(frame_fn, n=40, windows=5):
+    """Median FPS over `windows` timing windows of `n` frames each — the
+    axon tunnel adds multi-ms interference spikes, so a single window can
+    under-report by 2x."""
     t0 = time.time()
     img = frame_fn(0.0)
     img.block_until_ready()
     compile_s = time.time() - t0
     for i in range(3):
         frame_fn(0.1 * (i + 1)).block_until_ready()
-    t0 = time.time()
-    for i in range(n):
-        img = frame_fn(0.01 * i)
-    img.block_until_ready()
-    dt = (time.time() - t0) / n
-    return 1.0 / dt, compile_s, img
+    rates = []
+    for w in range(windows):
+        t0 = time.time()
+        for i in range(n):
+            img = frame_fn(0.01 * i + w)
+        img.block_until_ready()
+        rates.append(n / (time.time() - t0))
+    return float(np.median(rates)), compile_s, img
 
 
 def bench_headline(sc, width=1920, height=1080):
@@ -149,7 +154,7 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=16):
     # Sponza-scale triangle load: 16 PBR spheres (~15.5k tris each) around
     # the cube field; every 5th clipped, every 7th blended.
     spheres = []
-    for i in range(16):
+    for i in range(n_spheres):
         m = add_pbr_sphere(scene, name=f"sphere{i}")
         mat = scene.materials[m.primitives[0].material]
         if i % 5 == 1:
