@@ -110,3 +110,27 @@ def test_frame_stats_report_bin_pair_need(box_glb):
     img, stats_ok = render_frame_stats(scene.device_arrays(), state, cfg_ok)
     assert int(stats_ok["pairs_needed"]) == pairs
     assert img.shape == (1, 64, 128, 4)
+
+
+def test_ecs_grows_p_cap_on_pallas_overflow(caplog):
+    """ECS render detects bin-pair overflow from the frame stats and
+    re-renders with a grown p_cap (pallas interpret mode on CPU)."""
+    import logging
+
+    glb = make_box_glb()
+    app = _make_app(
+        {"box.glb": glb}, width=128, height=64, t_cap=16, p_cap=2,
+        raster="pallas",
+    )
+    with caplog.at_level(logging.WARNING):
+        img = _load_and_render(app, "box.glb")
+    cfg = app.world.resource(RenderSettings).config
+    assert cfg.p_cap > 2, cfg.p_cap
+    assert any("bin-pair capacity" in r.message for r in caplog.records)
+    # the re-rendered frame contains the full box
+    big = _make_app(
+        {"box.glb": glb}, width=128, height=64, t_cap=16, p_cap=256,
+        raster="pallas",
+    )
+    img_big = _load_and_render(big, "box.glb")
+    assert np.array_equal(img, img_big)
