@@ -1,0 +1,277 @@
+"""Independent forward-rendering oracle: llvmpipe GL + GLSL shaders.
+
+The engine's two rasterizers (ops/raster_ref.py and ops/raster_pallas.py)
+share their setup and shading code, so cross-checking them cannot catch a
+shared shading-math bug. This module renders the same scene through a
+THIRD, fully independent pipeline — Mesa's software GL rasterizer with
+the lighting model re-implemented in GLSL from the same published
+equations the reference's shaders use (nonlinear L1 SH irradiance,
+shared-structs/src/lib.rs:357-388; GGX dominant-direction specular,
+shaders/src/lib.rs:777-815; Narkowicz ACES + gamma-2.2, lib.rs:616-624).
+
+Used by tests/test_gl_oracle.py as the external visual-parity evidence
+standing in for "PSNR vs wgpu reference frames" (no wgpu/cargo exists in
+this environment; llvmpipe is the same class of oracle the repo already
+uses for compressed-texture decode).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+# PyOpenGL must resolve the current context through EGL (the default GLX
+# platform sees no context for our surfaceless EGL setup). Must be set
+# before any OpenGL import anywhere in the process.
+if "OpenGL" not in sys.modules:
+    os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
+
+VERT_SRC = b"""
+#version 330 core
+layout(location = 0) in vec3 in_pos;
+layout(location = 1) in vec3 in_normal;
+uniform mat4 u_view_proj;
+uniform vec3 u_translation;
+uniform float u_scale;
+uniform vec4 u_quat;
+out vec3 v_world;
+out vec3 v_normal;
+
+vec3 quat_rotate(vec4 q, vec3 v) {
+    vec3 t = 2.0 * cross(q.xyz, v);
+    return v + q.w * t + cross(q.xyz, t);
+}
+
+void main() {
+    vec3 world = u_translation + u_scale * quat_rotate(u_quat, in_pos);
+    v_world = world;
+    v_normal = quat_rotate(u_quat, in_normal);
+    gl_Position = u_view_proj * vec4(world, 1.0);
+}
+"""
+
+FRAG_SRC = b"""
+#version 330 core
+in vec3 v_world;
+in vec3 v_normal;
+out vec4 frag;
+uniform vec4 u_base_color;
+uniform float u_metallic;
+uniform float u_roughness;
+uniform int u_unlit;
+uniform vec3 u_eye;
+uniform vec3 u_sh0;
+uniform vec3 u_sh1x;
+uniform vec3 u_sh1y;
+uniform vec3 u_sh1z;
+
+// Nonlinear L1 SH irradiance, per channel (the reference's
+// eval_spherical_harmonics_nonlinear).
+float sh_eval_channel(float r0, vec3 r1, vec3 n) {
+    float len = length(r1) + 1e-10;
+    float a = (1.0 - len) / (1.0 + len);
+    float p = 1.0 + 2.0 * len;
+    float q = max(0.5 * (1.0 + dot(r1, n)), 0.0);
+    return r0 * (a + (1.0 - a) * (p + 1.0) * pow(q, p));
+}
+
+vec3 aces(vec3 x) {
+    return clamp((x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14),
+                 0.0, 1.0);
+}
+
+void main() {
+    vec3 albedo = u_base_color.rgb;
+    if (u_unlit != 0) {
+        frag = vec4(pow(clamp(albedo, 0.0, 1.0), vec3(1.0 / 2.2)),
+                    u_base_color.a);
+        return;
+    }
+    vec3 n = normalize(v_normal);
+    if (!gl_FrontFacing) n = -n;
+    vec3 view = normalize(u_eye - v_world);
+
+    // SH channel direction vectors: r1_for_channel_c = (sh1x[c], sh1y[c],
+    // sh1z[c]).
+    vec3 r1r = vec3(u_sh1x.r, u_sh1y.r, u_sh1z.r);
+    vec3 r1g = vec3(u_sh1x.g, u_sh1y.g, u_sh1z.g);
+    vec3 r1b = vec3(u_sh1x.b, u_sh1y.b, u_sh1z.b);
+
+    vec3 irradiance = vec3(sh_eval_channel(u_sh0.r, r1r, n),
+                           sh_eval_channel(u_sh0.g, r1g, n),
+                           sh_eval_channel(u_sh0.b, r1b, n));
+    vec3 diffuse = albedo * (1.0 - u_metallic) * irradiance;
+
+    // Dominant-direction GGX specular approximation
+    // (spherical_harmonics_specular_approximation), with sh0 boosted by
+    // pi^2 as the reference does before specular.
+    vec3 sh0_boost = u_sh0 * (3.14159265 * 3.14159265);
+    vec3 avg_dir = (r1r + r1g + r1b) / 3.0;
+    float dir_len = length(avg_dir) + 1e-10;
+    float smoothness = 1.0 - u_roughness;
+    float adj_smooth = smoothness * sqrt(dir_len);
+    float arp = 1.0 - adj_smooth;
+    float rough = arp * arp;
+    vec3 l = avg_dir / dir_len;
+    vec3 strength = sh0_boost * dir_len;
+
+    vec3 h = normalize(view + l);
+    float ndv = max(dot(n, view), 1e-4);
+    float ndl = max(dot(n, l), 0.0);
+    float ndh = max(dot(n, h), 0.0);
+    float vdh = max(dot(view, h), 0.0);
+    float a2 = rough * rough;
+    float denom = ndh * ndh * (a2 - 1.0) + 1.0;
+    float D = a2 / max(3.14159265 * denom * denom, 1e-8);
+    float lv = ndl * sqrt(ndv * ndv * (1.0 - a2) + a2);
+    float ll = ndv * sqrt(ndl * ndl * (1.0 - a2) + a2);
+    float V = 0.5 / max(lv + ll, 1e-8);
+    vec3 f0 = mix(vec3(0.04), albedo, u_metallic);
+    vec3 F = f0 + (1.0 - f0) * pow(1.0 - vdh, 5.0);
+    vec3 specular = (D * V) * F * strength * ndl;
+
+    vec3 lit = diffuse + specular;
+    lit = aces(lit);
+    lit = pow(clamp(lit, 0.0, 1.0), vec3(1.0 / 2.2));
+    frag = vec4(lit, u_base_color.a);
+}
+"""
+
+
+class GlForwardRenderer:
+    """Offscreen GL renderer matching the engine's frame conventions:
+    wgpu-style [0,1] reverse-z clip (glClipControl), row 0 = top."""
+
+    def __init__(self, width: int, height: int):
+        from .gldecode import _get, _lock
+
+        self._lock = _lock
+        with _lock:
+            _get()  # surfaceless EGL context, made current
+        import OpenGL.GL as gl
+
+        self.gl = gl
+        self.width = width
+        self.height = height
+        with _lock:
+            self._setup()
+
+    def _setup(self):
+        gl = self.gl
+        self.fbo = gl.glGenFramebuffers(1)
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+        self.color = gl.glGenTextures(1)
+        gl.glBindTexture(gl.GL_TEXTURE_2D, self.color)
+        gl.glTexImage2D(gl.GL_TEXTURE_2D, 0, gl.GL_RGBA8, self.width,
+                        self.height, 0, gl.GL_RGBA, gl.GL_UNSIGNED_BYTE, None)
+        gl.glFramebufferTexture2D(gl.GL_FRAMEBUFFER, gl.GL_COLOR_ATTACHMENT0,
+                                  gl.GL_TEXTURE_2D, self.color, 0)
+        self.depth = gl.glGenRenderbuffers(1)
+        gl.glBindRenderbuffer(gl.GL_RENDERBUFFER, self.depth)
+        gl.glRenderbufferStorage(gl.GL_RENDERBUFFER, gl.GL_DEPTH_COMPONENT32F,
+                                 self.width, self.height)
+        gl.glFramebufferRenderbuffer(gl.GL_FRAMEBUFFER, gl.GL_DEPTH_ATTACHMENT,
+                                     gl.GL_RENDERBUFFER, self.depth)
+        assert (gl.glCheckFramebufferStatus(gl.GL_FRAMEBUFFER)
+                == gl.GL_FRAMEBUFFER_COMPLETE)
+
+        def compile_shader(src, kind):
+            s = gl.glCreateShader(kind)
+            gl.glShaderSource(s, src)
+            gl.glCompileShader(s)
+            if not gl.glGetShaderiv(s, gl.GL_COMPILE_STATUS):
+                raise RuntimeError(gl.glGetShaderInfoLog(s).decode())
+            return s
+
+        self.prog = gl.glCreateProgram()
+        gl.glAttachShader(self.prog, compile_shader(VERT_SRC, gl.GL_VERTEX_SHADER))
+        gl.glAttachShader(self.prog, compile_shader(FRAG_SRC, gl.GL_FRAGMENT_SHADER))
+        gl.glLinkProgram(self.prog)
+        if not gl.glGetProgramiv(self.prog, gl.GL_LINK_STATUS):
+            raise RuntimeError(gl.glGetProgramInfoLog(self.prog).decode())
+        self.vao = gl.glGenVertexArrays(1)
+
+    def render(
+        self,
+        draws,
+        view_proj: np.ndarray,
+        eye: np.ndarray,
+        sh: np.ndarray,  # (4, 3) [L0, L1x, L1y, L1z] rgb
+        clear_color=(0.0, 0.0, 0.0, 1.0),
+    ) -> np.ndarray:
+        """draws: list of dicts {positions (V,3), normals (V,3), indices
+        (I,), base_color (4,), metallic, roughness, unlit, double_sided,
+        translation (3,), scale, quat (4,)}. Returns (H, W, 4) u8,
+        row 0 = top."""
+        with self._lock:
+            return self._render(draws, view_proj, eye, sh, clear_color)
+
+    def _render(self, draws, view_proj, eye, sh, clear_color):
+        gl = self.gl
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+        gl.glViewport(0, 0, self.width, self.height)
+        # wgpu-style [0,1] depth range + reverse-z
+        gl.glClipControl(gl.GL_LOWER_LEFT, gl.GL_ZERO_TO_ONE)
+        gl.glEnable(gl.GL_DEPTH_TEST)
+        gl.glDepthFunc(gl.GL_GREATER)
+        gl.glClearDepth(0.0)
+        gl.glClearColor(*clear_color)
+        gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
+        gl.glUseProgram(self.prog)
+        gl.glBindVertexArray(self.vao)
+
+        loc = lambda n: gl.glGetUniformLocation(self.prog, n)
+        gl.glUniformMatrix4fv(loc("u_view_proj"), 1, gl.GL_TRUE,
+                              np.asarray(view_proj, np.float32))
+        gl.glUniform3fv(loc("u_eye"), 1, np.asarray(eye, np.float32))
+        sh = np.asarray(sh, np.float32)
+        gl.glUniform3fv(loc("u_sh0"), 1, sh[0])
+        gl.glUniform3fv(loc("u_sh1x"), 1, sh[1])
+        gl.glUniform3fv(loc("u_sh1y"), 1, sh[2])
+        gl.glUniform3fv(loc("u_sh1z"), 1, sh[3])
+
+        buffers = []
+        for d in draws:
+            pos = np.ascontiguousarray(d["positions"], np.float32)
+            nrm = np.ascontiguousarray(d["normals"], np.float32)
+            idx = np.ascontiguousarray(d["indices"], np.uint32)
+            vbo = gl.glGenBuffers(1)
+            nbo = gl.glGenBuffers(1)
+            ibo = gl.glGenBuffers(1)
+            buffers += [vbo, nbo, ibo]
+            gl.glBindBuffer(gl.GL_ARRAY_BUFFER, vbo)
+            gl.glBufferData(gl.GL_ARRAY_BUFFER, pos.nbytes, pos, gl.GL_STATIC_DRAW)
+            gl.glEnableVertexAttribArray(0)
+            gl.glVertexAttribPointer(0, 3, gl.GL_FLOAT, gl.GL_FALSE, 0, None)
+            gl.glBindBuffer(gl.GL_ARRAY_BUFFER, nbo)
+            gl.glBufferData(gl.GL_ARRAY_BUFFER, nrm.nbytes, nrm, gl.GL_STATIC_DRAW)
+            gl.glEnableVertexAttribArray(1)
+            gl.glVertexAttribPointer(1, 3, gl.GL_FLOAT, gl.GL_FALSE, 0, None)
+            gl.glBindBuffer(gl.GL_ELEMENT_ARRAY_BUFFER, ibo)
+            gl.glBufferData(gl.GL_ELEMENT_ARRAY_BUFFER, idx.nbytes, idx,
+                            gl.GL_STATIC_DRAW)
+
+            if d.get("double_sided", False):
+                gl.glDisable(gl.GL_CULL_FACE)
+            else:
+                gl.glEnable(gl.GL_CULL_FACE)
+                gl.glCullFace(gl.GL_BACK)
+            gl.glUniform4fv(loc("u_base_color"), 1,
+                            np.asarray(d["base_color"], np.float32))
+            gl.glUniform1f(loc("u_metallic"), float(d.get("metallic", 1.0)))
+            gl.glUniform1f(loc("u_roughness"), float(d.get("roughness", 1.0)))
+            gl.glUniform1i(loc("u_unlit"), int(d.get("unlit", False)))
+            gl.glUniform3fv(loc("u_translation"), 1,
+                            np.asarray(d.get("translation", (0, 0, 0)), np.float32))
+            gl.glUniform1f(loc("u_scale"), float(d.get("scale", 1.0)))
+            gl.glUniform4fv(loc("u_quat"), 1,
+                            np.asarray(d.get("quat", (0, 0, 0, 1)), np.float32))
+            gl.glDrawElements(gl.GL_TRIANGLES, len(idx), gl.GL_UNSIGNED_INT, None)
+
+        out = gl.glReadPixels(0, 0, self.width, self.height, gl.GL_RGBA,
+                              gl.GL_UNSIGNED_BYTE)
+        gl.glDeleteBuffers(len(buffers), buffers)
+        img = np.frombuffer(out, np.uint8).reshape(self.height, self.width, 4)
+        return img[::-1].copy()  # GL reads bottom-up; engine rows are top-down

@@ -1,0 +1,150 @@
+"""External visual parity: the engine vs an independent GL forward
+renderer (llvmpipe + GLSL re-implementation of the same published shading
+equations). BASELINE.json's quality gate is PSNR >= 35 dB vs reference
+frames; no wgpu exists in this environment, so Mesa's software GL is the
+third opinion (the engine's two rasterizers share setup/shading code, so
+only an external pipeline can catch a shared math bug).
+
+Measured at 512x512 (2026-08-16): unlit = inf dB (bit-exact — the
+watertight rasterizer reproduces Mesa's pixel coverage exactly),
+diffuse 60.6 dB, metal 47.1 dB, rough_mix 55.4 dB. The assert stays at
+the official 35 dB gate."""
+
+import numpy as np
+import pytest
+
+from superconductor_tpu import (
+    Camera,
+    EnvBindings,
+    RenderConfig,
+    Scene,
+    Similarity,
+    make_uniforms,
+    render_frame,
+)
+from superconductor_tpu.math3d import look_at, mat3_to_quat, mat4_inverse
+from superconductor_tpu.render.draws import build_frame_state
+from superconductor_tpu.scene.scene import MAT_UNLIT, MaterialSettings
+from superconductor_tpu.utils.metrics import psnr
+
+
+def _gl_renderer(width, height):
+    try:
+        from superconductor_tpu.native.gloracle import GlForwardRenderer
+
+        return GlForwardRenderer(width, height)
+    except Exception as e:
+        pytest.skip(f"GL oracle unavailable: {e!r}")
+
+
+def _encoded_clear(c):
+    """The engine's miss path tonemaps + srgb-encodes the clear color
+    (inline path); GL clears with raw values, so pre-encode for parity."""
+    c = np.asarray(c, np.float32)
+    c = np.clip((c * (2.51 * c + 0.03)) / (c * (2.43 * c + 0.59) + 0.14), 0, 1)
+    return tuple(np.power(c, 1 / 2.2).tolist()) + (1.0,)
+
+
+def _camera(pos, target, width, height):
+    cam = Camera(position=np.asarray(pos, np.float32))
+    v = look_at(cam.position, target)
+    cam.rotation = mat3_to_quat(mat4_inverse(v)[:3, :3])
+    return make_uniforms(cam, width, height)
+
+
+def _engine_render(scene, model, uniforms, width, height, env):
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    config = RenderConfig(width=width, height=height, raster="ref")
+    return np.asarray(
+        render_frame(scene.device_arrays(), state, config, env)
+    )[0]
+
+
+def _add_mesh(scene, pos, nrm, uv, idx, mat):
+    from superconductor_tpu.scene.scene import Model, Primitive, PrimitiveLod
+
+    first, count, fv, vc = scene.insert_static_mesh(
+        pos, nrm, uv, np.zeros_like(uv), idx, mat
+    )
+    prim = Primitive(
+        material=mat, blend_mode=0, double_sided=False, animated=False,
+        lods=[PrimitiveLod(first_index=first, index_count=count,
+                           first_vertex=fv, vertex_count=vc)],
+        bounding_sphere_radius=float(np.linalg.norm(pos, axis=1).max()),
+        bbox_min=pos.min(0), bbox_max=pos.max(0),
+    )
+    return Model(primitives=[prim])
+
+
+SH = np.array(
+    [
+        [0.8, 0.75, 0.7],      # L0
+        [0.20, 0.18, 0.15],    # L1x / L0 ratios
+        [0.35, 0.35, 0.30],    # L1y
+        [0.10, 0.10, 0.08],    # L1z
+    ],
+    np.float32,
+)
+
+
+def _sphere_arrays():
+    from superconductor_tpu.utils.procgen import uv_sphere
+
+    return uv_sphere(48, 48)
+
+
+@pytest.mark.parametrize(
+    "case", ["unlit", "diffuse", "metal", "rough_mix"]
+)
+def test_engine_matches_gl_oracle(case):
+    width = height = 512
+    gl = _gl_renderer(width, height)
+
+    params = {
+        "unlit": dict(base=(0.9, 0.3, 0.1, 1.0), metallic=0.0,
+                      roughness=1.0, unlit=True),
+        "diffuse": dict(base=(0.8, 0.8, 0.8, 1.0), metallic=0.0,
+                        roughness=1.0, unlit=False),
+        "metal": dict(base=(0.9, 0.7, 0.4, 1.0), metallic=1.0,
+                      roughness=0.3, unlit=False),
+        "rough_mix": dict(base=(0.4, 0.6, 0.9, 1.0), metallic=0.5,
+                          roughness=0.6, unlit=False),
+    }[case]
+
+    pos, nrm, uv, idx = _sphere_arrays()
+
+    # --- engine ---
+    scene = Scene()
+    mat = scene.add_material(
+        MaterialSettings(
+            base_color_factor=params["base"],
+            metallic_factor=params["metallic"],
+            roughness_factor=params["roughness"],
+            flags=MAT_UNLIT if params["unlit"] else 0,
+        )
+    )
+    model = _add_mesh(scene, pos, nrm, uv, idx, mat)
+    uniforms = _camera([0.6, 0.5, 2.2], [0, 0, 0], width, height)
+    env = EnvBindings(
+        ambient_sh=tuple(SH.reshape(-1).tolist()),
+        clear_color=(0.1, 0.12, 0.15),
+    )
+    mine = _engine_render(scene, model, uniforms, width, height, env)
+
+    # --- GL oracle ---
+    ref = gl.render(
+        [
+            dict(
+                positions=pos, normals=nrm, indices=idx,
+                base_color=params["base"], metallic=params["metallic"],
+                roughness=params["roughness"], unlit=params["unlit"],
+            )
+        ],
+        view_proj=uniforms.view_proj[0],
+        eye=uniforms.eye[0],
+        sh=SH,
+        clear_color=_encoded_clear((0.1, 0.12, 0.15)),
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"{case}: PSNR {db:.1f} dB vs independent GL oracle"
