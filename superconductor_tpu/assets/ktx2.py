@@ -9,9 +9,10 @@ with granite-shaders/bc6.frag when the device lacks native support; here
 the native scnative C++ decoder does it at load time, with a numpy
 fallback), BC7, ASTC 4x4 and UASTC (KHR_texture_basisu). UASTC blocks are
 valid ASTC 4x4 blocks, so the in-repo ASTC decoder plays the role
-basis-universal plays in the reference (textures.rs:1099-1153). ETC1S/
-BasisLZ is the remaining gap; unsupported formats degrade to a dummy
-texture, mirroring the reference's degrade-don't-fail policy.
+basis-universal plays in the reference (textures.rs:1099-1153); ETC1S/
+BasisLZ (the other basisu mode) decodes through native/src/etc1s.cpp +
+assets/basislz.py. Unsupported formats degrade to a dummy texture,
+mirroring the reference's degrade-don't-fail policy.
 """
 
 from __future__ import annotations
@@ -60,6 +61,8 @@ class Ktx2:
     scheme: int
     data: bytes
     kvd: dict
+    # Supercompression global data (BasisLZ/ETC1S codebooks + image descs).
+    sgd: bytes = b""
     # From the Data Format Descriptor: identifies UASTC/ETC1S payloads when
     # vkFormat is UNDEFINED, and the transfer function (sRGB vs linear).
     color_model: int = 0
@@ -120,6 +123,7 @@ def parse_ktx2(data: bytes) -> Ktx2:
     ) = struct.unpack_from("<9I", data, 12)
     dfd_off, dfd_len = struct.unpack_from("<2I", data, 48)
     kvd_off, kvd_len = struct.unpack_from("<2I", data, 56)
+    sgd_off, sgd_len = struct.unpack_from("<2Q", data, 64)
     color_model = transfer = 0
     if dfd_off and dfd_len >= 16 and dfd_off + 16 <= len(data):
         # DFD: u32 total size, u32 vendor/type, u32 version/blockSize, then
@@ -151,6 +155,7 @@ def parse_ktx2(data: bytes) -> Ktx2:
         scheme=scheme,
         data=data,
         kvd=kvd,
+        sgd=data[sgd_off : sgd_off + sgd_len] if sgd_off else b"",
         color_model=color_model,
         transfer=transfer,
     )
@@ -218,10 +223,6 @@ def _decode_image_payload(
         from ..native.astc import decode_astc_hdr
 
         return decode_astc_hdr(payload, w, h)
-    if ktx.is_etc1s:
-        raise NotImplementedError(
-            "ETC1S/BasisLZ transcode not implemented yet (UASTC is)"
-        )
     raise NotImplementedError(f"vkFormat {fmt}")
 
 
@@ -251,6 +252,17 @@ def decode_level_images(
     """All images (faces x layers x z-slices, in KTX2 order) of one level,
     each (h, w, 4) float32 (linear unless linearize=False)."""
     w, h, d = ktx.level_dims(level)
+    if ktx.is_etc1s:
+        from . import basislz
+
+        images = []
+        for i in range(max(1, ktx.layers) * ktx.faces * d):
+            arr = basislz.decode_image_u8(ktx, level, i).astype(np.float32)
+            arr *= np.float32(1.0 / 255.0)
+            if ktx.is_srgb_transfer and linearize:
+                arr = _srgb_to_linear(arr)
+            images.append(arr)
+        return images
     raw = ktx.level_bytes(level)
     size = _image_size_bytes(ktx, w, h)
     images = []
@@ -270,6 +282,10 @@ def decode_level_u8(ktx: Ktx2, level: int, image: int = 0) -> np.ndarray:
     faults run ~50 MB/s in this VM), so the LDR texture-pool path goes
     decoder-output -> pool directly."""
     w, h, _d = ktx.level_dims(level)
+    if ktx.is_etc1s:
+        from . import basislz
+
+        return basislz.decode_image_u8(ktx, level, image)
     raw = ktx.level_bytes(level)
     size = _image_size_bytes(ktx, w, h)
     payload = raw[image * size : (image + 1) * size]

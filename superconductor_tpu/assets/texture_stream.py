@@ -143,8 +143,17 @@ class TextureStreamer:
         # Phase 1: smallest (last) level only.
         off, blen, _ = index[-1]
         smallest = self.client.fetch_bytes_range(url, off, off + blen)
-        # Reassemble a buffer where only that level's bytes exist.
-        fake = bytearray(head[: 80 + 24 * levels_n])
+        # Reassemble a buffer where only that level's bytes exist. The full
+        # head (not just the level index) is kept: the DFD — which carries
+        # the UASTC/ETC1S color model — normally sits inside the first 4 KB.
+        fake = bytearray(head)
+        # BasisLZ (ETC1S) additionally needs the supercompression global
+        # data (codebooks + image descs) before any level can decode.
+        sgd_off, sgd_len = struct.unpack_from("<2Q", head, 64)
+        if sgd_len and sgd_off + sgd_len > len(fake):
+            sgd = self.client.fetch_bytes_range(url, sgd_off, sgd_off + sgd_len)
+            fake.extend(b"\0" * (sgd_off + sgd_len - len(fake)))
+            fake[sgd_off : sgd_off + sgd_len] = sgd
         fake.extend(b"\0" * max(0, off + blen - len(fake)))
         fake[off : off + blen] = smallest
         # u8 end-to-end: the LDR pool stores display-encoded u8 texels;

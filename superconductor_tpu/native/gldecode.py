@@ -66,7 +66,8 @@ def _get() -> _GlContext:
 
 
 def _decode(payload: bytes, width: int, height: int, internal_format: int,
-            out_format: int, out_type: int, channels: int, dtype) -> np.ndarray:
+            out_format: int, out_type: int, channels: int, dtype,
+            block_bytes: int = 16) -> np.ndarray:
     with _lock:
         g = _get()
         gl = g.gl
@@ -75,7 +76,7 @@ def _decode(payload: bytes, width: int, height: int, internal_format: int,
         gl.glBindTexture(GL_TEXTURE_2D, tex)
         bw = (width + 3) // 4
         bh = (height + 3) // 4
-        expected = bw * bh * 16
+        expected = bw * bh * block_bytes
         if len(payload) < expected:
             payload = payload + b"\0" * (expected - len(payload))
         gl.glCompressedTexImage2D(
@@ -127,3 +128,18 @@ def decode_astc4x4_gl(payload: bytes, width: int, height: int, srgb=False) -> np
     """(h, w, 4) uint8 — ASTC 4x4 LDR via GL_KHR_texture_compression_astc_ldr."""
     fmt = GL_COMPRESSED_SRGB8_ALPHA8_ASTC_4x4 if srgb else GL_COMPRESSED_RGBA_ASTC_4x4
     return _decode(payload, width, height, fmt, GL_RGBA, GL_UNSIGNED_BYTE, 4, np.uint8)
+
+
+GL_COMPRESSED_RGB8_ETC2 = 0x9274
+
+
+def decode_etc2_gl(payload: bytes, width: int, height: int) -> np.ndarray:
+    """(h, w, 3) uint8 — ETC2 RGB8 (8-byte blocks). ETC1 blocks are valid
+    ETC2 payloads, which makes this the independent oracle for the ETC1S
+    block layer (assets/basislz.py pack_etc1_blocks). Readback is RGBA
+    (Mesa's _mesa_decompress_image rejects a GL_RGB readback of ETC2)."""
+    out = _decode(
+        payload, width, height, GL_COMPRESSED_RGB8_ETC2,
+        GL_RGBA, GL_UNSIGNED_BYTE, 4, np.uint8, block_bytes=8,
+    )
+    return out[..., :3]
