@@ -22,13 +22,21 @@ from .ktx2 import decode_level_images, parse_ktx2
 
 def load_ibl_cubemap(scene: Scene, data: bytes) -> int:
     """KTX2 cubemap -> 6 consecutive HDR textures (with mip chains).
-    Returns the base texture id; set EnvBindings.ibl_cubemap_base to it."""
+    Returns the base texture id; set EnvBindings.ibl_cubemap_base to it.
+    Respects scene.max_texture_size (textures.rs:989 applies the device
+    limit to the cubemap load the same way)."""
+    from ..scene.scene import mip_skip_for_max_size
+
     ktx = parse_ktx2(data)
     if ktx.faces != 6:
         raise ValueError("not a cubemap")
     n_levels = len(ktx.levels)
+    skip = min(
+        mip_skip_for_max_size(ktx.height, ktx.width, scene.max_texture_size),
+        n_levels - 1,
+    )
     per_face_mips: List[List[np.ndarray]] = [[] for _ in range(6)]
-    for level in range(n_levels):
+    for level in range(skip, n_levels):
         images = decode_level_images(ktx, level)
         for face in range(6):
             per_face_mips[face].append(images[face].astype(np.float32))

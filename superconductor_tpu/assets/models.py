@@ -51,6 +51,7 @@ from ..scene.scene import (
     WRAP_CLAMP,
     WRAP_REPEAT,
     build_mip_chain,
+    mip_skip_for_max_size,
 )
 from .fetch import FetchClient, decode_data_uri
 from .gltf import Gltf, parse_gltf
@@ -146,8 +147,13 @@ def _load_texture(
     except Exception:
         log.exception("texture %s failed to load; keeping dummy", source)
         return dummy
+    chain = build_mip_chain(rgba)
+    skip = mip_skip_for_max_size(
+        chain[0].shape[0], chain[0].shape[1], scene.max_texture_size
+    )
+    chain = chain[min(skip, len(chain) - 1):]
     tex_id = scene.textures.add_texture(
-        build_mip_chain(rgba), wrap=wrap, flags=TEXFLAG_SRGB if srgb else 0
+        chain, wrap=wrap, flags=TEXFLAG_SRGB if srgb else 0
     )
     cache.by_image[key] = tex_id
     return tex_id

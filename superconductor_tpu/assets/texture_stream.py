@@ -33,7 +33,13 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..scene.scene import Scene, TEXFLAG_SRGB, WRAP_REPEAT, build_mip_chain
+from ..scene.scene import (
+    Scene,
+    TEXFLAG_SRGB,
+    WRAP_REPEAT,
+    build_mip_chain,
+    mip_skip_for_max_size,
+)
 from .fetch import FetchClient
 
 log = logging.getLogger(__name__)
@@ -58,8 +64,12 @@ class _PendingSwap:
 class TextureStreamer:
     """Owns in-flight texture loads; ``pump(scene)`` applies finished ones."""
 
-    def __init__(self, client: FetchClient):
+    def __init__(self, client: FetchClient, max_texture_size: int | None = None):
         self.client = client
+        # Optional dimension cap: leading mips beyond it are neither decoded
+        # nor fetched into the pool (downscaling_for_max_size analog,
+        # textures.rs:609-614 applied at textures.rs:714,989).
+        self.max_texture_size = max_texture_size
         self._done: List[_PendingSwap] = []
         self._lock = threading.Lock()
         self._inflight = 0
@@ -113,10 +123,14 @@ class TextureStreamer:
                 from .models import _decode_image
 
                 rgba = _decode_image(data)
+                chain = build_mip_chain(rgba)
+                skip = mip_skip_for_max_size(
+                    chain[0].shape[0], chain[0].shape[1], self.max_texture_size
+                )
                 self._push(
                     _PendingSwap(
                         key=key, phase="final", srgb=srgb, wrap=wrap,
-                        levels=build_mip_chain(rgba),
+                        levels=chain[min(skip, len(chain) - 1):],
                     )
                 )
         except Exception:
@@ -136,6 +150,13 @@ class TextureStreamer:
         dims = [
             (max(1, height >> i), max(1, width >> i)) for i in range(levels_n)
         ]
+        # Dimension cap: the skipped top levels are never decoded, and their
+        # byte ranges are never fetched in the final pass either.
+        skip = min(
+            mip_skip_for_max_size(height, width, self.max_texture_size),
+            levels_n - 1,
+        )
+        dims = dims[skip:]
         # level index sits at offset 80
         index = [
             struct.unpack_from("<3Q", head, 80 + i * 24) for i in range(levels_n)
@@ -163,14 +184,14 @@ class TextureStreamer:
         self._push(
             _PendingSwap(
                 key=key, phase="preview", srgb=srgb, wrap=wrap,
-                dims=dims, preview_level=levels_n - 1, preview_image=img8,
+                dims=dims, preview_level=levels_n - 1 - skip, preview_image=img8,
             )
         )
 
-        # Phase 2: everything.
+        # Phase 2: everything below the cap.
         data = self.client.fetch_bytes(url)
         ktx = parse_ktx2(data)
-        chain = [decode_level_u8(ktx, i) for i in range(levels_n)]
+        chain = [decode_level_u8(ktx, i) for i in range(skip, levels_n)]
         self._push(
             _PendingSwap(key=key, phase="final", srgb=srgb, wrap=wrap, levels=chain)
         )

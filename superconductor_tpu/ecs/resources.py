@@ -38,12 +38,17 @@ class RenderSettings:
 class HttpClientResource:
     client: FetchClient = field(default_factory=FileClient)
     streamer: Optional[object] = None  # TextureStreamer
+    # Texture dimension cap for streamed + scene textures (None = unlimited);
+    # the analog of device.limits().max_texture_dimension_2d (textures.rs:716).
+    max_texture_size: Optional[int] = None
 
     def __post_init__(self):
         if self.streamer is None:
             from ..assets.texture_stream import TextureStreamer
 
-            self.streamer = TextureStreamer(self.client)
+            self.streamer = TextureStreamer(
+                self.client, max_texture_size=self.max_texture_size
+            )
 
 
 @dataclass

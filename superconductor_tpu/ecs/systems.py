@@ -377,12 +377,16 @@ class CorePlugin:
         from ..assets.fetch import FileClient
 
         w = app.world
-        w.insert_resource(SceneResource(Scene()))
+        scene = Scene()
+        w.insert_resource(SceneResource(scene))
         w.insert_resource(CameraResource())
         w.insert_resource(
             RenderSettings(config=self.config or RenderConfig())
         )
-        w.insert_resource(HttpClientResource(self.client or FileClient()))
+        http = HttpClientResource(self.client or FileClient())
+        w.insert_resource(http)
+        # Sync loads and the streamer share one texture-size cap.
+        scene.max_texture_size = http.max_texture_size
         w.insert_resource(FrameOutput())
         w.insert_resource(FrameTiming())
         w.insert_resource(LineBuffer())

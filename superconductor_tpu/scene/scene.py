@@ -213,6 +213,18 @@ class TexturePool:
         return self._desc_device
 
 
+def mip_skip_for_max_size(h: int, w: int, max_size: Optional[int]) -> int:
+    """Number of leading mip levels to drop so the finest kept level fits in
+    max_size (downscaling_for_max_size, textures.rs:609-614 — log2 of the
+    larger axis minus log2 of the limit, saturating at 0). The TPU pool has
+    no hardware dimension limit; this caps pool HBM the way the reference
+    caps to ``device.limits().max_texture_dimension_2d``."""
+    if not max_size:
+        return 0
+    size = max(h, w)
+    return max(0, int(np.floor(np.log2(size))) - int(np.floor(np.log2(max_size))))
+
+
 def build_mip_chain(image: np.ndarray, max_levels: int = 16) -> List[np.ndarray]:
     """Box-filter mip pyramid down to 1x1 (the reference generates mips via a
     GPU blit chain, textures.rs:357-522; a box filter is equivalent for the
@@ -311,6 +323,10 @@ class Scene:
     """The whole renderable world as SoA arrays + host-side registries."""
 
     def __init__(self):
+        # Optional texture dimension cap (mip_skip_for_max_size); None =
+        # unlimited. Applied by the synchronous texture-load paths; the
+        # async TextureStreamer takes its own ctor copy.
+        self.max_texture_size: Optional[int] = None
         # Stationary vertex mega-buffers (single allocator: positions,
         # normals, uvs, lightmap_uvs always allocated together, mirroring
         # VertexBuffers, buffers.rs:284-468).
