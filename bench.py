@@ -10,6 +10,10 @@ Two configurations:
    sphere (helmet: 15,452) with albedo/normal/metallic-roughness textures,
    SH ambient lighting, and an IBL skybox.
 
+3. **Stereo + animated** — BASELINE configs 4+5: two 1080p eyes (multiview
+   batch axis), skinned waving tubes (joint-palette path, FK sampled on the
+   host every frame) + PBR spheres.
+
 2. **All-passes** — every pass enabled at 1080p on real compressed assets:
    sponza_cubes.glb + the BC6H/BCn light volume + the noon.ktx2 IBL
    (demo/src/lib.rs:114-192's scene config), plus procedural spheres
@@ -222,6 +226,87 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=16):
     return _measure(frame)
 
 
+def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
+    """BASELINE configs 4+5 in one scene: stereo multiview (two 1080p eyes)
+    of skinned animated geometry (waving 8-joint tubes, the animated_vertex
+    joint-palette path) plus static PBR spheres. Per-frame host work includes
+    the palette FK sampling, as the real app loop would."""
+    from superconductor_tpu.math3d import (
+        look_at,
+        mat3_to_quat,
+        mat4_inverse,
+        quat_from_axis_angle,
+    )
+    from superconductor_tpu.render.camera import make_stereo_uniforms
+    from superconductor_tpu.render.draws import build_frame_state
+    from superconductor_tpu.utils.procgen import (
+        add_pbr_sphere,
+        add_skinned_tube,
+        default_ambient_sh,
+        gradient_cubemap,
+        wave_joint_palette,
+    )
+
+    scene = sc.Scene()
+    tubes = [
+        add_skinned_tube(scene, segments=64, slices=48, name=f"tube{i}")
+        for i in range(n_tubes)
+    ]
+    spheres = [
+        add_pbr_sphere(scene, name=f"st_sphere{i}") for i in range(n_spheres)
+    ]
+    cubemap_base = gradient_cubemap(scene)
+    env = sc.EnvBindings(
+        ibl_cubemap_base=cubemap_base, ambient_sh=default_ambient_sh()
+    )
+
+    center = np.array([0.0, 1.0, 0.0], np.float32)
+    eye_mid = np.array([0.0, 1.4, 7.0], np.float32)
+    rot = mat3_to_quat(mat4_inverse(look_at(eye_mid, center))[:3, :3])
+    half_ipd = np.array([0.032, 0.0, 0.0], np.float32)
+    left = sc.Camera(position=eye_mid - half_ipd, rotation=rot)
+    right = sc.Camera(position=eye_mid + half_ipd, rotation=rot)
+    lu = sc.make_uniforms(left, width, height)
+    ru = sc.make_uniforms(right, width, height)
+    uniforms = make_stereo_uniforms(
+        lu.view[0], ru.view[0], lu.projection[0], ru.projection[0],
+        lu.eye[0], ru.eye[0], left.rotation, right.rotation,
+    )
+
+    config = sc.RenderConfig(
+        width=width, height=height, num_views=2,
+        t_cap=1 << 17, t_cap_anim=1 << 16, p_cap=1 << 19, raster="auto",
+    )
+    dev = scene.device_arrays()
+
+    def frame(t):
+        rot_i = quat_from_axis_angle([0, 1, 0], 0.3 * t)
+        instances = []
+        palettes = {}
+        for i, m in enumerate(tubes):
+            a = 2.0 * np.pi * i / n_tubes
+            instances.append(
+                (m, sc.Similarity(
+                    translation=[3.2 * np.cos(a), 0.0, 3.2 * np.sin(a)]
+                ))
+            )
+            palettes[i] = wave_joint_palette(t + 0.7 * i, 8, amp=0.45)
+        for i, m in enumerate(spheres):
+            a = 2.0 * np.pi * (i + 0.5) / n_spheres
+            instances.append(
+                (m, sc.Similarity(
+                    translation=[5.5 * np.cos(a), 1.2, 5.5 * np.sin(a)],
+                    rotation=rot_i,
+                ))
+            )
+        state = build_frame_state(
+            scene, instances, uniforms, joint_palettes=palettes
+        )
+        return sc.render_frame(dev, state, config, env)
+
+    return _measure(frame)
+
+
 def main():
     import jax
 
@@ -248,6 +333,19 @@ def main():
         except Exception as e:  # report the primary even if this fails
             print(f"# all-passes bench failed: {e!r}", file=sys.stderr)
 
+    stereo_fps = stereo_compile = None
+    try:
+        stereo_fps, stereo_compile, stereo_img = bench_stereo_animated(sc)
+        if os.environ.get("SC_BENCH_SAVE"):
+            import imageio.v3 as iio
+
+            iio.imwrite(
+                os.environ["SC_BENCH_SAVE"].replace(".png", "_stereo.png"),
+                np.asarray(stereo_img)[0],
+            )
+    except Exception as e:
+        print(f"# stereo+animated bench failed: {e!r}", file=sys.stderr)
+
     if os.environ.get("SC_BENCH_SAVE"):
         import imageio.v3 as iio
 
@@ -266,10 +364,18 @@ def main():
             "1080p, 250k tris, sponza_cubes+bcn lightvol+noon IBL, "
             "clip+blend+lines+particles"
         )
+    if stereo_fps is not None:
+        out["stereo_anim_fps"] = round(stereo_fps, 2)
+        out["stereo_anim_vs_baseline"] = round(stereo_fps / 60.0, 3)
+        out["stereo_anim_scene"] = (
+            "2x1080p stereo, 6 skinned 8-joint tubes (37k anim tris) "
+            "+ 6 PBR spheres (93k tris), per-frame FK palettes"
+        )
     print(json.dumps(out))
     print(
         f"# backend={jax.default_backend()} headline compile={compile_s:.1f}s"
-        + (f" all-passes compile={all_compile:.1f}s" if all_compile else ""),
+        + (f" all-passes compile={all_compile:.1f}s" if all_compile else "")
+        + (f" stereo compile={stereo_compile:.1f}s" if stereo_compile else ""),
         file=sys.stderr,
     )
 

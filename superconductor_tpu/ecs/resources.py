@@ -26,6 +26,7 @@ class CameraResource:
     camera: Camera = field(default_factory=Camera)
     fov_y: float = np.radians(59.0)
     z_near: float = 0.05
+    ipd: float = 0.064  # interpupillary distance for stereo (num_views=2)
 
 
 @dataclass

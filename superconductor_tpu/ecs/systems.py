@@ -292,10 +292,21 @@ def render(world: World) -> None:
     settings = world.resource(RenderSettings)
     config = settings.config
 
-    uniforms = make_uniforms(
-        cam.camera, config.width, config.height, cam.fov_y, cam.z_near,
-        reverse_z=config.reverse_z,
-    )
+    if config.num_views == 2:
+        # Stereo: two eye views offset by the IPD, like the WebXR uniform
+        # path (update_webxr_uniform_buffers, src/systems.rs:871-989).
+        from ..render.stereo import stereo_uniforms_from_camera
+
+        assert config.reverse_z, "ECS stereo path assumes reverse-z"
+        uniforms = stereo_uniforms_from_camera(
+            cam.camera, config.width, config.height, ipd=cam.ipd,
+            fov_y=cam.fov_y, z_near=cam.z_near,
+        )
+    else:
+        uniforms = make_uniforms(
+            cam.camera, config.width, config.height, cam.fov_y, cam.z_near,
+            reverse_z=config.reverse_z,
+        )
     scene = scene_res.scene
     if scene.lightvol is not None:
         uniforms.probes_bottom_left = np.asarray(
@@ -315,7 +326,12 @@ def render(world: World) -> None:
         if jc is not None and jc.palette is not None:
             palettes[idx] = jc.palette
 
-    cull = [sphere_culling_params(uniforms.view_proj[0])]
+    # Per-eye culling params, unioned inside build_frame_state — an instance
+    # visible to either eye is kept (CullingParams for VR, resources.rs:166-184).
+    cull = [
+        sphere_culling_params(uniforms.view_proj[v])
+        for v in range(config.num_views)
+    ]
 
     lines = world.get_resource(LineBuffer)
     particles = world.get_resource(ParticleBuffer)

@@ -173,3 +173,138 @@ def default_ambient_sh():
         0.4, 0.4, 0.38,   # L1y/L0 (sky above)
         0.15, 0.15, 0.12,  # L1z/L0
     )
+
+
+def skinned_tube_mesh(
+    segments: int = 64,
+    slices: int = 48,
+    length: float = 2.0,
+    radius: float = 0.25,
+    num_joints: int = 8,
+):
+    """An open cylinder along +y whose vertices are skinned to the two
+    nearest joints of a chain — the procedural analog of a skinned glTF
+    (animated_vertex 4-joint weighted path, shaders/src/lib.rs:64-127).
+
+    Returns (pos, nrm, uv, joint_indices (V,4) i32, joint_weights (V,4) f32,
+    indices)."""
+    ys = np.linspace(0.0, length, segments + 1, dtype=np.float32)
+    ang = np.linspace(0.0, 2.0 * np.pi, slices, endpoint=False, dtype=np.float32)
+    ca, sa = np.cos(ang), np.sin(ang)
+    # rings: (segments+1, slices, 3)
+    pos = np.stack(
+        [
+            np.broadcast_to(radius * ca, (segments + 1, slices)),
+            np.broadcast_to(ys[:, None], (segments + 1, slices)),
+            np.broadcast_to(radius * sa, (segments + 1, slices)),
+        ],
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32)
+    nrm = np.stack(
+        [
+            np.broadcast_to(ca, (segments + 1, slices)),
+            np.zeros((segments + 1, slices), np.float32),
+            np.broadcast_to(sa, (segments + 1, slices)),
+        ],
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32)
+    uv = np.stack(
+        [
+            np.broadcast_to(ang / (2.0 * np.pi), (segments + 1, slices)),
+            np.broadcast_to(ys[:, None] / length, (segments + 1, slices)),
+        ],
+        axis=-1,
+    ).reshape(-1, 2).astype(np.float32)
+
+    # 2-joint linear blend between the chain joints bracketing each ring.
+    seg_len = length / (num_joints - 1)
+    f = pos[:, 1] / seg_len
+    j0 = np.clip(np.floor(f).astype(np.int32), 0, num_joints - 2)
+    w1 = np.clip(f - j0, 0.0, 1.0).astype(np.float32)
+    joint_indices = np.zeros((len(pos), 4), np.int32)
+    joint_indices[:, 0] = j0
+    joint_indices[:, 1] = j0 + 1
+    joint_weights = np.zeros((len(pos), 4), np.float32)
+    joint_weights[:, 0] = 1.0 - w1
+    joint_weights[:, 1] = w1
+
+    # quads between adjacent rings, wrapping in angle
+    i = np.arange(segments)[:, None]
+    j = np.arange(slices)[None, :]
+    jn = (j + 1) % slices
+    v00 = i * slices + j
+    v01 = i * slices + jn
+    v10 = (i + 1) * slices + j
+    v11 = (i + 1) * slices + jn
+    tris = np.stack(
+        [v00, v01, v11, v00, v11, v10], axis=-1
+    ).reshape(-1).astype(np.uint32)
+    return pos, nrm, uv, joint_indices, joint_weights, tris
+
+
+def add_skinned_tube(
+    scene: Scene,
+    segments: int = 64,
+    slices: int = 48,
+    length: float = 2.0,
+    radius: float = 0.25,
+    num_joints: int = 8,
+    name: str = "tube",
+) -> Model:
+    """Insert a skinned tube (animated mega-buffers) with a PBR material."""
+    albedo = scene.textures.add_texture(
+        build_mip_chain(checker_texture(tiles=8, c0=(60, 120, 220), c1=(230, 235, 240))),
+        flags=TEXFLAG_SRGB,
+    )
+    mat = scene.add_material(
+        MaterialSettings(
+            base_color_factor=(1.0, 1.0, 1.0, 1.0),
+            metallic_factor=0.0,
+            roughness_factor=0.8,
+            albedo_tex=albedo,
+        )
+    )
+    pos, nrm, uv, ji, jw, idx = skinned_tube_mesh(
+        segments, slices, length, radius, num_joints
+    )
+    first, count, fv, vc = scene.insert_animated_mesh(
+        pos, nrm, uv, ji, jw, idx, mat
+    )
+    r = float(np.linalg.norm(pos, axis=1).max())
+    prim = Primitive(
+        material=mat,
+        blend_mode=0,
+        double_sided=True,  # open tube: both sides visible when it bends
+        animated=True,
+        lods=[PrimitiveLod(first_index=first, index_count=count,
+                           first_vertex=fv, vertex_count=vc)],
+        bounding_sphere_radius=r,
+        bbox_min=pos.min(0),
+        bbox_max=pos.max(0),
+    )
+    model = Model(primitives=[prim], animated=True, num_joints=num_joints)
+    model.bounding_sphere_radius = r
+    scene.models[name] = model
+    return model
+
+
+def wave_joint_palette(
+    t: float, num_joints: int = 8, length: float = 2.0, amp: float = 0.4
+) -> np.ndarray:
+    """(J, 8) waving-chain palette: each joint rotates about z by a phase-
+    shifted sine, composed FK parent-to-child, times the inverse bind
+    (the host analog of AnimationJoints::iter, animation.rs:138-164)."""
+    from ..math3d import quat_from_axis_angle
+
+    seg = length / (num_joints - 1)
+    rows = np.zeros((num_joints, 8), np.float32)
+    g = Similarity()
+    for j in range(num_joints):
+        local_t = [0.0, seg, 0.0] if j else [0.0, 0.0, 0.0]
+        rot = quat_from_axis_angle(
+            [0.0, 0.0, 1.0], amp * np.sin(1.7 * t + 0.9 * j)
+        )
+        g = g * Similarity(translation=local_t, rotation=rot)
+        inv_bind = Similarity(translation=[0.0, -j * seg, 0.0])
+        rows[j] = (g * inv_bind).to_array()
+    return rows

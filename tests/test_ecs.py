@@ -134,3 +134,23 @@ def test_debug_line_systems(skinned_glb, box_glb):
     assert len(lines.segments) == 2 + 12 * 2
     img = np.asarray(w.resource(FrameOutput).image)
     assert img is not None
+
+
+def test_ecs_stereo_renders_two_eyes(box_glb):
+    """num_views=2 drives the WebXR-uniform analog: two eye images with
+    parallax, per-eye culling unioned (resources.rs:166-184)."""
+    app = _make_app({"box.glb": box_glb}, num_views=2)
+    w = app.world
+    w.resource(CameraResource).camera.position = np.array(
+        [0, 0, 1.2], np.float32
+    )
+    w.resource(CameraResource).ipd = 0.3  # exaggerate parallax
+    model_e = w.spawn(ModelUrl("box.glb"))
+    w.spawn(Instance(Similarity()), InstanceOf(model_e))
+    assert _wait_loaded(app, model_e)
+    app.update()
+    img = np.asarray(w.resource(FrameOutput).image)
+    assert img.shape[0] == 2
+    left, right = img[0], img[1]
+    assert (left[..., 0] == 255).any() and (right[..., 0] == 255).any()
+    assert (left != right).mean() > 0.005  # parallax shifts the box
