@@ -244,17 +244,15 @@ def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
         add_skinned_tube,
         default_ambient_sh,
         gradient_cubemap,
-        wave_joint_palette,
+        wave_joint_palettes,
     )
 
+    # ONE tube model and ONE sphere model, instanced n times with distinct
+    # transforms/palettes — geometry and textures live once in the scene
+    # (instanced rendering, the GpuInstance path of rendering.rs:642-646).
     scene = sc.Scene()
-    tubes = [
-        add_skinned_tube(scene, segments=64, slices=48, name=f"tube{i}")
-        for i in range(n_tubes)
-    ]
-    spheres = [
-        add_pbr_sphere(scene, name=f"st_sphere{i}") for i in range(n_spheres)
-    ]
+    tube = add_skinned_tube(scene, segments=64, slices=48, name="tube")
+    sphere = add_pbr_sphere(scene, name="st_sphere")
     cubemap_base = gradient_cubemap(scene)
     env = sc.EnvBindings(
         ibl_cubemap_base=cubemap_base, ambient_sh=default_ambient_sh()
@@ -282,19 +280,21 @@ def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
     def frame(t):
         rot_i = quat_from_axis_angle([0, 1, 0], 0.3 * t)
         instances = []
-        palettes = {}
-        for i, m in enumerate(tubes):
+        pals = wave_joint_palettes(
+            t + 0.7 * np.arange(n_tubes, dtype=np.float32), 8, amp=0.45
+        )
+        palettes = {i: pals[i] for i in range(n_tubes)}
+        for i in range(n_tubes):
             a = 2.0 * np.pi * i / n_tubes
             instances.append(
-                (m, sc.Similarity(
+                (tube, sc.Similarity(
                     translation=[3.2 * np.cos(a), 0.0, 3.2 * np.sin(a)]
                 ))
             )
-            palettes[i] = wave_joint_palette(t + 0.7 * i, 8, amp=0.45)
-        for i, m in enumerate(spheres):
+        for i in range(n_spheres):
             a = 2.0 * np.pi * (i + 0.5) / n_spheres
             instances.append(
-                (m, sc.Similarity(
+                (sphere, sc.Similarity(
                     translation=[5.5 * np.cos(a), 1.2, 5.5 * np.sin(a)],
                     rotation=rot_i,
                 ))

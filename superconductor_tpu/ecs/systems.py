@@ -297,10 +297,9 @@ def render(world: World) -> None:
         # path (update_webxr_uniform_buffers, src/systems.rs:871-989).
         from ..render.stereo import stereo_uniforms_from_camera
 
-        assert config.reverse_z, "ECS stereo path assumes reverse-z"
         uniforms = stereo_uniforms_from_camera(
             cam.camera, config.width, config.height, ipd=cam.ipd,
-            fov_y=cam.fov_y, z_near=cam.z_near,
+            fov_y=cam.fov_y, z_near=cam.z_near, reverse_z=config.reverse_z,
         )
     else:
         uniforms = make_uniforms(

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..math3d import perspective_reversed_z_infinite, view_from_camera
+from ..math3d import (
+    perspective_reversed_z_infinite,
+    perspective_z01,
+    view_from_camera,
+)
 from .camera import Camera, Uniforms, make_stereo_uniforms
 
 
@@ -23,6 +27,8 @@ def stereo_uniforms_from_camera(
     ipd: float = 0.064,
     fov_y: float = np.pi / 3,
     z_near: float = 0.05,
+    reverse_z: bool = True,
+    z_far: float | None = None,
 ) -> Uniforms:
     """Two eye views offset by half the interpupillary distance along the
     camera's local x axis (a simple HMD model; WebXR would hand us poses
@@ -34,7 +40,10 @@ def stereo_uniforms_from_camera(
     left_eye = camera.position - half
     right_eye = camera.position + half
     # per-eye aspect: each eye renders width x height
-    proj = perspective_reversed_z_infinite(fov_y, width / height, z_near)
+    if reverse_z:
+        proj = perspective_reversed_z_infinite(fov_y, width / height, z_near)
+    else:
+        proj = perspective_z01(fov_y, width / height, z_near, z_far or 1000.0)
     lv = view_from_camera(left_eye, camera.rotation)
     rv = view_from_camera(right_eye, camera.rotation)
     return make_stereo_uniforms(

@@ -189,29 +189,33 @@ def skinned_tube_mesh(
     Returns (pos, nrm, uv, joint_indices (V,4) i32, joint_weights (V,4) f32,
     indices)."""
     ys = np.linspace(0.0, length, segments + 1, dtype=np.float32)
-    ang = np.linspace(0.0, 2.0 * np.pi, slices, endpoint=False, dtype=np.float32)
+    # slices+1 columns: the seam ring is duplicated with u=1.0 so the wrap
+    # quad interpolates u forward instead of smearing the whole texture back
+    # through one column (same trick as uv_sphere's endpoint=True).
+    cols = slices + 1
+    ang = np.linspace(0.0, 2.0 * np.pi, cols, endpoint=True, dtype=np.float32)
     ca, sa = np.cos(ang), np.sin(ang)
-    # rings: (segments+1, slices, 3)
+    # rings: (segments+1, cols, 3)
     pos = np.stack(
         [
-            np.broadcast_to(radius * ca, (segments + 1, slices)),
-            np.broadcast_to(ys[:, None], (segments + 1, slices)),
-            np.broadcast_to(radius * sa, (segments + 1, slices)),
+            np.broadcast_to(radius * ca, (segments + 1, cols)),
+            np.broadcast_to(ys[:, None], (segments + 1, cols)),
+            np.broadcast_to(radius * sa, (segments + 1, cols)),
         ],
         axis=-1,
     ).reshape(-1, 3).astype(np.float32)
     nrm = np.stack(
         [
-            np.broadcast_to(ca, (segments + 1, slices)),
-            np.zeros((segments + 1, slices), np.float32),
-            np.broadcast_to(sa, (segments + 1, slices)),
+            np.broadcast_to(ca, (segments + 1, cols)),
+            np.zeros((segments + 1, cols), np.float32),
+            np.broadcast_to(sa, (segments + 1, cols)),
         ],
         axis=-1,
     ).reshape(-1, 3).astype(np.float32)
     uv = np.stack(
         [
-            np.broadcast_to(ang / (2.0 * np.pi), (segments + 1, slices)),
-            np.broadcast_to(ys[:, None] / length, (segments + 1, slices)),
+            np.broadcast_to(ang / (2.0 * np.pi), (segments + 1, cols)),
+            np.broadcast_to(ys[:, None] / length, (segments + 1, cols)),
         ],
         axis=-1,
     ).reshape(-1, 2).astype(np.float32)
@@ -228,16 +232,17 @@ def skinned_tube_mesh(
     joint_weights[:, 0] = 1.0 - w1
     joint_weights[:, 1] = w1
 
-    # quads between adjacent rings, wrapping in angle
+    # quads between adjacent rings (the duplicated seam column closes the
+    # loop); CCW from outside so the faces wind with the outward normals
     i = np.arange(segments)[:, None]
     j = np.arange(slices)[None, :]
-    jn = (j + 1) % slices
-    v00 = i * slices + j
-    v01 = i * slices + jn
-    v10 = (i + 1) * slices + j
-    v11 = (i + 1) * slices + jn
+    jn = j + 1
+    v00 = i * cols + j
+    v01 = i * cols + jn
+    v10 = (i + 1) * cols + j
+    v11 = (i + 1) * cols + jn
     tris = np.stack(
-        [v00, v01, v11, v00, v11, v10], axis=-1
+        [v00, v11, v01, v00, v10, v11], axis=-1
     ).reshape(-1).astype(np.uint32)
     return pos, nrm, uv, joint_indices, joint_weights, tris
 
@@ -288,23 +293,42 @@ def add_skinned_tube(
     return model
 
 
+def wave_joint_palettes(
+    ts, num_joints: int = 8, length: float = 2.0, amp: float = 0.4
+) -> np.ndarray:
+    """(T, J, 8) waving-chain palettes for a batch of phases: each joint
+    rotates about z by a phase-shifted sine, composed FK parent-to-child,
+    times the inverse bind (the host analog of AnimationJoints::iter,
+    animation.rs:138-164) — batched over instances so per-frame palette
+    sampling is numpy-wide, not per-joint Python (the scalar Similarity loop
+    cost ~5 ms/frame for 6 tubes; this is ~50x cheaper)."""
+    from ..math3d import quat_mul, quat_rotate
+
+    ts = np.atleast_1d(np.asarray(ts, np.float32))
+    T = len(ts)
+    seg = length / (num_joints - 1)
+    step = np.broadcast_to(np.array([0.0, seg, 0.0], np.float32), (T, 3))
+    gt = np.zeros((T, 3), np.float32)
+    gq = np.tile(np.array([0.0, 0.0, 0.0, 1.0], np.float32), (T, 1))
+    rows = np.zeros((T, num_joints, 8), np.float32)
+    zeros = np.zeros(T, np.float32)
+    for j in range(num_joints):
+        half = 0.5 * amp * np.sin(1.7 * ts + 0.9 * j)
+        lq = np.stack([zeros, zeros, np.sin(half), np.cos(half)], -1)
+        if j:
+            # parent-frame offset first, then accumulate this joint's spin
+            # ((t1,q1)*(t2,q2): t = t1 + rot(q1, t2); q = q1*q2, scale 1)
+            gt = gt + quat_rotate(gq, step)
+        gq = quat_mul(gq, lq).astype(np.float32)
+        ti = np.broadcast_to(np.array([0.0, -j * seg, 0.0], np.float32), (T, 3))
+        rows[:, j, 0:3] = gt + quat_rotate(gq, ti)
+        rows[:, j, 3] = 1.0
+        rows[:, j, 4:8] = gq
+    return rows
+
+
 def wave_joint_palette(
     t: float, num_joints: int = 8, length: float = 2.0, amp: float = 0.4
 ) -> np.ndarray:
-    """(J, 8) waving-chain palette: each joint rotates about z by a phase-
-    shifted sine, composed FK parent-to-child, times the inverse bind
-    (the host analog of AnimationJoints::iter, animation.rs:138-164)."""
-    from ..math3d import quat_from_axis_angle
-
-    seg = length / (num_joints - 1)
-    rows = np.zeros((num_joints, 8), np.float32)
-    g = Similarity()
-    for j in range(num_joints):
-        local_t = [0.0, seg, 0.0] if j else [0.0, 0.0, 0.0]
-        rot = quat_from_axis_angle(
-            [0.0, 0.0, 1.0], amp * np.sin(1.7 * t + 0.9 * j)
-        )
-        g = g * Similarity(translation=local_t, rotation=rot)
-        inv_bind = Similarity(translation=[0.0, -j * seg, 0.0])
-        rows[j] = (g * inv_bind).to_array()
-    return rows
+    """(J, 8) single-phase convenience wrapper over wave_joint_palettes."""
+    return wave_joint_palettes([t], num_joints, length, amp)[0]
