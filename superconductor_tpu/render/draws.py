@@ -126,6 +126,61 @@ def pack_particles(particles: Optional[List[dict]] = None, cap: Optional[int] = 
     }
 
 
+def _model_frame_arrays(model: Model) -> dict:
+    """Per-model SoA of primitive metadata, cached on the Model — the
+    vectorized form of the per-primitive attribute walk so build_frame_state
+    composes/culls/LOD-selects whole models with numpy, not Python loops.
+    LOD tables are padded to the model's deepest chain by repeating the last
+    level; coverage thresholds pad with -inf so padding never selects."""
+    cache = model.__dict__.get("_frame_arrays")
+    if cache is not None:
+        return cache
+    prims = model.primitives
+    n = len(prims)
+    lmax = max((len(p.lods) for p in prims), default=1)
+
+    def lod_col(get, dtype):
+        out = np.zeros((n, lmax), dtype)
+        for i, p in enumerate(prims):
+            vals = [get(l) for l in p.lods]
+            vals += [vals[-1]] * (lmax - len(vals))
+            out[i] = vals
+        return out
+
+    cov = np.full((n, lmax), -np.inf, np.float32)
+    for i, p in enumerate(prims):
+        if p.lod_coverages:
+            c = np.asarray(p.lod_coverages, np.float32)[:lmax]
+            cov[i, : len(c)] = c
+
+    def _bb(v):
+        return np.zeros(3, np.float32) if v is None else np.asarray(v, np.float32)
+
+    cache = {
+        "prim8": np.stack([p.transform.to_array() for p in prims])
+        if n
+        else np.zeros((0, 8), np.float32),
+        "radius": np.array([p.bounding_sphere_radius for p in prims], np.float32),
+        "material": np.array([p.material for p in prims], np.int32),
+        "animated": np.array([p.animated for p in prims], bool),
+        "n_lods": np.array([max(1, len(p.lods)) for p in prims], np.int32),
+        "bbox_min": np.stack([_bb(p.bbox_min) for p in prims])
+        if n
+        else np.zeros((0, 3), np.float32),
+        "bbox_max": np.stack([_bb(p.bbox_max) for p in prims])
+        if n
+        else np.zeros((0, 3), np.float32),
+        "lod_cov": cov,
+        "lod_first_tri": lod_col(lambda l: l.first_index // 3, np.int32),
+        "lod_tri_count": lod_col(lambda l: l.index_count // 3, np.int32),
+        "lod_first_vertex": lod_col(lambda l: l.first_vertex, np.int32),
+        "lod_vertex_count": lod_col(lambda l: l.vertex_count, np.int32),
+        "lod_lightmapped": lod_col(lambda l: l.lightmapped, bool),
+    }
+    model.__dict__["_frame_arrays"] = cache
+    return cache
+
+
 def build_frame_state(
     scene: Scene,
     instances: Sequence[Tuple[Model, Similarity]],
@@ -140,77 +195,182 @@ def build_frame_state(
 ) -> FrameState:
     """Walk instances, cull, select LODs, emit the FrameState.
 
-    joint_palettes: {id(instance_tuple) or index -> (J, 8) palette} for
-    animated instances; palettes are concatenated and joints_offset set per
-    draw (the reference chunks 2048-joint uniform buffers instead,
+    joint_palettes: {instance index -> (J, 8) palette} for animated
+    instances; palettes are concatenated and joints_offset set per draw
+    (the reference chunks 2048-joint uniform buffers instead,
     src/components.rs:123-172).
 
     Culling mirrors push_entity_instances (src/systems.rs:258-291):
     bounding-sphere test against each view's planes (union for VR), then
-    the optional exact SAT OBB refinement when ``sat`` is given — here the
-    SAT runs vectorized over every candidate primitive at once.
+    the optional exact SAT OBB refinement when ``sat`` is given.
+
+    The whole walk is vectorized: per-model primitive metadata is cached as
+    SoA (_model_frame_arrays), instance transforms compose against all of a
+    model's primitives at once (similarity_compose8), and culling/LOD/pack
+    are batched numpy — the reference's per-instance-x-primitive hot loop
+    (src/systems.rs:204-332) with no per-candidate Python cost.
     """
-    static_rows = DrawRows()
-    anim_rows = DrawRows()
-    palettes: List[np.ndarray] = []
-    palette_offset = 0
+    from ..math3d import similarity_compose8
 
-    # Collect candidates first so culling runs batched.
-    candidates = []  # (inst_index, model, prim, sim)
-    for inst_index, (model, instance_sim) in enumerate(instances):
-        for prim in model.primitives:
-            candidates.append((inst_index, model, prim, instance_sim * prim.transform))
+    # --- compose candidates (instance x primitive) in ONE batched call:
+    # unique models contribute their cached SoA once; every candidate row is
+    # a gather from those tables, so cost scales with candidates, not with
+    # Python-level instances-x-primitives iterations ---
+    uniq: dict = {}  # id(model) -> (uid, ma)
+    inst_uid = np.empty(len(instances), np.int32)
+    for inst_index, (model, _s) in enumerate(instances):
+        ent = uniq.get(id(model))
+        if ent is None:
+            ent = (len(uniq), _model_frame_arrays(model))
+            uniq[id(model)] = ent
+        inst_uid[inst_index] = ent[0]
+    mas = [ma for (_uid, ma) in sorted(uniq.values(), key=lambda e: e[0])]
 
-    visible_mask = np.ones(len(candidates), bool)
-    if candidates and cull_params:
-        centers = np.stack([c[3].translation for c in candidates])
-        radii = np.array(
-            [c[3].scale * c[2].bounding_sphere_radius for c in candidates],
-            np.float32,
+    if mas:
+        lmax = max(ma["lod_cov"].shape[1] for ma in mas)
+
+        def big(key):
+            return np.concatenate([ma[key] for ma in mas])
+
+        def big_lod(key):
+            return np.concatenate(
+                [
+                    np.pad(
+                        ma[key], ((0, 0), (0, lmax - ma[key].shape[1])), mode="edge"
+                    )
+                    for ma in mas
+                ]
+            )
+
+        prim_counts = np.array([ma["prim8"].shape[0] for ma in mas], np.int32)
+        prim_base = np.concatenate([[0], prim_counts.cumsum()[:-1]]).astype(
+            np.int32
         )
-        vis = np.zeros(len(candidates), bool)
-        for cp in cull_params:
-            vis |= test_bounding_spheres(centers, radii, cp)
-        visible_mask &= vis
-    if candidates and sat is not None:
-        view_m, frustum = sat
-        idxs = np.where(visible_mask)[0]
-        if len(idxs):
-            def _bb(v):
-                return np.zeros(3, np.float32) if v is None else np.asarray(v, np.float32)
+    else:
+        prim_counts = prim_base = np.zeros(0, np.int32)
 
-            mins = np.stack([_bb(candidates[i][2].bbox_min) for i in idxs])
-            maxs = np.stack([_bb(candidates[i][2].bbox_max) for i in idxs])
-            sims = np.stack([candidates[i][3].to_array() for i in idxs])
-            keep = test_obbs_sat_exact(mins, maxs, sims, view_m, frustum)
-            visible_mask[idxs] &= keep
+    counts = prim_counts[inst_uid] if len(instances) else np.zeros(0, np.int32)
+    n_cand = int(counts.sum())
+    if n_cand:
+        # ragged arange: candidate -> primitive row in the big tables
+        ends = counts.cumsum()
+        cand_inst = np.repeat(np.arange(len(instances), dtype=np.int32), counts)
+        prim_row = (
+            np.arange(n_cand, dtype=np.int32)
+            - np.repeat(ends - counts, counts)
+            + np.repeat(prim_base[inst_uid], counts)
+        )
+        inst8 = np.stack([s.to_array() for (_m, s) in instances]).astype(
+            np.float32
+        )
+        cand8 = similarity_compose8(
+            inst8[cand_inst], big("prim8")[prim_row]
+        ).astype(np.float32)
 
-    seen_palette: dict = {}
-    for ci, (inst_index, model, prim, sim) in enumerate(candidates):
-        if not visible_mask[ci]:
-            continue
-        joints_offset = 0
-        if model.animated and joint_palettes is not None:
-            pal = joint_palettes.get(inst_index)
-            if pal is not None and len(pal):
-                if inst_index not in seen_palette:
-                    seen_palette[inst_index] = palette_offset
+        def cat(key):
+            return big(key)[prim_row]
+
+        def cat_lod(key):
+            return big_lod(key)[prim_row]
+
+        radii = cand8[:, 3] * cat("radius")
+        centers = cand8[:, 0:3]
+
+        # --- culling (batched across every candidate) ---
+        visible_mask = np.ones(n_cand, bool)
+        if cull_params:
+            vis = np.zeros(n_cand, bool)
+            for cp in cull_params:
+                vis |= test_bounding_spheres(centers, radii, cp)
+            visible_mask &= vis
+        if sat is not None:
+            view_m, frustum = sat
+            idxs = np.where(visible_mask)[0]
+            if len(idxs):
+                keep = test_obbs_sat_exact(
+                    cat("bbox_min")[idxs],
+                    cat("bbox_max")[idxs],
+                    cand8[idxs],
+                    view_m,
+                    frustum,
+                )
+                visible_mask[idxs] &= keep
+
+        # --- LOD select (screen_coverage, batched; select_lod semantics) ---
+        n_lods = cat("n_lods")
+        lod = np.zeros(n_cand, np.int32)
+        if (n_lods > 1).any():
+            eye = np.asarray(uniforms.eye[0], np.float32)
+            d = np.linalg.norm(centers - eye[None], axis=1)
+            vr = radii / np.where(d <= 0.0, 1.0, d)
+            aspect = 1920 / screen_height
+            y = np.tan(np.radians(59.0) / 2.0)
+            cov = np.where(
+                d <= 0.0, np.inf, np.pi * vr * vr / (y * y * aspect)
+            ).astype(np.float32)
+            lod = (cat_lod("lod_cov") > cov[:, None]).sum(1).astype(np.int32)
+            lod = np.minimum(lod, n_lods - 1)
+
+        # --- palettes: register in instance order for visible animated ---
+        palettes: List[np.ndarray] = []
+        palette_offset = 0
+        inst_pal_offset = np.zeros(len(instances), np.int32)
+        if joint_palettes is not None:
+            needs = np.zeros(len(instances), bool)
+            needs[np.unique(cand_inst[visible_mask])] = True
+            for inst_index, (model, _s) in enumerate(instances):
+                if not (needs[inst_index] and model.animated):
+                    continue
+                pal = joint_palettes.get(inst_index)
+                if pal is not None and len(pal):
+                    inst_pal_offset[inst_index] = palette_offset
                     palettes.append(np.asarray(pal, np.float32))
                     palette_offset += len(pal)
-                joints_offset = seen_palette[inst_index]
-        lod_index = select_lod(prim, sim, uniforms.eye[0], screen_height)
-        lod = prim.lods[lod_index]
-        rows = anim_rows if prim.animated else static_rows
-        rows.add(
-            sim.to_array(),
-            lod.first_index,
-            lod.index_count,
-            first_vertex=lod.first_vertex,
-            vertex_count=lod.vertex_count,
-            joints_offset=joints_offset,
-            material=prim.material,
-            lightmapped=lod.lightmapped,
-        )
+
+        # --- pack visible candidates into static/animated DrawLists ---
+        animated = cat("animated")
+        material = cat("material")
+        lt_first = cat_lod("lod_first_tri")
+        lt_count = cat_lod("lod_tri_count")
+        lv_first = cat_lod("lod_first_vertex")
+        lv_count = cat_lod("lod_vertex_count")
+        lt_lm = cat_lod("lod_lightmapped")
+        from ..ops.geometry import DrawList
+
+        def pack(select):
+            k = np.where(visible_mask & select)[0]
+            n = len(k)
+            cap = draw_cap or max(1, _next_pow2(n))
+            sim8 = np.zeros((cap, 8), np.float32)
+            sim8[:, 7] = 1.0
+            sim8[:n] = cand8[k]
+
+            def col(vals, dtype=np.int32):
+                out = np.zeros(cap, dtype)
+                out[:n] = vals
+                return out
+
+            lk = lod[k]
+            valid = np.zeros(cap, bool)
+            valid[:n] = True
+            return DrawList(
+                sim8=sim8,
+                first_tri=col(lt_first[k, lk]),
+                tri_count=col(lt_count[k, lk]),
+                first_vertex=col(lv_first[k, lk]),
+                vertex_count=col(lv_count[k, lk]),
+                joints_offset=col(inst_pal_offset[cand_inst[k]]),
+                material=col(material[k]),
+                lightmapped=col(lt_lm[k, lk], bool),
+                valid=valid,
+            )
+
+        draws_static = pack(~animated)
+        draws_animated = pack(animated)
+    else:
+        palettes = []
+        draws_static = DrawRows().to_arrays(draw_cap)
+        draws_animated = DrawRows().to_arrays(draw_cap)
 
     palette = (
         np.concatenate(palettes, axis=0)
@@ -223,8 +383,8 @@ def build_frame_state(
 
     return FrameState(
         uniforms=uniforms.as_device_dict(),
-        draws_static=static_rows.to_arrays(draw_cap),
-        draws_animated=anim_rows.to_arrays(draw_cap),
+        draws_static=draws_static,
+        draws_animated=draws_animated,
         joint_palette=palette.astype(np.float32),
         lines=lines if lines is not None else pack_lines([], []),
         particles=particles if particles is not None else pack_particles(),
