@@ -181,6 +181,55 @@ def _model_frame_arrays(model: Model) -> dict:
     return cache
 
 
+_BIG_TABLE_CACHE: dict = {}
+
+_LOD_KEYS = (
+    "lod_cov",
+    "lod_first_tri",
+    "lod_tri_count",
+    "lod_first_vertex",
+    "lod_vertex_count",
+    "lod_lightmapped",
+)
+_FLAT_KEYS = ("prim8", "radius", "material", "animated", "n_lods",
+              "bbox_min", "bbox_max")
+
+
+def _big_tables(mas: list) -> dict:
+    """Concatenated per-model SoA tables for a frame's unique model list.
+
+    The concatenation (including padding every model's LOD tables to the
+    frame's deepest chain) is invariant while the same models are drawn, so
+    it is cached keyed on the identity of the per-model cache dicts — a
+    model edit rebuilds its _frame_arrays dict, which changes the key and
+    invalidates this cache naturally. Bounded to keep churny scenes from
+    accumulating stale entries."""
+    key = tuple(id(ma) for ma in mas)
+    hit = _BIG_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit[1]  # hit[0] pins the ma dicts so their ids stay unique
+    lmax = max(ma["lod_cov"].shape[1] for ma in mas)
+    tables = {
+        k: np.concatenate([ma[k] for ma in mas]) for k in _FLAT_KEYS
+    }
+    for k in _LOD_KEYS:
+        tables[k] = np.concatenate(
+            [
+                np.pad(ma[k], ((0, 0), (0, lmax - ma[k].shape[1])), mode="edge")
+                for ma in mas
+            ]
+        )
+    counts = np.array([ma["prim8"].shape[0] for ma in mas], np.int32)
+    tables["prim_counts"] = counts
+    tables["prim_base"] = np.concatenate([[0], counts.cumsum()[:-1]]).astype(
+        np.int32
+    )
+    if len(_BIG_TABLE_CACHE) >= 64:
+        _BIG_TABLE_CACHE.clear()
+    _BIG_TABLE_CACHE[key] = (list(mas), tables)
+    return tables
+
+
 def build_frame_state(
     scene: Scene,
     instances: Sequence[Tuple[Model, Similarity]],
@@ -227,25 +276,13 @@ def build_frame_state(
     mas = [ma for (_uid, ma) in sorted(uniq.values(), key=lambda e: e[0])]
 
     if mas:
-        lmax = max(ma["lod_cov"].shape[1] for ma in mas)
+        tables = _big_tables(mas)
 
         def big(key):
-            return np.concatenate([ma[key] for ma in mas])
+            return tables[key]
 
-        def big_lod(key):
-            return np.concatenate(
-                [
-                    np.pad(
-                        ma[key], ((0, 0), (0, lmax - ma[key].shape[1])), mode="edge"
-                    )
-                    for ma in mas
-                ]
-            )
-
-        prim_counts = np.array([ma["prim8"].shape[0] for ma in mas], np.int32)
-        prim_base = np.concatenate([[0], prim_counts.cumsum()[:-1]]).astype(
-            np.int32
-        )
+        prim_counts = tables["prim_counts"]
+        prim_base = tables["prim_base"]
     else:
         prim_counts = prim_base = np.zeros(0, np.int32)
 
@@ -270,8 +307,7 @@ def build_frame_state(
         def cat(key):
             return big(key)[prim_row]
 
-        def cat_lod(key):
-            return big_lod(key)[prim_row]
+        cat_lod = cat  # LOD tables are pre-padded in _big_tables
 
         radii = cand8[:, 3] * cat("radius")
         centers = cand8[:, 0:3]

@@ -94,3 +94,46 @@ def test_lod_selection_feeds_draws():
     state = build_frame_state(scene, [(model, Similarity())], uniforms)
     # far away: the 1-triangle LOD is drawn
     assert int(np.asarray(state.draws_static.tri_count)[0]) == 1
+
+
+def _drawlist_tuple(state):
+    d = state.draws_static
+    return tuple(
+        np.asarray(getattr(d, f)).tobytes()
+        for f in ("sim8", "first_tri", "tri_count", "first_vertex",
+                  "vertex_count", "joints_offset", "material",
+                  "lightmapped", "valid")
+    )
+
+
+def test_big_table_cache_consistency():
+    """The cached cross-model tables (draws._big_tables) must give results
+    identical to a cold rebuild for every model subset/order, including
+    mixed LOD-chain depths (the padded-table path)."""
+    import superconductor_tpu.render.draws as D
+    from superconductor_tpu.utils.procgen import add_pbr_sphere
+
+    scene = Scene()
+    lod_model = load_model(scene, make_lod_glb(), name="lod")  # 2 LODs
+    sphere = add_pbr_sphere(scene, stacks=4, slices=4)  # 1 LOD
+    cam = Camera(position=np.array([0, 0, 6.0], np.float32))
+    uniforms = make_uniforms(cam, 64, 64)
+
+    combos = [
+        [(lod_model, Similarity())],
+        [(sphere, Similarity())],
+        [(lod_model, Similarity()), (sphere, Similarity([2, 0, 0]))],
+        [(sphere, Similarity([2, 0, 0])), (lod_model, Similarity())],
+        [(sphere, Similarity()), (sphere, Similarity([1, 0, 0])),
+         (lod_model, Similarity([-2, 0, 0]))],
+    ]
+    warm = []
+    for insts in combos:
+        build_frame_state(scene, insts, uniforms)  # populate caches
+        warm.append(_drawlist_tuple(build_frame_state(scene, insts, uniforms)))
+    for insts, w in zip(combos, warm):
+        D._BIG_TABLE_CACHE.clear()
+        for m in (lod_model, sphere):
+            m.__dict__.pop("_frame_arrays", None)
+        cold = _drawlist_tuple(build_frame_state(scene, insts, uniforms))
+        assert cold == w
