@@ -1,0 +1,159 @@
+// Per-frame draw-list building: the hot host runtime loop in native code.
+//
+// C++ twin of the vectorized numpy path in render/draws.py::build_frame_state
+// (itself the analog of the reference's push_entity_instances hot loop,
+// src/systems.rs:204-332). For every (instance x primitive) candidate:
+// compose the instance and primitive Similarity transforms, frustum-cull the
+// bounding sphere against each view's planes (union across views, matching
+// resources.rs:166-184's one-or-two-eye params), select the screen-coverage
+// LOD, and pack visible candidates into compact static/animated draw rows.
+//
+// Float expression order deliberately mirrors math3d.py (quat_mul,
+// quat_rotate, similarity_compose8) so results match the numpy path to the
+// last ulp in practice; the test suite asserts equality on every column.
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+struct Sim8 {
+  float tx, ty, tz, s, qx, qy, qz, qw;
+};
+
+// quat_rotate (math3d.py:64): t = 2*cross(q.xyz, v); v' = v + w*t + cross(q.xyz, t)
+inline void quat_rotate(const float* q, const float* v, float* out) {
+  const float qx = q[0], qy = q[1], qz = q[2], qw = q[3];
+  const float tx = 2.0f * (qy * v[2] - qz * v[1]);
+  const float ty = 2.0f * (qz * v[0] - qx * v[2]);
+  const float tz = 2.0f * (qx * v[1] - qy * v[0]);
+  out[0] = v[0] + qw * tx + (qy * tz - qz * ty);
+  out[1] = v[1] + qw * ty + (qz * tx - qx * tz);
+  out[2] = v[2] + qw * tz + (qx * ty - qy * tx);
+}
+
+// similarity_compose8 (math3d.py:268): result applies b first, then a.
+inline void compose8(const float* a, const float* b, float* out) {
+  float r[3];
+  quat_rotate(a + 4, b, r);  // rotate b.translation by a.rotation
+  out[0] = a[0] + a[3] * r[0];
+  out[1] = a[1] + a[3] * r[1];
+  out[2] = a[2] + a[3] * r[2];
+  out[3] = a[3] * b[3];
+  // Hamilton product a.q * b.q (math3d.py:43)
+  const float ax = a[4], ay = a[5], az = a[6], aw = a[7];
+  const float bx = b[4], by = b[5], bz = b[6], bw = b[7];
+  out[4] = aw * bx + ax * bw + ay * bz - az * by;
+  out[5] = aw * by - ax * bz + ay * bw + az * bx;
+  out[6] = aw * bz + ax * by - ay * bx + az * bw;
+  out[7] = aw * bw - ax * bx - ay * by - az * bz;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the candidate count processed. Outputs are compact (row i < the
+// returned counts); the caller pads to its pow2 caps.
+int32_t sc_build_draws(
+    // instances
+    int32_t n_inst, const float* inst8 /*(n_inst,8)*/,
+    const int32_t* inst_uid /*(n_inst)*/,
+    // per-uid ranges into the big primitive tables
+    const int32_t* prim_base, const int32_t* prim_counts,
+    // big primitive tables (P rows, lmax LOD columns)
+    int32_t lmax, const float* prim8, const float* radius,
+    const int32_t* material, const uint8_t* animated, const int32_t* n_lods,
+    const float* lod_cov, const int32_t* lt_first, const int32_t* lt_count,
+    const int32_t* lv_first, const int32_t* lv_count, const uint8_t* lt_lm,
+    // culling: n_sets plane sets; set k = planes[set_off[k] .. set_off[k+1])
+    // rows of (nx, ny, nz, d); sphere visible in a set iff every plane has
+    // dot(n, c) + d >= -r; visible overall iff visible in ANY set (VR union)
+    int32_t n_sets, const int32_t* set_off, const float* planes,
+    // LOD: when do_lod, lod = #(lod_cov > pi*vr^2/denom) clamped to n_lods-1
+    int32_t do_lod, const float* eye3, double denom,
+    // outputs: compact rows (allocated n_cand long by the caller)
+    float* s_sim8, int32_t* s_first_tri, int32_t* s_tri_count,
+    int32_t* s_first_vertex, int32_t* s_vertex_count, int32_t* s_material,
+    uint8_t* s_lightmapped, int32_t* s_inst,
+    float* a_sim8, int32_t* a_first_tri, int32_t* a_tri_count,
+    int32_t* a_first_vertex, int32_t* a_vertex_count, int32_t* a_material,
+    uint8_t* a_lightmapped, int32_t* a_inst,
+    uint8_t* inst_visible /*(n_inst)*/, int32_t* counts_out /*[2]*/) {
+  int32_t n_static = 0, n_anim = 0, n_cand = 0;
+  for (int32_t ii = 0; ii < n_inst; ++ii) {
+    const float* ia = inst8 + 8 * ii;
+    const int32_t uid = inst_uid[ii];
+    const int32_t base = prim_base[uid];
+    const int32_t count = prim_counts[uid];
+    for (int32_t p = base; p < base + count; ++p, ++n_cand) {
+      float c8[8];
+      compose8(ia, prim8 + 8 * p, c8);
+      const float r = c8[3] * radius[p];
+
+      bool visible = true;
+      if (n_sets > 0) {
+        visible = false;
+        for (int32_t k = 0; k < n_sets && !visible; ++k) {
+          bool in = true;
+          for (int32_t pl = set_off[k]; pl < set_off[k + 1]; ++pl) {
+            const float* pw = planes + 4 * pl;
+            const float d =
+                c8[0] * pw[0] + c8[1] * pw[1] + c8[2] * pw[2] + pw[3];
+            if (!(d >= -r)) {
+              in = false;
+              break;
+            }
+          }
+          visible = in;
+        }
+      }
+      if (!visible) continue;
+      inst_visible[ii] = 1;
+
+      int32_t lod = 0;
+      if (do_lod) {
+        const float dx = c8[0] - eye3[0];
+        const float dy = c8[1] - eye3[1];
+        const float dz = c8[2] - eye3[2];
+        const float d = sqrtf((dx * dx + dy * dy) + dz * dz);
+        if (d > 0.0f) {
+          const float vr = r / d;
+          const float cov = (float)(M_PI * (double)vr * (double)vr / denom);
+          const float* pc = lod_cov + (size_t)lmax * p;
+          for (int32_t l = 0; l < lmax; ++l) lod += pc[l] > cov;
+        }
+        const int32_t nl = n_lods[p] - 1;
+        if (lod > nl) lod = nl;
+      }
+
+      const size_t lp = (size_t)lmax * p + lod;
+      if (animated[p]) {
+        for (int j = 0; j < 8; ++j) a_sim8[8 * n_anim + j] = c8[j];
+        a_first_tri[n_anim] = lt_first[lp];
+        a_tri_count[n_anim] = lt_count[lp];
+        a_first_vertex[n_anim] = lv_first[lp];
+        a_vertex_count[n_anim] = lv_count[lp];
+        a_material[n_anim] = material[p];
+        a_lightmapped[n_anim] = lt_lm[lp];
+        a_inst[n_anim] = ii;
+        ++n_anim;
+      } else {
+        for (int j = 0; j < 8; ++j) s_sim8[8 * n_static + j] = c8[j];
+        s_first_tri[n_static] = lt_first[lp];
+        s_tri_count[n_static] = lt_count[lp];
+        s_first_vertex[n_static] = lv_first[lp];
+        s_vertex_count[n_static] = lv_count[lp];
+        s_material[n_static] = material[p];
+        s_lightmapped[n_static] = lt_lm[lp];
+        s_inst[n_static] = ii;
+        ++n_static;
+      }
+    }
+  }
+  counts_out[0] = n_static;
+  counts_out[1] = n_anim;
+  return n_cand;
+}
+
+}  // extern "C"

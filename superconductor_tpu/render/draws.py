@@ -31,6 +31,27 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1)).bit_length() if n > 1 else 1
 
 
+_framestate_available: Optional[bool] = None
+
+
+def _framestate_native() -> bool:
+    """Whether the C++ draw builder is usable (SC_TPU_NO_NATIVE_DRAWS=1
+    forces the numpy reference path)."""
+    global _framestate_available
+    import os
+
+    if os.environ.get("SC_TPU_NO_NATIVE_DRAWS"):
+        return False
+    if _framestate_available is None:
+        try:
+            from ..native.framestate import available
+
+            _framestate_available = available()
+        except Exception:
+            _framestate_available = False
+    return _framestate_available
+
+
 @dataclass
 class DrawRows:
     sim8: List[np.ndarray] = field(default_factory=list)
@@ -224,10 +245,66 @@ def _big_tables(mas: list) -> dict:
     tables["prim_base"] = np.concatenate([[0], counts.cumsum()[:-1]]).astype(
         np.int32
     )
+    # uint8 views + scalar flags for the native (C++) fast path
+    tables["animated_u8"] = np.ascontiguousarray(tables["animated"]).view(
+        np.uint8
+    )
+    tables["lod_lightmapped_u8"] = np.ascontiguousarray(
+        tables["lod_lightmapped"]
+    ).view(np.uint8)
+    tables["any_lods"] = bool((tables["n_lods"] > 1).any())
     if len(_BIG_TABLE_CACHE) >= 64:
         _BIG_TABLE_CACHE.clear()
     _BIG_TABLE_CACHE[key] = (list(mas), tables)
     return tables
+
+
+def _register_palettes(instances, joint_palettes, inst_visible):
+    """Concatenate joint palettes for visible animated instances, in
+    instance order; returns (palette list, per-instance offsets)."""
+    palettes: List[np.ndarray] = []
+    palette_offset = 0
+    inst_pal_offset = np.zeros(len(instances), np.int32)
+    if joint_palettes is not None:
+        for inst_index, (model, _s) in enumerate(instances):
+            if not (inst_visible[inst_index] and model.animated):
+                continue
+            pal = joint_palettes.get(inst_index)
+            if pal is not None and len(pal):
+                inst_pal_offset[inst_index] = palette_offset
+                palettes.append(np.asarray(pal, np.float32))
+                palette_offset += len(pal)
+    return palettes, inst_pal_offset
+
+
+def _pack_compact(c: dict, inst_pal_offset: np.ndarray, draw_cap):
+    """Pad a compact draw dict (n visible rows) to a pow2-cap DrawList."""
+    from ..ops.geometry import DrawList
+
+    n = len(c["first_tri"])
+    cap = draw_cap or max(1, _next_pow2(n))
+    sim8 = np.zeros((cap, 8), np.float32)
+    sim8[:, 7] = 1.0
+    sim8[:n] = c["sim8"]
+
+    def col(vals, dtype=np.int32):
+        out = np.zeros(cap, dtype)
+        out[:n] = vals
+        return out
+
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    return DrawList(
+        sim8=sim8,
+        first_tri=col(c["first_tri"]),
+        tri_count=col(c["tri_count"]),
+        first_vertex=col(c["first_vertex"]),
+        vertex_count=col(c["vertex_count"]),
+        joints_offset=col(inst_pal_offset[c["inst"]]),
+        material=col(c["material"]),
+        lightmapped=col(c["lightmapped"], bool),
+        valid=valid,
+    )
 
 
 def build_frame_state(
@@ -288,7 +365,35 @@ def build_frame_state(
 
     counts = prim_counts[inst_uid] if len(instances) else np.zeros(0, np.int32)
     n_cand = int(counts.sum())
-    if n_cand:
+
+    use_native = n_cand > 0 and sat is None and _framestate_native()
+    if use_native:
+        # --- native (C++) fast path: the same compose/cull/LOD/pack walk in
+        # src/framestate.cpp; the numpy path below remains the reference
+        # implementation (and handles the optional exact-SAT refinement) ---
+        from ..native.framestate import build_draws_native
+
+        inst8 = np.ascontiguousarray(
+            np.stack([s.to_array() for (_m, s) in instances]), np.float32
+        )
+        eye = np.asarray(uniforms.eye[0], np.float32)
+        aspect = 1920 / screen_height
+        y = np.tan(np.radians(59.0) / 2.0)
+        static_c, anim_c, inst_visible = build_draws_native(
+            inst8,
+            inst_uid,
+            tables,
+            [cp.planes for cp in cull_params] if cull_params else None,
+            tables["any_lods"],
+            eye,
+            float(y * y * aspect),
+        )
+        palettes, inst_pal_offset = _register_palettes(
+            instances, joint_palettes, inst_visible
+        )
+        draws_static = _pack_compact(static_c, inst_pal_offset, draw_cap)
+        draws_animated = _pack_compact(anim_c, inst_pal_offset, draw_cap)
+    elif n_cand:
         # ragged arange: candidate -> primitive row in the big tables
         ends = counts.cumsum()
         cand_inst = np.repeat(np.arange(len(instances), dtype=np.int32), counts)
@@ -348,20 +453,11 @@ def build_frame_state(
             lod = np.minimum(lod, n_lods - 1)
 
         # --- palettes: register in instance order for visible animated ---
-        palettes: List[np.ndarray] = []
-        palette_offset = 0
-        inst_pal_offset = np.zeros(len(instances), np.int32)
-        if joint_palettes is not None:
-            needs = np.zeros(len(instances), bool)
-            needs[np.unique(cand_inst[visible_mask])] = True
-            for inst_index, (model, _s) in enumerate(instances):
-                if not (needs[inst_index] and model.animated):
-                    continue
-                pal = joint_palettes.get(inst_index)
-                if pal is not None and len(pal):
-                    inst_pal_offset[inst_index] = palette_offset
-                    palettes.append(np.asarray(pal, np.float32))
-                    palette_offset += len(pal)
+        inst_visible = np.zeros(len(instances), bool)
+        inst_visible[np.unique(cand_inst[visible_mask])] = True
+        palettes, inst_pal_offset = _register_palettes(
+            instances, joint_palettes, inst_visible
+        )
 
         # --- pack visible candidates into static/animated DrawLists ---
         animated = cat("animated")
@@ -371,38 +467,23 @@ def build_frame_state(
         lv_first = cat_lod("lod_first_vertex")
         lv_count = cat_lod("lod_vertex_count")
         lt_lm = cat_lod("lod_lightmapped")
-        from ..ops.geometry import DrawList
 
-        def pack(select):
+        def compact(select):
             k = np.where(visible_mask & select)[0]
-            n = len(k)
-            cap = draw_cap or max(1, _next_pow2(n))
-            sim8 = np.zeros((cap, 8), np.float32)
-            sim8[:, 7] = 1.0
-            sim8[:n] = cand8[k]
-
-            def col(vals, dtype=np.int32):
-                out = np.zeros(cap, dtype)
-                out[:n] = vals
-                return out
-
             lk = lod[k]
-            valid = np.zeros(cap, bool)
-            valid[:n] = True
-            return DrawList(
-                sim8=sim8,
-                first_tri=col(lt_first[k, lk]),
-                tri_count=col(lt_count[k, lk]),
-                first_vertex=col(lv_first[k, lk]),
-                vertex_count=col(lv_count[k, lk]),
-                joints_offset=col(inst_pal_offset[cand_inst[k]]),
-                material=col(material[k]),
-                lightmapped=col(lt_lm[k, lk], bool),
-                valid=valid,
-            )
+            return {
+                "sim8": cand8[k],
+                "first_tri": lt_first[k, lk],
+                "tri_count": lt_count[k, lk],
+                "first_vertex": lv_first[k, lk],
+                "vertex_count": lv_count[k, lk],
+                "material": material[k],
+                "lightmapped": lt_lm[k, lk],
+                "inst": cand_inst[k],
+            }
 
-        draws_static = pack(~animated)
-        draws_animated = pack(animated)
+        draws_static = _pack_compact(compact(~animated), inst_pal_offset, draw_cap)
+        draws_animated = _pack_compact(compact(animated), inst_pal_offset, draw_cap)
     else:
         palettes = []
         draws_static = DrawRows().to_arrays(draw_cap)

@@ -1,0 +1,98 @@
+"""Sharded (multi-chip) rendering must match the single-device frame.
+
+Runs on the 8 virtual CPU devices forced by conftest. This is the test-suite
+twin of the driver's dryrun_multichip: the sharding only changes *where*
+bands are computed, never *what* — so the sharded image must match the
+unsharded path.
+
+The full view x band mesh (8 devices = 2 eyes x 4 bands) runs by default;
+the other mesh shapes compile several extra shard_map programs (~3 min each
+on the CPU backend) and are gated behind SC_RUN_SLOW=1.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import superconductor_tpu as sc
+from superconductor_tpu.math3d import look_at, mat3_to_quat, mat4_inverse
+from superconductor_tpu.parallel.bands import make_render_mesh, render_frame_sharded
+from superconductor_tpu.render.camera import make_stereo_uniforms
+from superconductor_tpu.render.draws import build_frame_state
+from superconductor_tpu.utils.procgen import (
+    add_pbr_sphere,
+    default_ambient_sh,
+    gradient_cubemap,
+)
+
+WIDTH = 64
+HEIGHT = 64  # bands of >= 8 rows (f32 sublane tile) for every mesh shape
+
+
+def _scene(stereo):
+    scene = sc.Scene()
+    model = add_pbr_sphere(scene, stacks=12, slices=12)
+    cubemap_base = gradient_cubemap(scene, size=16)
+    cam = sc.Camera(position=np.array([0.0, 0.3, 2.4], np.float32))
+    cam.rotation = mat3_to_quat(
+        mat4_inverse(look_at(cam.position, [0, 0, 0]))[:3, :3]
+    )
+    env = sc.EnvBindings(
+        ibl_cubemap_base=cubemap_base, ambient_sh=default_ambient_sh()
+    )
+    if stereo:
+        ipd = np.array([0.032, 0, 0], np.float32)
+        left = sc.Camera(position=cam.position - ipd, rotation=cam.rotation)
+        right = sc.Camera(position=cam.position + ipd, rotation=cam.rotation)
+        lu = sc.make_uniforms(left, WIDTH, HEIGHT)
+        ru = sc.make_uniforms(right, WIDTH, HEIGHT)
+        uniforms = make_stereo_uniforms(
+            lu.view[0], ru.view[0], lu.projection[0], ru.projection[0],
+            lu.eye[0], ru.eye[0], left.rotation, right.rotation,
+        )
+    else:
+        uniforms = sc.make_uniforms(cam, WIDTH, HEIGHT)
+    state = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
+    return scene, state, env
+
+
+def _run_pair(n_devices, num_views):
+    devices = jax.devices("cpu")
+    if len(devices) < n_devices:
+        pytest.skip(f"need {n_devices} devices")
+    scene, state, env = _scene(stereo=num_views == 2)
+    config = sc.RenderConfig(
+        width=WIDTH, height=HEIGHT, t_cap=512, t_cap_anim=64, p_cap=2048,
+        num_views=num_views, raster="ref",
+    )
+    dev = scene.device_arrays()
+    ref = np.asarray(sc.render_frame(dev, state, config, env))
+    mesh = make_render_mesh(devices[:n_devices], num_views=num_views)
+    out = np.asarray(render_frame_sharded(dev, state, config, env, mesh))
+    return out, ref
+
+
+def _assert_match(out, ref, num_views):
+    assert out.shape == (num_views, HEIGHT, WIDTH, 4)
+    # identical pipeline, different partitioning: allow only tiny numeric
+    # drift from fusion differences (u8 quantization absorbs almost all)
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert (diff > 1).mean() < 1e-3, (diff.max(), (diff > 1).mean())
+
+
+def test_sharded_view_band_mesh_matches_single_device():
+    """8 devices as 2 eyes x 4 bands — the full mesh the design targets."""
+    out, ref = _run_pair(8, 2)
+    _assert_match(out, ref, 2)
+    # parallax: the two sharded eyes must differ
+    assert not np.array_equal(out[0], out[1])
+
+
+@pytest.mark.parametrize("n_devices,num_views", [(2, 1), (8, 1), (2, 2)])
+def test_sharded_other_mesh_shapes(n_devices, num_views):
+    if not os.environ.get("SC_RUN_SLOW"):
+        pytest.skip("set SC_RUN_SLOW=1 for the full mesh-shape sweep")
+    out, ref = _run_pair(n_devices, num_views)
+    _assert_match(out, ref, num_views)

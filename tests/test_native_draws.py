@@ -1,0 +1,137 @@
+"""Native (C++) draw builder vs the numpy reference path.
+
+src/framestate.cpp mirrors build_frame_state's compose/cull/LOD/pack walk;
+every DrawList column must come out identical for the same inputs across
+randomized scenes with culling, LOD chains, animated primitives, and joint
+palettes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import superconductor_tpu as sc
+import superconductor_tpu.render.draws as D
+from superconductor_tpu.render.culling import sphere_culling_params
+from superconductor_tpu.render.draws import build_frame_state
+from superconductor_tpu.utils.procgen import add_pbr_sphere, add_skinned_tube
+
+from conftest import make_box_glb
+
+
+def _assert_states_equal(a, b):
+    for which in ("draws_static", "draws_animated"):
+        da, db = getattr(a, which), getattr(b, which)
+        for f in ("sim8", "first_tri", "tri_count", "first_vertex",
+                  "vertex_count", "joints_offset", "material",
+                  "lightmapped", "valid"):
+            va, vb = np.asarray(getattr(da, f)), np.asarray(getattr(db, f))
+            assert va.dtype == vb.dtype, (which, f, va.dtype, vb.dtype)
+            assert np.array_equal(va, vb), (which, f)
+    assert np.array_equal(a.joint_palette, b.joint_palette)
+
+
+def _both_paths(scene, instances, uniforms, **kw):
+    assert D._framestate_native(), "native library must be available"
+    native = build_frame_state(scene, instances, uniforms, **kw)
+    os.environ["SC_TPU_NO_NATIVE_DRAWS"] = "1"
+    try:
+        ref = build_frame_state(scene, instances, uniforms, **kw)
+    finally:
+        del os.environ["SC_TPU_NO_NATIVE_DRAWS"]
+    return native, ref
+
+
+def test_native_draws_matches_numpy_basic():
+    from superconductor_tpu.assets.models import load_model
+
+    scene = sc.Scene()
+    sphere = add_pbr_sphere(scene, stacks=6, slices=6)
+    box = load_model(scene, make_box_glb(), name="box")
+    tube = add_skinned_tube(scene, segments=4, slices=6, name="tube")
+
+    rng = np.random.default_rng(7)
+    instances = []
+    models = [sphere, box, tube]
+    for i in range(40):
+        m = models[i % 3]
+        instances.append(
+            (m, sc.Similarity(
+                translation=rng.uniform(-20, 20, 3).astype(np.float32),
+                scale=float(rng.uniform(0.2, 3.0)),
+                rotation=_rand_quat(rng),
+            ))
+        )
+    cam = sc.Camera(position=np.array([0, 0, 10.0], np.float32))
+    uniforms = sc.make_uniforms(cam, 640, 480)
+    palettes = {
+        i: np.tile(
+            np.array([0, 0, 0, 1, 0, 0, 0, 1], np.float32), (5, 1)
+        ) * (1 + 0.01 * i)
+        for i, (m, _s) in enumerate(instances)
+        if m is tube
+    }
+
+    vp = np.asarray(uniforms.projection[0]) @ np.asarray(uniforms.view[0])
+    cull = [sphere_culling_params(vp)]
+
+    native, ref = _both_paths(
+        scene, instances, uniforms,
+        joint_palettes=palettes, cull_params=cull,
+    )
+    _assert_states_equal(native, ref)
+    # sanity: culling actually rejected something and kept something
+    v = np.asarray(native.draws_static.valid)
+    assert 0 < v.sum()
+
+
+def test_native_draws_matches_numpy_lod_chains():
+    from test_lod import make_lod_glb
+    from superconductor_tpu.assets.models import load_model
+
+    scene = sc.Scene()
+    lod_model = load_model(scene, make_lod_glb(), name="lod")
+    sphere = add_pbr_sphere(scene, stacks=4, slices=4)
+    rng = np.random.default_rng(3)
+    instances = []
+    for i in range(30):
+        m = lod_model if i % 2 else sphere
+        instances.append(
+            (m, sc.Similarity(
+                translation=[0, 0, -float(rng.uniform(0.5, 400.0))],
+                scale=float(rng.uniform(0.5, 2.0)),
+            ))
+        )
+    # guarantee both LOD levels appear: one lod_model right in front of the
+    # camera (high coverage -> LOD 0) on top of the random far spread
+    instances.append(
+        (lod_model, sc.Similarity(translation=[0, 0, 0.0], scale=2.0))
+    )
+    cam = sc.Camera(position=np.array([0, 0, 2.0], np.float32))
+    uniforms = sc.make_uniforms(cam, 640, 480)
+    native, ref = _both_paths(scene, instances, uniforms)
+    _assert_states_equal(native, ref)
+    # distance spread must actually exercise both LOD levels
+    tc = np.asarray(native.draws_static.tri_count)
+    valid = np.asarray(native.draws_static.valid)
+    assert {1, 2} <= set(tc[valid].tolist())
+
+
+def test_native_draws_empty_and_all_culled():
+    scene = sc.Scene()
+    sphere = add_pbr_sphere(scene, stacks=4, slices=4)
+    cam = sc.Camera(position=np.array([0, 0, 5.0], np.float32))
+    uniforms = sc.make_uniforms(cam, 64, 64)
+    vp = np.asarray(uniforms.projection[0]) @ np.asarray(uniforms.view[0])
+    cull = [sphere_culling_params(vp)]
+    # instance far behind the camera: everything culled
+    instances = [(sphere, sc.Similarity(translation=[0, 0, 500.0]))]
+    native, ref = _both_paths(scene, instances, uniforms, cull_params=cull)
+    _assert_states_equal(native, ref)
+    assert not np.asarray(native.draws_static.valid).any()
+
+
+def _rand_quat(rng):
+    q = rng.normal(size=4).astype(np.float32)
+    return q / np.linalg.norm(q)
