@@ -78,7 +78,14 @@ class TextureStreamer:
         # requesters are served from the loaded texture, never re-fetched.
         self._by_url: dict = {}
         self._tex_of_key: dict = {}  # key -> pool tex_id (set in pump)
-        self._final: set = set()  # keys whose full chain has been applied
+        # keys with a preview swap queued (worker side): a phase-2 failure
+        # must NOT drop their waiters — the preview still gets applied, so
+        # materials show the low-res level instead of the dummy
+        self._preview_pushed: set = set()
+        # keys with any texture applied in the pool (pump side): later
+        # requesters alias to it instead of waiting for a swap that may
+        # never come (and, in the normal flow, see the preview sooner)
+        self._served: set = set()
 
     @property
     def inflight(self) -> int:
@@ -99,8 +106,11 @@ class TextureStreamer:
         with self._lock:
             if key in self._by_url:
                 self._by_url[key].append(waiter)
-                if key in self._final:
-                    # Already loaded: serve this material at the next pump.
+                if key in self._served:
+                    # A texture (preview or final) already exists for this
+                    # key: bind this material at the next pump rather than
+                    # waiting for a future swap (which never comes if the
+                    # final phase failed after the preview).
                     self._done.append(
                         _PendingSwap(key=key, phase="alias", materials=[waiter])
                     )
@@ -134,9 +144,16 @@ class TextureStreamer:
                     )
                 )
         except Exception:
-            log.exception("texture stream failed for %s; dummy stays", url)
             with self._lock:
-                self._by_url.pop(key, None)  # allow a retry request
+                previewed = key in self._preview_pushed
+                if not previewed:
+                    self._by_url.pop(key, None)  # allow a retry request
+            # if the preview was already queued, keep the waiters: pump()
+            # binds them to the low-res preview instead of the dummy
+            log.exception(
+                "texture stream failed for %s; %s stays", url,
+                "preview" if previewed else "dummy",
+            )
         finally:
             with self._lock:
                 self._inflight -= 1
@@ -181,12 +198,15 @@ class TextureStreamer:
         # TEXFLAG_SRGB converts in-shader (one conversion, not two).
         ktx = parse_ktx2(bytes(fake))
         img8 = decode_level_u8(ktx, levels_n - 1)
-        self._push(
-            _PendingSwap(
-                key=key, phase="preview", srgb=srgb, wrap=wrap,
-                dims=dims, preview_level=levels_n - 1 - skip, preview_image=img8,
+        with self._lock:
+            self._preview_pushed.add(key)
+            self._done.append(
+                _PendingSwap(
+                    key=key, phase="preview", srgb=srgb, wrap=wrap,
+                    dims=dims, preview_level=levels_n - 1 - skip,
+                    preview_image=img8,
+                )
             )
-        )
 
         # Phase 2: everything below the cap.
         data = self.client.fetch_bytes(url)
@@ -228,6 +248,7 @@ class TextureStreamer:
                 )
                 scene.textures.set_mip_view(tex_id, swap.preview_level, 1)
                 with self._lock:
+                    self._served.add(swap.key)
                     waiters = list(self._by_url.get(swap.key, ()))
             else:  # final
                 tex_id = self._tex_of_key.get(swap.key)
@@ -246,9 +267,9 @@ class TextureStreamer:
                     self._tex_of_key[swap.key] = tex_id
                 # Snapshot waiters atomically with completion: requests
                 # before this lock land in the snapshot; requests after see
-                # _final and self-serve via an alias swap.
+                # _served and self-serve via an alias swap.
                 with self._lock:
-                    self._final.add(swap.key)
+                    self._served.add(swap.key)
                     waiters = list(self._by_url.get(swap.key, ()))
             applied += self._apply(scene, waiters, tex_id)
         return applied

@@ -58,6 +58,10 @@ class FrameOutput:
 
     image: object = None
     frame_index: int = 0
+    # (stats, config) of the in-flight frame, for the one-frame-late
+    # overflow check in systems.render (avoids a per-frame device sync)
+    pending_stats: object = None
+    last_config: object = None
 
 
 @dataclass

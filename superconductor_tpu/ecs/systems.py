@@ -356,11 +356,20 @@ def render(world: World) -> None:
     image, stats = render_frame_stats(
         scene.device_arrays(), state, config, settings.env
     )
-    # Bin-pair capacity check (pallas path; the ref path reports 0). The
-    # scalar fetch synchronizes on frame completion — acceptable in the app
-    # loop; bench paths call render_frame directly.
-    pairs = int(stats["pairs_needed"])
-    if pairs > config.p_cap:
+    # Bin-pair capacity check (pallas path; the ref path reports 0).
+    # Fetching the in-flight frame's scalar would synchronize on frame
+    # completion every frame, serializing host build with device render —
+    # so sync only when the config just changed (first frame / scene or
+    # resolution churn: exactly when overflow typically appears). In the
+    # steady state, read the PREVIOUS frame's stats instead: they are
+    # materialized by now, so the check is free, and overflow grows p_cap
+    # one frame late with a warning — never silently.
+    if config != out.last_config or out.pending_stats is None:
+        check_stats, check_config = stats, config
+    else:
+        check_stats, check_config = out.pending_stats
+    pairs = int(check_stats["pairs_needed"])
+    if pairs > check_config.p_cap:
         from dataclasses import replace
 
         from ..render.draws import _next_pow2
@@ -368,13 +377,15 @@ def render(world: World) -> None:
         new_p = _next_pow2(pairs * 2)
         log.warning(
             "bin-pair capacity exceeded (%d > p_cap=%d); growing p_cap to %d "
-            "and re-rendering", pairs, config.p_cap, new_p,
+            "and re-rendering", pairs, check_config.p_cap, new_p,
         )
         config = replace(config, p_cap=new_p)
         settings.config = config
         image, stats = render_frame_stats(
             scene.device_arrays(), state, config, settings.env
         )
+    out.pending_stats = (stats, config)
+    out.last_config = config
     out.image = image
     out.frame_index += 1
 

@@ -111,6 +111,10 @@ def build_draws_native(
     compact arrays (n rows) ALIASING the shared scratch pool — copy before
     the next call.
     """
+    if not available():  # also configures argtypes — without them ctypes
+        raise RuntimeError(  # would truncate 64-bit pointers to C int
+            "scnative sc_build_draws unavailable"
+        )
     lib = load_native()
     n_inst = len(inst_uid)
     n_cand = int(tables["prim_counts"][inst_uid].sum()) if n_inst else 0

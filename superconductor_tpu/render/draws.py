@@ -76,31 +76,22 @@ class DrawRows:
 
     def to_arrays(self, cap: Optional[int] = None):
         n = len(self.first_tri)
-        cap = cap or max(1, _next_pow2(n))
-        sim8 = np.zeros((cap, 8), np.float32)
-        sim8[:, 7] = 1.0  # identity quat w
-        if n:
-            sim8[:n] = np.stack(self.sim8)
-
-        def col(vals, dtype=np.int32):
-            out = np.zeros(cap, dtype)
-            out[:n] = vals
-            return out
-
-        valid = np.zeros(cap, bool)
-        valid[:n] = True
-        from ..ops.geometry import DrawList
-
-        return DrawList(
-            sim8=sim8,
-            first_tri=col(self.first_tri),
-            tri_count=col(self.tri_count),
-            first_vertex=col(self.first_vertex),
-            vertex_count=col(self.vertex_count),
-            joints_offset=col(self.joints_offset),
-            material=col(self.material),
-            lightmapped=col(self.lightmapped, bool),
-            valid=valid,
+        return _pack_compact(
+            {
+                "sim8": np.stack(self.sim8)
+                if n
+                else np.zeros((0, 8), np.float32),
+                "first_tri": self.first_tri,
+                "tri_count": self.tri_count,
+                "first_vertex": self.first_vertex,
+                "vertex_count": self.vertex_count,
+                "material": self.material,
+                "lightmapped": self.lightmapped,
+                "inst": np.zeros(n, np.int32),
+                "joints_offset": self.joints_offset,
+            },
+            None,
+            cap,
         )
 
 
@@ -277,8 +268,12 @@ def _register_palettes(instances, joint_palettes, inst_visible):
     return palettes, inst_pal_offset
 
 
-def _pack_compact(c: dict, inst_pal_offset: np.ndarray, draw_cap):
-    """Pad a compact draw dict (n visible rows) to a pow2-cap DrawList."""
+def _pack_compact(c: dict, inst_pal_offset, draw_cap):
+    """Pad a compact draw dict (n visible rows) to a pow2-cap DrawList.
+
+    joints_offset comes from inst_pal_offset[c["inst"]] when palette
+    offsets are per-instance (build_frame_state paths), or from an explicit
+    c["joints_offset"] (DrawRows)."""
     from ..ops.geometry import DrawList
 
     n = len(c["first_tri"])
@@ -292,6 +287,11 @@ def _pack_compact(c: dict, inst_pal_offset: np.ndarray, draw_cap):
         out[:n] = vals
         return out
 
+    joints = (
+        c["joints_offset"]
+        if inst_pal_offset is None
+        else inst_pal_offset[c["inst"]]
+    )
     valid = np.zeros(cap, bool)
     valid[:n] = True
     return DrawList(
@@ -300,7 +300,7 @@ def _pack_compact(c: dict, inst_pal_offset: np.ndarray, draw_cap):
         tri_count=col(c["tri_count"]),
         first_vertex=col(c["first_vertex"]),
         vertex_count=col(c["vertex_count"]),
-        joints_offset=col(inst_pal_offset[c["inst"]]),
+        joints_offset=col(joints),
         material=col(c["material"]),
         lightmapped=col(c["lightmapped"], bool),
         valid=valid,

@@ -106,8 +106,11 @@ class FlyCameraRig:
         tp = _exp_smooth_factor(self.position_smoothness, dt)
         tr = _exp_smooth_factor(self.rotation_smoothness, dt)
         self.pos = self.pos + (self.target_pos - self.pos) * tp
-        # angles are smooth (no wrap discontinuity expected in scripts)
-        self.yaw += (self.target_yaw - self.yaw) * tr
+        # shortest-arc yaw: atan2-derived targets wrap at +-180 deg (an
+        # orbiting look_at crosses it once per revolution); lerping the raw
+        # difference would whip the camera the long way around
+        dyaw = ((self.target_yaw - self.yaw + 180.0) % 360.0) - 180.0
+        self.yaw += dyaw * tr
         self.pitch += (self.target_pitch - self.pitch) * tr
 
         cy, sy = np.cos(np.radians(self.yaw)), np.sin(np.radians(self.yaw))

@@ -87,6 +87,7 @@ class TexturePool:
         # of its mips are visible to the sampler; maps tex_id -> the full
         # (base, count) to restore (see set_mip_view).
         self._full_view: Dict[int, Tuple[int, int]] = {}
+        self._freed: set = set()
         self._desc_device = None
         self._desc_dirty = True
 
@@ -171,6 +172,8 @@ class TexturePool:
         """Return a texture's texel ranges to the pool allocator. The
         descriptor slot stays (ids are stable); sampling it yields the first
         pool texel — callers must rebind materials first."""
+        if tex_id in self._freed:
+            return
         self.restore_mip_view(tex_id)
         base = self.tex_mip_base[tex_id]
         for i in range(self.tex_mip_count[tex_id]):
@@ -178,7 +181,14 @@ class TexturePool:
                 self.mip_offset[base + i],
                 self.mip_w[base + i] * self.mip_h[base + i],
             )
-        self.tex_mip_count[tex_id] = 0
+        # Repoint the descriptor at a safe 1x1 view of pool texel 0 (leaving
+        # count=0 would make level clamping index the PREVIOUS texture's
+        # descriptor rows — a still-bound material would sample a neighbor)
+        self._freed.add(tex_id)
+        self.mip_offset[base] = 0
+        self.mip_w[base] = 1
+        self.mip_h[base] = 1
+        self.tex_mip_count[tex_id] = 1
         self._desc_dirty = True
 
     def replace_texture(self, tex_id: int, levels: List[np.ndarray]) -> None:

@@ -56,3 +56,23 @@ def test_camera_script_parse():
     assert script[3] == ({"w", "d"}, (1.0, 0.5))
     assert script[5] == (set(), (-2.0, 0.0))
     assert 6 not in script
+
+
+def test_rig_yaw_wraps_shortest_arc():
+    """atan2-derived yaw targets wrap at +-180; the smoother must take the
+    short way across the seam, not whip ~360 deg the long way around."""
+    rig = FlyCameraRig()
+    rig.yaw = 175.0
+    rig.target_yaw = -175.0  # 10 deg away across the seam
+    rig.target_pitch = rig.pitch = 0.0
+    rig.target_pos = rig.pos.copy()
+    for _ in range(200):
+        rig.update(1 / 60)
+    # converged onto the target modulo 360 without passing through 0
+    d = ((rig.yaw - rig.target_yaw + 180.0) % 360.0) - 180.0
+    assert abs(d) < 1e-3
+    # a single step never moves more than the 10-deg short arc
+    rig.yaw = 175.0
+    before = rig.yaw
+    rig.update(1 / 60)
+    assert abs(rig.yaw - before) < 10.0

@@ -169,3 +169,61 @@ def test_growable_dirty_range_upload_correct():
     g.push(np.zeros((100, 4), np.uint8))
     d2 = np.asarray(g.device())
     assert np.array_equal(d2, g.host)
+
+
+def test_final_fetch_failure_keeps_preview_and_serves_late_requesters():
+    """Phase-2 (full chain) failure after the preview was queued must bind
+    waiters to the low-res preview — not leave them on the dummy with the
+    preview texels orphaned — and later requesters must alias to it."""
+    chain = _chain((10, 220, 30, 255), size=8)
+    ktx = make_rgba8_ktx2(chain)
+
+    class FailingFinalClient(MemoryClient):
+        def fetch_bytes_range(self, url, start, end):  # phase 1 path
+            return self.files[url][start:end]
+
+        def fetch_bytes(self, url):  # phase 2 only
+            raise IOError("final fetch failed")
+
+    scene = Scene()
+    streamer = TextureStreamer(FailingFinalClient({"tex.ktx2": ktx}))
+    mat = scene.add_material(MaterialSettings())
+    streamer.request(mat, "albedo_tex", "tex.ktx2", srgb=False)
+    assert _pump_until(
+        streamer, scene,
+        lambda: scene.materials[mat].albedo_tex != TEX_DUMMY_WHITE
+        and streamer.idle,
+    )
+    tex_id = scene.materials[mat].albedo_tex
+    # preview (1x1 smallest mip) is what's bound
+    assert scene.textures.tex_mip_count[tex_id] == 1
+    base = scene.textures.tex_mip_base[tex_id]
+    off = scene.textures.mip_offset[base]
+    assert tuple(scene.textures.texels.host[off]) == (10, 220, 30, 255)
+    # a later requester for the same key gets the preview too
+    mat_b = scene.add_material(MaterialSettings())
+    streamer.request(mat_b, "emissive_tex", "tex.ktx2", srgb=False)
+    streamer.pump(scene)
+    assert scene.materials[mat_b].emissive_tex == tex_id
+
+
+def test_free_texture_descriptor_stays_safe():
+    """A freed texture's descriptor must sample pool texel 0, not a
+    neighboring texture's descriptor rows (level clamp with count=0 indexed
+    base-1 before the fix), and double-free must be a no-op."""
+    scene = Scene()
+    a = scene.textures.add_texture(_chain((9, 9, 9, 9), size=4))
+    b = scene.textures.add_texture(_chain((7, 7, 7, 7), size=4))
+    used_after_a = None
+    scene.textures.free_texture(b)
+    assert scene.textures.tex_mip_count[b] == 1
+    base = scene.textures.tex_mip_base[b]
+    assert scene.textures.mip_offset[base] == 0
+    assert scene.textures.mip_w[base] == 1 and scene.textures.mip_h[base] == 1
+    used = scene.textures.texels.alloc.used()
+    scene.textures.free_texture(b)  # idempotent: must not free texel 0
+    assert scene.textures.texels.alloc.used() == used
+    # texture a is untouched
+    base_a = scene.textures.tex_mip_base[a]
+    off_a = scene.textures.mip_offset[base_a]
+    assert tuple(scene.textures.texels.host[off_a]) == (9, 9, 9, 9)
