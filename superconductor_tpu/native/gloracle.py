@@ -32,12 +32,14 @@ VERT_SRC = b"""
 #version 330 core
 layout(location = 0) in vec3 in_pos;
 layout(location = 1) in vec3 in_normal;
+layout(location = 2) in vec2 in_uv;
 uniform mat4 u_view_proj;
 uniform vec3 u_translation;
 uniform float u_scale;
 uniform vec4 u_quat;
 out vec3 v_world;
 out vec3 v_normal;
+out vec2 v_uv;
 
 vec3 quat_rotate(vec4 q, vec3 v) {
     vec3 t = 2.0 * cross(q.xyz, v);
@@ -48,6 +50,7 @@ void main() {
     vec3 world = u_translation + u_scale * quat_rotate(u_quat, in_pos);
     v_world = world;
     v_normal = quat_rotate(u_quat, in_normal);
+    v_uv = in_uv;
     gl_Position = u_view_proj * vec4(world, 1.0);
 }
 """
@@ -56,7 +59,10 @@ FRAG_SRC = b"""
 #version 330 core
 in vec3 v_world;
 in vec3 v_normal;
+in vec2 v_uv;
 out vec4 frag;
+uniform int u_has_tex;
+uniform sampler2D u_tex;
 uniform vec4 u_base_color;
 uniform float u_metallic;
 uniform float u_roughness;
@@ -84,6 +90,7 @@ vec3 aces(vec3 x) {
 
 void main() {
     vec3 albedo = u_base_color.rgb;
+    if (u_has_tex != 0) albedo *= texture(u_tex, v_uv).rgb;
     if (u_unlit != 0) {
         frag = vec4(pow(clamp(albedo, 0.0, 1.0), vec3(1.0 / 2.2)),
                     u_base_color.a);
@@ -233,14 +240,19 @@ class GlForwardRenderer:
         gl.glUniform3fv(loc("u_sh1z"), 1, sh[3])
 
         buffers = []
+        textures = []
         for d in draws:
             pos = np.ascontiguousarray(d["positions"], np.float32)
             nrm = np.ascontiguousarray(d["normals"], np.float32)
+            uv = np.ascontiguousarray(
+                d.get("uvs", np.zeros((len(pos), 2))), np.float32
+            )
             idx = np.ascontiguousarray(d["indices"], np.uint32)
             vbo = gl.glGenBuffers(1)
             nbo = gl.glGenBuffers(1)
+            ubo = gl.glGenBuffers(1)
             ibo = gl.glGenBuffers(1)
-            buffers += [vbo, nbo, ibo]
+            buffers += [vbo, nbo, ubo, ibo]
             gl.glBindBuffer(gl.GL_ARRAY_BUFFER, vbo)
             gl.glBufferData(gl.GL_ARRAY_BUFFER, pos.nbytes, pos, gl.GL_STATIC_DRAW)
             gl.glEnableVertexAttribArray(0)
@@ -249,9 +261,40 @@ class GlForwardRenderer:
             gl.glBufferData(gl.GL_ARRAY_BUFFER, nrm.nbytes, nrm, gl.GL_STATIC_DRAW)
             gl.glEnableVertexAttribArray(1)
             gl.glVertexAttribPointer(1, 3, gl.GL_FLOAT, gl.GL_FALSE, 0, None)
+            gl.glBindBuffer(gl.GL_ARRAY_BUFFER, ubo)
+            gl.glBufferData(gl.GL_ARRAY_BUFFER, uv.nbytes, uv, gl.GL_STATIC_DRAW)
+            gl.glEnableVertexAttribArray(2)
+            gl.glVertexAttribPointer(2, 2, gl.GL_FLOAT, gl.GL_FALSE, 0, None)
             gl.glBindBuffer(gl.GL_ELEMENT_ARRAY_BUFFER, ibo)
             gl.glBufferData(gl.GL_ELEMENT_ARRAY_BUFFER, idx.nbytes, idx,
                             gl.GL_STATIC_DRAW)
+
+            # Albedo texture: the caller passes the ENGINE's mip chain
+            # (finest first, (h, w, 4) u8, linear color) so only the
+            # sampling logic — not mip generation — is being compared.
+            chain = d.get("tex_chain")
+            gl.glUniform1i(loc("u_has_tex"), 1 if chain is not None else 0)
+            if chain is not None:
+                tex = gl.glGenTextures(1)
+                textures.append(tex)
+                gl.glActiveTexture(gl.GL_TEXTURE0)
+                gl.glBindTexture(gl.GL_TEXTURE_2D, tex)
+                for lvl, img in enumerate(chain):
+                    img = np.ascontiguousarray(img, np.uint8)
+                    h, w = img.shape[:2]
+                    gl.glTexImage2D(gl.GL_TEXTURE_2D, lvl, gl.GL_RGBA8, w, h,
+                                    0, gl.GL_RGBA, gl.GL_UNSIGNED_BYTE, img)
+                gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAX_LEVEL,
+                                   len(chain) - 1)
+                gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MIN_FILTER,
+                                   gl.GL_LINEAR_MIPMAP_LINEAR)
+                gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAG_FILTER,
+                                   gl.GL_LINEAR)
+                gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_WRAP_S,
+                                   gl.GL_REPEAT)
+                gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_WRAP_T,
+                                   gl.GL_REPEAT)
+                gl.glUniform1i(loc("u_tex"), 0)
 
             if d.get("double_sided", False):
                 gl.glDisable(gl.GL_CULL_FACE)
@@ -273,5 +316,7 @@ class GlForwardRenderer:
         out = gl.glReadPixels(0, 0, self.width, self.height, gl.GL_RGBA,
                               gl.GL_UNSIGNED_BYTE)
         gl.glDeleteBuffers(len(buffers), buffers)
+        if textures:
+            gl.glDeleteTextures(len(textures), textures)
         img = np.frombuffer(out, np.uint8).reshape(self.height, self.width, 4)
         return img[::-1].copy()  # GL reads bottom-up; engine rows are top-down

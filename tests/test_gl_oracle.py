@@ -7,8 +7,10 @@ only an external pipeline can catch a shared math bug).
 
 Measured at 512x512 (2026-08-16): unlit = inf dB (bit-exact — the
 watertight rasterizer reproduces Mesa's pixel coverage exactly),
-diffuse 60.6 dB, metal 47.1 dB, rough_mix 55.4 dB. The assert stays at
-the official 35 dB gate."""
+diffuse 60.6 dB, metal 47.1 dB, rough_mix 55.4 dB; textured (engine mip
+chain uploaded to GL, isolating UV interp + LOD + trilinear filtering):
+tex_unlit 56.9 dB, tex_diffuse 56.0 dB. The assert stays at the official
+35 dB gate."""
 
 import numpy as np
 import pytest
@@ -138,6 +140,73 @@ def test_engine_matches_gl_oracle(case):
                 positions=pos, normals=nrm, indices=idx,
                 base_color=params["base"], metallic=params["metallic"],
                 roughness=params["roughness"], unlit=params["unlit"],
+            )
+        ],
+        view_proj=uniforms.view_proj[0],
+        eye=uniforms.eye[0],
+        sh=SH,
+        clear_color=_encoded_clear((0.1, 0.12, 0.15)),
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"{case}: PSNR {db:.1f} dB vs independent GL oracle"
+
+
+def _gradient_texture(size=64):
+    """Low-frequency RGB pattern: smooth enough that trilinear LOD
+    selection differences (engine's analytic derivatives vs GL's pixel-quad
+    derivatives) stay within the PSNR gate, structured enough that a
+    sampling bug (wrong level, swapped axes, off-by-half texel) fails it."""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    r = 0.5 + 0.45 * np.sin(2 * np.pi * x)
+    g = 0.5 + 0.45 * np.cos(2 * np.pi * y)
+    b = 0.5 + 0.35 * np.sin(2 * np.pi * (x + y))
+    a = np.ones_like(x)
+    return (np.stack([r, g, b, a], -1) * 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("case", ["tex_unlit", "tex_diffuse"])
+def test_engine_texture_sampling_matches_gl_oracle(case):
+    """Texture sampling (SURVEY 'hard part': gathers, mip LOD, bilinear)
+    against the independent GL rasterizer. The GL side uploads the ENGINE's
+    own mip chain, so mip *generation* is held constant and the comparison
+    isolates UV interpolation + LOD selection + (bi/tri)linear filtering."""
+    from superconductor_tpu.scene.scene import build_mip_chain
+
+    width = height = 512
+    gl = _gl_renderer(width, height)
+    unlit = case == "tex_unlit"
+    base = (1.0, 1.0, 1.0, 1.0)
+
+    tex = _gradient_texture()
+    chain = build_mip_chain(tex)
+    pos, nrm, uv, idx = _sphere_arrays()
+
+    scene = Scene()
+    tex_id = scene.textures.add_texture(chain)  # linear (no SRGB flag)
+    mat = scene.add_material(
+        MaterialSettings(
+            base_color_factor=base,
+            metallic_factor=0.0,
+            roughness_factor=1.0,
+            flags=MAT_UNLIT if unlit else 0,
+            albedo_tex=tex_id,
+        )
+    )
+    model = _add_mesh(scene, pos, nrm, uv, idx, mat)
+    uniforms = _camera([0.6, 0.5, 2.2], [0, 0, 0], width, height)
+    env = EnvBindings(
+        ambient_sh=tuple(SH.reshape(-1).tolist()),
+        clear_color=(0.1, 0.12, 0.15),
+    )
+    mine = _engine_render(scene, model, uniforms, width, height, env)
+
+    ref = gl.render(
+        [
+            dict(
+                positions=pos, normals=nrm, uvs=uv, indices=idx,
+                base_color=base, metallic=0.0, roughness=1.0,
+                unlit=unlit, tex_chain=chain,
             )
         ],
         view_proj=uniforms.view_proj[0],
