@@ -63,6 +63,9 @@ in vec2 v_uv;
 out vec4 frag;
 uniform int u_has_tex;
 uniform sampler2D u_tex;
+uniform int u_has_nrm;
+uniform sampler2D u_nrm;
+uniform float u_normal_scale;
 uniform vec4 u_base_color;
 uniform float u_metallic;
 uniform float u_roughness;
@@ -83,6 +86,20 @@ float sh_eval_channel(float r0, vec3 r1, vec3 n) {
     return r0 * (a + (1.0 - a) * (p + 1.0) * pow(q, p));
 }
 
+// 'Normal Mapping Without Precomputed Tangents' with hardware ddx/ddy --
+// the reference's compute_cotangent_frame (lib.rs:571-587); the engine
+// builds the same frame from analytic derivatives.
+vec3 cotangent_normal(vec3 n, vec3 map_n, vec3 pos, vec2 uv) {
+    vec3 dpdx = dFdx(pos), dpdy = dFdy(pos);
+    vec2 duvdx = dFdx(uv), duvdy = dFdy(uv);
+    vec3 dp2perp = cross(dpdy, n);
+    vec3 dp1perp = cross(n, dpdx);
+    vec3 t = dp2perp * duvdx.x + dp1perp * duvdy.x;
+    vec3 b = dp2perp * duvdx.y + dp1perp * duvdy.y;
+    float invmax = inversesqrt(max(max(dot(t, t), dot(b, b)), 1e-20));
+    return normalize((t * map_n.x + b * map_n.y) * invmax + n * map_n.z);
+}
+
 vec3 aces(vec3 x) {
     return clamp((x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14),
                  0.0, 1.0);
@@ -98,6 +115,13 @@ void main() {
     }
     vec3 n = normalize(v_normal);
     if (!gl_FrontFacing) n = -n;
+    if (u_has_nrm != 0) {
+        vec3 mn = texture(u_nrm, v_uv).rgb * (255.0 / 127.0)
+                  - (128.0 / 127.0);
+        mn.xy *= u_normal_scale;
+        mn = normalize(mn);
+        n = cotangent_normal(n, mn, v_world, v_uv);
+    }
     vec3 view = normalize(u_eye - v_world);
 
     // SH channel direction vectors: r1_for_channel_c = (sh1x[c], sh1y[c],
@@ -269,15 +293,16 @@ class GlForwardRenderer:
             gl.glBufferData(gl.GL_ELEMENT_ARRAY_BUFFER, idx.nbytes, idx,
                             gl.GL_STATIC_DRAW)
 
-            # Albedo texture: the caller passes the ENGINE's mip chain
-            # (finest first, (h, w, 4) u8, linear color) so only the
-            # sampling logic — not mip generation — is being compared.
-            chain = d.get("tex_chain")
-            gl.glUniform1i(loc("u_has_tex"), 1 if chain is not None else 0)
-            if chain is not None:
+            # Textures: the caller passes the ENGINE's mip chains (finest
+            # first, (h, w, 4) u8, linear color) so only the sampling logic
+            # — not mip generation — is being compared.
+            def upload_chain(chain, unit, sampler_name, has_name):
+                gl.glUniform1i(loc(has_name), 1 if chain is not None else 0)
+                if chain is None:
+                    return
                 tex = gl.glGenTextures(1)
                 textures.append(tex)
-                gl.glActiveTexture(gl.GL_TEXTURE0)
+                gl.glActiveTexture(gl.GL_TEXTURE0 + unit)
                 gl.glBindTexture(gl.GL_TEXTURE_2D, tex)
                 for lvl, img in enumerate(chain):
                     img = np.ascontiguousarray(img, np.uint8)
@@ -294,7 +319,12 @@ class GlForwardRenderer:
                                    gl.GL_REPEAT)
                 gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_WRAP_T,
                                    gl.GL_REPEAT)
-                gl.glUniform1i(loc("u_tex"), 0)
+                gl.glUniform1i(loc(sampler_name), unit)
+
+            upload_chain(d.get("tex_chain"), 0, "u_tex", "u_has_tex")
+            upload_chain(d.get("nrm_chain"), 1, "u_nrm", "u_has_nrm")
+            gl.glUniform1f(loc("u_normal_scale"),
+                           float(d.get("normal_scale", 1.0)))
 
             if d.get("double_sided", False):
                 gl.glDisable(gl.GL_CULL_FACE)

@@ -9,8 +9,10 @@ Measured at 512x512 (2026-08-16): unlit = inf dB (bit-exact — the
 watertight rasterizer reproduces Mesa's pixel coverage exactly),
 diffuse 60.6 dB, metal 47.1 dB, rough_mix 55.4 dB; textured (engine mip
 chain uploaded to GL, isolating UV interp + LOD + trilinear filtering):
-tex_unlit 56.9 dB, tex_diffuse 56.0 dB. The assert stays at the official
-35 dB gate."""
+tex_unlit 56.9 dB, tex_diffuse 56.0 dB; normal_map 35.2 dB (max pixel
+diff 14/255, zero pixels >20 — a broad sub-1% haze from mip-LOD-selection
+differences between analytic and quad derivatives, no structural error).
+The assert stays at the official 35 dB gate."""
 
 import numpy as np
 import pytest
@@ -217,3 +219,65 @@ def test_engine_texture_sampling_matches_gl_oracle(case):
 
     db = psnr(mine[..., :3], ref[..., :3])
     assert db >= 35.0, f"{case}: PSNR {db:.1f} dB vs independent GL oracle"
+
+
+def test_engine_normal_mapping_matches_gl_oracle():
+    """Cotangent-frame normal mapping (SURVEY 'hard part': the engine
+    derives the tangent frame from ANALYTIC derivatives, lib.rs:544-587
+    uses hardware ddx/ddy) against the independent GL pipeline running the
+    published construction with real dFdx/dFdy."""
+    from superconductor_tpu.scene.scene import build_mip_chain
+
+    width = height = 512
+    gl = _gl_renderer(width, height)
+
+    # low-frequency bump field, snorm-encoded the way the engine decodes
+    # ((v - 128) / 127, shade.py map_n decode)
+    size = 64
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    nx = 0.35 * np.sin(4 * np.pi * x)
+    ny = 0.35 * np.cos(4 * np.pi * y)
+    nz = np.sqrt(np.clip(1.0 - nx * nx - ny * ny, 0.0, 1.0))
+    enc = lambda c: np.clip(np.round(c * 127.0 + 128.0), 0, 255)
+    nmap = np.stack(
+        [enc(nx), enc(ny), enc(nz), np.full_like(nx, 255)], -1
+    ).astype(np.uint8)
+    chain = build_mip_chain(nmap)
+
+    pos, nrm, uv, idx = _sphere_arrays()
+    base = (0.85, 0.8, 0.75, 1.0)
+
+    scene = Scene()
+    nrm_id = scene.textures.add_texture(chain)
+    mat = scene.add_material(
+        MaterialSettings(
+            base_color_factor=base,
+            metallic_factor=0.0,
+            roughness_factor=1.0,
+            normal_tex=nrm_id,
+        )
+    )
+    model = _add_mesh(scene, pos, nrm, uv, idx, mat)
+    uniforms = _camera([0.6, 0.5, 2.2], [0, 0, 0], width, height)
+    env = EnvBindings(
+        ambient_sh=tuple(SH.reshape(-1).tolist()),
+        clear_color=(0.1, 0.12, 0.15),
+    )
+    mine = _engine_render(scene, model, uniforms, width, height, env)
+
+    ref = gl.render(
+        [
+            dict(
+                positions=pos, normals=nrm, uvs=uv, indices=idx,
+                base_color=base, metallic=0.0, roughness=1.0,
+                unlit=False, nrm_chain=chain, normal_scale=1.0,
+            )
+        ],
+        view_proj=uniforms.view_proj[0],
+        eye=uniforms.eye[0],
+        sh=SH,
+        clear_color=_encoded_clear((0.1, 0.12, 0.15)),
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"normal mapping: PSNR {db:.1f} dB vs GL oracle"
