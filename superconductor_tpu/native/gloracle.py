@@ -70,6 +70,8 @@ uniform vec4 u_base_color;
 uniform float u_metallic;
 uniform float u_roughness;
 uniform int u_unlit;
+uniform int u_clip;
+uniform float u_alpha_cutoff;
 uniform vec3 u_eye;
 uniform vec3 u_sh0;
 uniform vec3 u_sh1x;
@@ -106,11 +108,14 @@ vec3 aces(vec3 x) {
 }
 
 void main() {
-    vec3 albedo = u_base_color.rgb;
-    if (u_has_tex != 0) albedo *= texture(u_tex, v_uv).rgb;
+    vec4 tex = (u_has_tex != 0) ? texture(u_tex, v_uv) : vec4(1.0);
+    vec3 albedo = u_base_color.rgb * tex.rgb;
+    float alpha = u_base_color.a * tex.a;
+    // alpha test after all sampling, like fragment_alpha_clipped
+    // (lib.rs:405-407); the engine tests the same sampled albedo alpha
+    if (u_clip != 0 && alpha < u_alpha_cutoff) discard;
     if (u_unlit != 0) {
-        frag = vec4(pow(clamp(albedo, 0.0, 1.0), vec3(1.0 / 2.2)),
-                    u_base_color.a);
+        frag = vec4(pow(clamp(albedo, 0.0, 1.0), vec3(1.0 / 2.2)), alpha);
         return;
     }
     vec3 n = normalize(v_normal);
@@ -166,7 +171,7 @@ void main() {
     vec3 lit = diffuse + specular;
     lit = aces(lit);
     lit = pow(clamp(lit, 0.0, 1.0), vec3(1.0 / 2.2));
-    frag = vec4(lit, u_base_color.a);
+    frag = vec4(lit, alpha);
 }
 """
 
@@ -247,6 +252,8 @@ class GlForwardRenderer:
         gl.glClipControl(gl.GL_LOWER_LEFT, gl.GL_ZERO_TO_ONE)
         gl.glEnable(gl.GL_DEPTH_TEST)
         gl.glDepthFunc(gl.GL_GREATER)
+        gl.glDepthMask(gl.GL_TRUE)  # a blended draw may have left it off
+        gl.glDisable(gl.GL_BLEND)
         gl.glClearDepth(0.0)
         gl.glClearColor(*clear_color)
         gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
@@ -331,6 +338,19 @@ class GlForwardRenderer:
             else:
                 gl.glEnable(gl.GL_CULL_FACE)
                 gl.glCullFace(gl.GL_BACK)
+            # alpha-blend draws: src-alpha over, depth test on, write off
+            # (the reference's alpha_blended pipeline blend/depth state);
+            # the caller is responsible for back-to-front draw order
+            if d.get("blend", False):
+                gl.glEnable(gl.GL_BLEND)
+                gl.glBlendFunc(gl.GL_SRC_ALPHA, gl.GL_ONE_MINUS_SRC_ALPHA)
+                gl.glDepthMask(gl.GL_FALSE)
+            else:
+                gl.glDisable(gl.GL_BLEND)
+                gl.glDepthMask(gl.GL_TRUE)
+            gl.glUniform1i(loc("u_clip"), int(d.get("clip", False)))
+            gl.glUniform1f(loc("u_alpha_cutoff"),
+                           float(d.get("alpha_cutoff", 0.5)))
             gl.glUniform4fv(loc("u_base_color"), 1,
                             np.asarray(d["base_color"], np.float32))
             gl.glUniform1f(loc("u_metallic"), float(d.get("metallic", 1.0)))

@@ -12,6 +12,8 @@ chain uploaded to GL, isolating UV interp + LOD + trilinear filtering):
 tex_unlit 56.9 dB, tex_diffuse 56.0 dB; normal_map 35.2 dB (max pixel
 diff 14/255, zero pixels >20 — a broad sub-1% haze from mip-LOD-selection
 differences between analytic and quad derivatives, no structural error).
+At 256x256: alpha_blend 52.9 dB (k-buffer composite vs GL sorted
+src-alpha blending), alpha_clip 42.5 dB (in-kernel kill vs GL discard).
 The assert stays at the official 35 dB gate."""
 
 import numpy as np
@@ -64,14 +66,16 @@ def _engine_render(scene, model, uniforms, width, height, env):
     )[0]
 
 
-def _add_mesh(scene, pos, nrm, uv, idx, mat):
+def _add_mesh(scene, pos, nrm, uv, idx, mat, blend_mode=0,
+              double_sided=False):
     from superconductor_tpu.scene.scene import Model, Primitive, PrimitiveLod
 
     first, count, fv, vc = scene.insert_static_mesh(
         pos, nrm, uv, np.zeros_like(uv), idx, mat
     )
     prim = Primitive(
-        material=mat, blend_mode=0, double_sided=False, animated=False,
+        material=mat, blend_mode=blend_mode, double_sided=double_sided,
+        animated=False,
         lods=[PrimitiveLod(first_index=first, index_count=count,
                            first_vertex=fv, vertex_count=vc)],
         bounding_sphere_radius=float(np.linalg.norm(pos, axis=1).max()),
@@ -281,3 +285,151 @@ def test_engine_normal_mapping_matches_gl_oracle():
 
     db = psnr(mine[..., :3], ref[..., :3])
     assert db >= 35.0, f"normal mapping: PSNR {db:.1f} dB vs GL oracle"
+
+
+def _quad(z, half=0.9):
+    pos = np.array(
+        [[-half, -half, z], [half, -half, z], [half, half, z],
+         [-half, half, z]], np.float32
+    )
+    nrm = np.tile(np.array([0, 0, 1], np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    return pos, nrm, uv, idx
+
+
+def test_engine_alpha_blend_matches_gl_oracle():
+    """Sorted alpha blending: the engine composites the K nearest blended
+    fragments per pixel (k-buffer); GL blends sorted draws with src-alpha
+    framebuffer blending. Opaque sphere behind two translucent quads.
+    256x256: the k-buffer ref path is heavy to compile on CPU."""
+    from superconductor_tpu.scene.scene import BLEND_ALPHA_BLENDED
+
+    width = height = 256
+    gl = _gl_renderer(width, height)
+
+    spos, snrm, suv, sidx = _sphere_arrays()
+    q1 = _quad(1.2)   # farther translucent quad
+    q2 = _quad(1.6)   # nearer translucent quad
+
+    scene = Scene()
+    mat_s = scene.add_material(
+        MaterialSettings(base_color_factor=(0.8, 0.8, 0.8, 1.0),
+                         metallic_factor=0.0, roughness_factor=1.0)
+    )
+    mat_1 = scene.add_material(
+        MaterialSettings(base_color_factor=(0.2, 0.4, 1.0, 0.6),
+                         flags=MAT_UNLIT, blend_mode=BLEND_ALPHA_BLENDED)
+    )
+    mat_2 = scene.add_material(
+        MaterialSettings(base_color_factor=(1.0, 0.3, 0.2, 0.5),
+                         flags=MAT_UNLIT, blend_mode=BLEND_ALPHA_BLENDED)
+    )
+    models = [
+        (_add_mesh(scene, spos, snrm, suv, sidx, mat_s), 0),
+        (_add_mesh(scene, *q1, mat_1, blend_mode=BLEND_ALPHA_BLENDED,
+                   double_sided=True), 0),
+        (_add_mesh(scene, *q2, mat_2, blend_mode=BLEND_ALPHA_BLENDED,
+                   double_sided=True), 0),
+    ]
+    uniforms = _camera([0.3, 0.2, 3.2], [0, 0, 0], width, height)
+    env = EnvBindings(
+        ambient_sh=tuple(SH.reshape(-1).tolist()),
+        clear_color=(0.1, 0.12, 0.15),
+    )
+    state = build_frame_state(
+        scene, [(m, Similarity()) for m, _ in models], uniforms
+    )
+    config = RenderConfig(
+        width=width, height=height, raster="ref", enable_blend=True
+    )
+    mine = np.asarray(
+        render_frame(scene.device_arrays(), state, config, env)
+    )[0]
+
+    ref = gl.render(
+        [
+            dict(positions=spos, normals=snrm, indices=sidx,
+                 base_color=(0.8, 0.8, 0.8, 1.0), metallic=0.0,
+                 roughness=1.0, unlit=False),
+            # back-to-front for GL's order-dependent blending
+            dict(positions=q1[0], normals=q1[1], indices=q1[3],
+                 base_color=(0.2, 0.4, 1.0, 0.6), unlit=True, blend=True,
+                 double_sided=True),
+            dict(positions=q2[0], normals=q2[1], indices=q2[3],
+                 base_color=(1.0, 0.3, 0.2, 0.5), unlit=True, blend=True,
+                 double_sided=True),
+        ],
+        view_proj=uniforms.view_proj[0],
+        eye=uniforms.eye[0],
+        sh=SH,
+        clear_color=_encoded_clear((0.1, 0.12, 0.15)),
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"alpha blend: PSNR {db:.1f} dB vs GL oracle"
+
+
+def test_engine_alpha_clip_matches_gl_oracle():
+    """Alpha-clipped materials: in-kernel kill after sampling vs GL
+    discard. A sphere with a smooth alpha-gradient albedo at cutoff 0.5.
+    256x256: the k-buffer ref path is heavy to compile on CPU."""
+    from superconductor_tpu.scene.scene import (
+        BLEND_ALPHA_CLIPPED,
+        build_mip_chain,
+    )
+
+    width = height = 256
+    gl = _gl_renderer(width, height)
+
+    size = 64
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    rgba = np.stack(
+        [
+            np.full_like(x, 0.9), np.full_like(x, 0.6),
+            np.full_like(x, 0.2),
+            0.5 + 0.49 * np.sin(2 * np.pi * (x + 0.5 * y)),
+        ],
+        -1,
+    )
+    tex = (rgba * 255).astype(np.uint8)
+    chain = build_mip_chain(tex)
+
+    pos, nrm, uv, idx = _sphere_arrays()
+    base = (1.0, 1.0, 1.0, 1.0)
+    scene = Scene()
+    tex_id = scene.textures.add_texture(chain)
+    mat = scene.add_material(
+        MaterialSettings(base_color_factor=base, metallic_factor=0.0,
+                         roughness_factor=1.0, albedo_tex=tex_id,
+                         blend_mode=BLEND_ALPHA_CLIPPED)
+    )
+    model = _add_mesh(scene, pos, nrm, uv, idx, mat,
+                      blend_mode=BLEND_ALPHA_CLIPPED)
+    uniforms = _camera([0.6, 0.5, 2.2], [0, 0, 0], width, height)
+    env = EnvBindings(
+        ambient_sh=tuple(SH.reshape(-1).tolist()),
+        clear_color=(0.1, 0.12, 0.15),
+    )
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    config = RenderConfig(
+        width=width, height=height, raster="ref", enable_clip=True
+    )
+    mine = np.asarray(
+        render_frame(scene.device_arrays(), state, config, env)
+    )[0]
+
+    ref = gl.render(
+        [
+            dict(positions=pos, normals=nrm, uvs=uv, indices=idx,
+                 base_color=base, metallic=0.0, roughness=1.0, unlit=False,
+                 tex_chain=chain, clip=True, alpha_cutoff=0.5),
+        ],
+        view_proj=uniforms.view_proj[0],
+        eye=uniforms.eye[0],
+        sh=SH,
+        clear_color=_encoded_clear((0.1, 0.12, 0.15)),
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"alpha clip: PSNR {db:.1f} dB vs GL oracle"
