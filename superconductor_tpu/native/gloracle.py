@@ -33,10 +33,17 @@ VERT_SRC = b"""
 layout(location = 0) in vec3 in_pos;
 layout(location = 1) in vec3 in_normal;
 layout(location = 2) in vec2 in_uv;
+layout(location = 3) in vec4 in_joints;
+layout(location = 4) in vec4 in_weights;
 uniform mat4 u_view_proj;
 uniform vec3 u_translation;
 uniform float u_scale;
 uniform vec4 u_quat;
+// Similarity joint palette (animated_vertex parity, lib.rs:64-127):
+// u_joint_ts[i].xyz = translation, .w = uniform scale; u_joint_q[i] = quat
+uniform int u_skinned;
+uniform vec4 u_joint_ts[128];
+uniform vec4 u_joint_q[128];
 out vec3 v_world;
 out vec3 v_normal;
 out vec2 v_uv;
@@ -47,9 +54,25 @@ vec3 quat_rotate(vec4 q, vec3 v) {
 }
 
 void main() {
-    vec3 world = u_translation + u_scale * quat_rotate(u_quat, in_pos);
+    vec3 pos = in_pos;
+    vec3 nrm = in_normal;
+    if (u_skinned != 0) {
+        vec4 w = in_weights / dot(in_weights, vec4(1.0));
+        vec3 p = vec3(0.0);
+        vec3 n = vec3(0.0);
+        for (int k = 0; k < 4; ++k) {
+            int j = int(in_joints[k] + 0.5);
+            vec4 ts = u_joint_ts[j];
+            vec4 q = u_joint_q[j];
+            p += w[k] * (ts.xyz + ts.w * quat_rotate(q, pos));
+            n += w[k] * quat_rotate(q, nrm);
+        }
+        pos = p;
+        nrm = n;
+    }
+    vec3 world = u_translation + u_scale * quat_rotate(u_quat, pos);
     v_world = world;
-    v_normal = quat_rotate(u_quat, in_normal);
+    v_normal = quat_rotate(u_quat, nrm);
     v_uv = in_uv;
     gl_Position = u_view_proj * vec4(world, 1.0);
 }
@@ -332,6 +355,37 @@ class GlForwardRenderer:
             upload_chain(d.get("nrm_chain"), 1, "u_nrm", "u_has_nrm")
             gl.glUniform1f(loc("u_normal_scale"),
                            float(d.get("normal_scale", 1.0)))
+
+            # joint-palette skinning: "joints" (V,4), "weights" (V,4),
+            # "palette" (J,8) packed Similarity rows
+            palette = d.get("palette")
+            gl.glUniform1i(loc("u_skinned"), 1 if palette is not None else 0)
+            if palette is not None:
+                pal = np.asarray(palette, np.float32)
+                ts = np.ascontiguousarray(pal[:, 0:4])
+                q = np.ascontiguousarray(pal[:, 4:8])
+                gl.glUniform4fv(loc("u_joint_ts"), len(pal), ts)
+                gl.glUniform4fv(loc("u_joint_q"), len(pal), q)
+                joints = np.ascontiguousarray(d["joints"], np.float32)
+                weights = np.ascontiguousarray(d["weights"], np.float32)
+                jbo = gl.glGenBuffers(1)
+                wbo = gl.glGenBuffers(1)
+                buffers += [jbo, wbo]
+                gl.glBindBuffer(gl.GL_ARRAY_BUFFER, jbo)
+                gl.glBufferData(gl.GL_ARRAY_BUFFER, joints.nbytes, joints,
+                                gl.GL_STATIC_DRAW)
+                gl.glEnableVertexAttribArray(3)
+                gl.glVertexAttribPointer(3, 4, gl.GL_FLOAT, gl.GL_FALSE, 0,
+                                         None)
+                gl.glBindBuffer(gl.GL_ARRAY_BUFFER, wbo)
+                gl.glBufferData(gl.GL_ARRAY_BUFFER, weights.nbytes, weights,
+                                gl.GL_STATIC_DRAW)
+                gl.glEnableVertexAttribArray(4)
+                gl.glVertexAttribPointer(4, 4, gl.GL_FLOAT, gl.GL_FALSE, 0,
+                                         None)
+            else:
+                gl.glDisableVertexAttribArray(3)
+                gl.glDisableVertexAttribArray(4)
 
             if d.get("double_sided", False):
                 gl.glDisable(gl.GL_CULL_FACE)

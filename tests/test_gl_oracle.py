@@ -14,7 +14,8 @@ diff 14/255, zero pixels >20 — a broad sub-1% haze from mip-LOD-selection
 differences between analytic and quad derivatives, no structural error).
 At 256x256: alpha_blend 52.9 dB (k-buffer composite vs GL sorted
 src-alpha blending), alpha_clip 42.5 dB (in-kernel kill vs GL discard).
-The assert stays at the official 35 dB gate."""
+Skinning (384x384, wave-palette tube, GL vertex-shader Similarity blend):
+73.4 dB. The assert stays at the official 35 dB gate."""
 
 import numpy as np
 import pytest
@@ -433,3 +434,68 @@ def test_engine_alpha_clip_matches_gl_oracle():
 
     db = psnr(mine[..., :3], ref[..., :3])
     assert db >= 35.0, f"alpha clip: PSNR {db:.1f} dB vs GL oracle"
+
+
+def test_engine_skinning_matches_gl_oracle():
+    """Joint-palette Similarity skinning (animated_vertex parity,
+    lib.rs:64-127): the engine's fused gather/matmul skinning vs the same
+    blend in a GL vertex shader, on a bent tube with a wave palette."""
+    from superconductor_tpu.scene.scene import Model, Primitive, PrimitiveLod
+    from superconductor_tpu.utils.procgen import (
+        skinned_tube_mesh,
+        wave_joint_palette,
+    )
+
+    width = height = 384
+    gl = _gl_renderer(width, height)
+
+    pos, nrm, uv, ji, jw, idx = skinned_tube_mesh(24, 24, 2.0, 0.25, 8)
+    palette = wave_joint_palette(0.8, 8, amp=0.5)
+    base = (0.8, 0.75, 0.7, 1.0)
+
+    scene = Scene()
+    mat = scene.add_material(
+        MaterialSettings(base_color_factor=base, metallic_factor=0.0,
+                         roughness_factor=1.0)
+    )
+    first, count, fv, vc = scene.insert_animated_mesh(
+        pos, nrm, uv, ji, jw, idx, mat
+    )
+    prim = Primitive(
+        material=mat, blend_mode=0, double_sided=True, animated=True,
+        lods=[PrimitiveLod(first_index=first, index_count=count,
+                           first_vertex=fv, vertex_count=vc)],
+        bounding_sphere_radius=float(np.linalg.norm(pos, axis=1).max()) + 2.0,
+        bbox_min=pos.min(0), bbox_max=pos.max(0),
+    )
+    model = Model(primitives=[prim], animated=True, num_joints=8)
+
+    uniforms = _camera([1.2, 1.4, 3.4], [0, 0.9, 0], width, height)
+    env = EnvBindings(
+        ambient_sh=tuple(SH.reshape(-1).tolist()),
+        clear_color=(0.1, 0.12, 0.15),
+    )
+    state = build_frame_state(
+        scene, [(model, Similarity())], uniforms, joint_palettes={0: palette}
+    )
+    config = RenderConfig(
+        width=width, height=height, raster="ref", t_cap_anim=1 << 12
+    )
+    mine = np.asarray(
+        render_frame(scene.device_arrays(), state, config, env)
+    )[0]
+
+    ref = gl.render(
+        [
+            dict(positions=pos, normals=nrm, indices=idx, base_color=base,
+                 metallic=0.0, roughness=1.0, unlit=False,
+                 double_sided=True, joints=ji, weights=jw, palette=palette),
+        ],
+        view_proj=uniforms.view_proj[0],
+        eye=uniforms.eye[0],
+        sh=SH,
+        clear_color=_encoded_clear((0.1, 0.12, 0.15)),
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"skinning: PSNR {db:.1f} dB vs GL oracle"
