@@ -157,3 +157,53 @@ int32_t sc_build_draws(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Parent-first joint hierarchy update (AnimationJoints.update,
+// animation.py:138-152): global = parent_global * local over Similarity
+// (translation, uniform scale, quaternion), roots copy their locals.
+// Links must be ordered parent-before-child. Batched over I instances
+// whose SoA arrays are stacked contiguously ((I, N, ...) C-order).
+void sc_joint_update(
+    int32_t n_inst, int32_t n_nodes,
+    int32_t n_roots, const int32_t* roots,
+    int32_t n_links, const int32_t* link_parent, const int32_t* link_child,
+    const float* lt /*(I,N,3)*/, const float* ls /*(I,N)*/,
+    const float* lr /*(I,N,4)*/,
+    float* gt, float* gs, float* gr) {
+  for (int32_t i = 0; i < n_inst; ++i) {
+    const float* ilt = lt + (size_t)i * n_nodes * 3;
+    const float* ils = ls + (size_t)i * n_nodes;
+    const float* ilr = lr + (size_t)i * n_nodes * 4;
+    float* igt = gt + (size_t)i * n_nodes * 3;
+    float* igs = gs + (size_t)i * n_nodes;
+    float* igr = gr + (size_t)i * n_nodes * 4;
+    for (int32_t k = 0; k < n_roots; ++k) {
+      const int32_t r = roots[k];
+      for (int d = 0; d < 3; ++d) igt[3 * r + d] = ilt[3 * r + d];
+      igs[r] = ils[r];
+      for (int d = 0; d < 4; ++d) igr[4 * r + d] = ilr[4 * r + d];
+    }
+    for (int32_t k = 0; k < n_links; ++k) {
+      const int32_t p = link_parent[k], c = link_child[k];
+      const float ps = igs[p];
+      float rotated[3];
+      quat_rotate(igr + 4 * p, ilt + 3 * c, rotated);
+      for (int d = 0; d < 3; ++d)
+        igt[3 * c + d] = igt[3 * p + d] + ps * rotated[d];
+      igs[c] = ps * ils[c];
+      // Hamilton product parent_q * local_q (math3d.py:43)
+      const float ax = igr[4 * p], ay = igr[4 * p + 1], az = igr[4 * p + 2],
+                  aw = igr[4 * p + 3];
+      const float bx = ilr[4 * c], by = ilr[4 * c + 1], bz = ilr[4 * c + 2],
+                  bw = ilr[4 * c + 3];
+      igr[4 * c] = aw * bx + ax * bw + ay * bz - az * by;
+      igr[4 * c + 1] = aw * by - ax * bz + ay * bw + az * bx;
+      igr[4 * c + 2] = aw * bz + ax * by - ay * bx + az * bw;
+      igr[4 * c + 3] = aw * bw - ax * bx - ay * by - az * bz;
+    }
+  }
+}
+
+}  // extern "C"

@@ -135,3 +135,87 @@ def test_native_draws_empty_and_all_culled():
 def _rand_quat(rng):
     q = rng.normal(size=4).astype(np.float32)
     return q / np.linalg.norm(q)
+
+
+def test_native_joint_update_matches_python():
+    """sc_joint_update (the C++ hierarchy walk) must reproduce the Python
+    parent-first Similarity composition on a random multi-root tree."""
+    import superconductor_tpu.animation as A
+    from superconductor_tpu.animation import AnimationJoints
+    from superconductor_tpu.nodes import ChildLink, DepthFirstNodes
+
+    rng = np.random.default_rng(11)
+    N = 40
+
+    def rand_sim():
+        q = rng.normal(size=4).astype(np.float32)
+        return sc.Similarity(
+            translation=rng.normal(size=3).astype(np.float32),
+            scale=float(rng.uniform(0.5, 2.0)),
+            rotation=q / np.linalg.norm(q),
+        )
+
+    roots = [0, 1]
+    children = [
+        ChildLink(index=i, parent=int(rng.integers(0, i)))
+        for i in range(2, N)
+    ]
+    df = DepthFirstNodes(roots=roots, children=children)
+    locals_ = [rand_sim() for _ in range(N)]
+
+    native = AnimationJoints(locals_)
+    native.update(df)
+    assert A._joint_update_fn not in (None, False), "native path must load"
+
+    python = AnimationJoints(locals_)
+    saved = A._joint_update_fn
+    A._joint_update_fn = False
+    try:
+        python.update(df)
+    finally:
+        A._joint_update_fn = saved
+
+    for f in ("global_translation", "global_scale", "global_rotation"):
+        a, b = getattr(native, f), getattr(python, f)
+        assert np.allclose(a, b, atol=1e-6), (f, np.abs(a - b).max())
+
+
+def test_joint_palettes_batch_matches_per_instance():
+    """The batched palette helper must equal per-instance AnimationJoints
+    palettes (modulo the final quat normalize)."""
+    from superconductor_tpu.animation import (
+        AnimationJoints,
+        joint_palettes_batch,
+    )
+    from superconductor_tpu.nodes import ChildLink, DepthFirstNodes
+
+    rng = np.random.default_rng(4)
+    N, I = 12, 5
+    df = DepthFirstNodes(
+        roots=[0],
+        children=[ChildLink(index=i, parent=i - 1) for i in range(1, N)],
+    )
+    lt = rng.normal(size=(I, N, 3)).astype(np.float32)
+    ls = rng.uniform(0.5, 2.0, size=(I, N)).astype(np.float32)
+    lr = rng.normal(size=(I, N, 4)).astype(np.float32)
+    lr /= np.linalg.norm(lr, axis=-1, keepdims=True)
+    ib = rng.normal(size=(N, 8)).astype(np.float32)
+    ib[:, 4:8] /= np.linalg.norm(ib[:, 4:8], axis=-1, keepdims=True)
+    jn = np.arange(N)
+
+    batch = joint_palettes_batch(
+        lt, ls, lr, np.zeros(1, np.int32),
+        np.arange(N - 1, dtype=np.int32), np.arange(1, N, dtype=np.int32),
+        jn, ib,
+    )
+    if batch is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for i in range(I):
+        aj = AnimationJoints([sc.Similarity() for _ in range(N)])
+        aj.local_translation[:] = lt[i]
+        aj.local_scale[:] = ls[i]
+        aj.local_rotation[:] = lr[i]
+        pal = aj.joint_palette(jn, ib, df)
+        assert np.allclose(batch[i], pal, atol=1e-5), i
