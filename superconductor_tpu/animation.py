@@ -28,6 +28,49 @@ from .math3d import Similarity, quat_mul, quat_normalize, quat_rotate
 from .nodes import DepthFirstNodes
 
 _joint_update_fn = None  # None = untried, False = unavailable
+_anim_sample_fn = None
+
+
+def _native_animate(anim, joints: "AnimationJoints", time: float) -> bool:
+    """Channel sampling + local writes in C++ (sc_anim_sample) — mirrors
+    Channel.sample exactly (binary search, STEP/LINEAR/slerp/CUBIC,
+    out-of-range keeps the rest pose). ~50 us per channel in Python, ~50 ns
+    native."""
+    global _anim_sample_fn
+    if _anim_sample_fn is False:
+        return False
+    if _anim_sample_fn is None:
+        try:
+            import ctypes
+
+            from .native import load_native
+
+            lib = load_native()
+            if lib is None or not hasattr(lib, "sc_anim_sample"):
+                _anim_sample_fn = False
+                return False
+            lib.sc_anim_sample.restype = None
+            lib.sc_anim_sample.argtypes = (
+                [ctypes.c_int32] + [ctypes.c_void_p] * 3
+                + [ctypes.c_float] + [ctypes.c_void_p] * 3
+            )
+            _anim_sample_fn = lib.sc_anim_sample
+        except Exception:
+            _anim_sample_fn = False
+            return False
+    for a in (joints.local_translation, joints.local_scale,
+              joints.local_rotation):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return False
+    meta, ins, outs = anim._packed_channels()
+    _anim_sample_fn(
+        len(meta), meta.ctypes.data, ins.ctypes.data, outs.ctypes.data,
+        float(time),
+        joints.local_translation.ctypes.data,
+        joints.local_scale.ctypes.data,
+        joints.local_rotation.ctypes.data,
+    )
+    return True
 
 
 def _native_update(aj: "AnimationJoints", depth_first: DepthFirstNodes) -> bool:
@@ -214,7 +257,42 @@ class Animation:
     scale_channels: List[Channel] = field(default_factory=list)
     total_time: float = 0.0
 
+    def _packed_channels(self):
+        """Concatenated channel arrays + (C, 7) meta for sc_anim_sample,
+        built once per Animation: [kind, node, interp, K, in_off, out_off,
+        D] with float element offsets."""
+        cached = self.__dict__.get("_packed")
+        if cached is not None:
+            return cached
+        metas, ins, outs = [], [], []
+        in_off = out_off = 0
+        for kind, chans in (
+            (0, self.translation_channels),
+            (1, self.rotation_channels),
+            (2, self.scale_channels),
+        ):
+            for ch in chans:
+                inp = np.ascontiguousarray(ch.inputs, np.float32)
+                out = np.ascontiguousarray(ch.outputs, np.float32)
+                metas.append([
+                    kind, ch.node_index, ch.interpolation, len(inp),
+                    in_off, out_off, out.shape[1],
+                ])
+                ins.append(inp)
+                outs.append(out.reshape(-1))
+                in_off += len(inp)
+                out_off += out.size
+        cached = (
+            np.ascontiguousarray(metas, np.int32).reshape(-1, 7),
+            np.concatenate(ins) if ins else np.zeros(0, np.float32),
+            np.concatenate(outs) if outs else np.zeros(0, np.float32),
+        )
+        self.__dict__["_packed"] = cached
+        return cached
+
     def animate(self, joints: "AnimationJoints", time: float) -> None:
+        if _native_animate(self, joints, time):
+            return
         for ch in self.translation_channels:
             v = ch.sample(time)
             if v is not None:

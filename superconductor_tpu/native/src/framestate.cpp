@@ -207,3 +207,108 @@ void sc_joint_update(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Keyframe channel sampling + local-transform writes: the native twin of
+// Animation.animate (animation.py:217-229) over Channel.sample
+// (animation.py:156-193). Channel meta rows are
+// [kind(0=T,1=R,2=S), node, interp(0=STEP,1=LINEAR,2=CUBIC), K, in_off,
+// out_off, D] with inputs/outputs concatenated across channels.
+// Out-of-range times leave the local value untouched (rest pose), matching
+// the Python None semantics.
+void sc_anim_sample(
+    int32_t n_channels, const int32_t* meta /*(C,7)*/,
+    const float* inputs, const float* outputs, float t,
+    float* local_t /*(N,3)*/, float* local_s /*(N,)*/,
+    float* local_r /*(N,4)*/) {
+  for (int32_t c = 0; c < n_channels; ++c) {
+    const int32_t* m = meta + 7 * c;
+    const int32_t kind = m[0], node = m[1], interp = m[2], K = m[3];
+    const float* in = inputs + m[4];
+    const float* out = outputs + m[5];
+    const int32_t D = m[6];
+    if (K <= 0 || t < in[0] || t > in[K - 1]) continue;
+    // searchsorted(side='right') - 1
+    int32_t lo = 0, hi = K;
+    while (lo < hi) {
+      int32_t mid = (lo + hi) / 2;
+      if (in[mid] <= t) lo = mid + 1; else hi = mid;
+    }
+    int32_t i = lo - 1;
+    if (i == K - 1) {
+      if (in[i] == t) i -= 1; else continue;
+    }
+    const float prev_t = in[i], next_t = in[i + 1];
+    const float delta = next_t - prev_t;
+    const float factor = (t - prev_t) / delta;
+
+    float v[4] = {0, 0, 0, 0};
+    if (interp == 0) {  // STEP
+      for (int d = 0; d < D; ++d) v[d] = out[(size_t)i * D + d];
+    } else if (interp == 1) {  // LINEAR
+      const float* a = out + (size_t)i * D;
+      const float* b = out + (size_t)(i + 1) * D;
+      if (D == 4) {
+        // glTF quaternion linear = slerp with sign fix (_quat_linear,
+        // animation.py:196-208); angle math in double like numpy
+        float bb[4] = {b[0], b[1], b[2], b[3]};
+        double dot = 0.0;
+        for (int d = 0; d < 4; ++d) dot += (double)a[d] * bb[d];
+        if (dot < 0.0) {
+          for (int d = 0; d < 4; ++d) bb[d] = -bb[d];
+          dot = -dot;
+        }
+        if (dot > 0.9995) {
+          double n2 = 0.0;
+          for (int d = 0; d < 4; ++d) {
+            v[d] = a[d] + (bb[d] - a[d]) * factor;
+            n2 += (double)v[d] * v[d];
+          }
+          const float inv = (float)(1.0 / sqrt(n2));
+          for (int d = 0; d < 4; ++d) v[d] *= inv;
+        } else {
+          if (dot > 1.0) dot = 1.0;
+          if (dot < -1.0) dot = -1.0;
+          const double theta = acos(dot);
+          const double s = sin(theta);
+          const double wa = sin((1.0 - factor) * theta) / s;
+          const double wb = sin(factor * theta) / s;
+          for (int d = 0; d < 4; ++d)
+            v[d] = (float)(wa * a[d] + wb * bb[d]);
+        }
+      } else {
+        for (int d = 0; d < D; ++d) v[d] = a[d] + (b[d] - a[d]) * factor;
+      }
+    } else {  // CUBIC_SPLINE: outputs packed [in_tan, value, out_tan] * K
+      const float* p0 = out + (size_t)(i * 3 + 1) * D;
+      const float* m0 = out + (size_t)(i * 3 + 2) * D;
+      const float* m1 = out + (size_t)(i * 3 + 3) * D;
+      const float* p1 = out + (size_t)(i * 3 + 4) * D;
+      const float t_ = factor, t2 = t_ * t_, t3 = t2 * t_;
+      const float c0 = 2 * t3 - 3 * t2 + 1, c1 = t3 - 2 * t2 + t_;
+      const float c2 = -2 * t3 + 3 * t2, c3 = t3 - t2;
+      for (int d = 0; d < D; ++d)
+        v[d] = c0 * p0[d] + c1 * (m0[d] * delta) + c2 * p1[d]
+               + c3 * (m1[d] * delta);
+      if (D == 4) {
+        float n2 = 0.0f;
+        for (int d = 0; d < 4; ++d) n2 += v[d] * v[d];
+        const float inv = 1.0f / sqrtf(n2);
+        for (int d = 0; d < 4; ++d) v[d] *= inv;
+      }
+    }
+
+    if (kind == 0) {
+      for (int d = 0; d < 3; ++d) local_t[3 * node + d] = v[d];
+    } else if (kind == 1) {
+      for (int d = 0; d < 4; ++d) local_r[4 * node + d] = v[d];
+    } else {
+      float mx = v[0];
+      for (int d = 1; d < D; ++d) mx = v[d] > mx ? v[d] : mx;
+      local_s[node] = mx;
+    }
+  }
+}
+
+}  // extern "C"

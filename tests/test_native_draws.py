@@ -219,3 +219,57 @@ def test_joint_palettes_batch_matches_per_instance():
         aj.local_rotation[:] = lr[i]
         pal = aj.joint_palette(jn, ib, df)
         assert np.allclose(batch[i], pal, atol=1e-5), i
+
+
+def test_native_animate_matches_python():
+    """sc_anim_sample must reproduce Channel.sample semantics across
+    STEP/LINEAR (incl. quaternion slerp)/CUBIC_SPLINE channels and at
+    boundary/out-of-range times (which keep the rest pose)."""
+    import superconductor_tpu.animation as A
+    from superconductor_tpu.animation import (
+        CUBIC_SPLINE,
+        LINEAR,
+        STEP,
+        Animation,
+        AnimationJoints,
+        Channel,
+    )
+
+    rng = np.random.default_rng(0)
+    J, K = 20, 16
+    times = np.linspace(0.0, 2.0, K).astype(np.float32)
+    anim = Animation(total_time=2.0)
+    for j in range(J):
+        interp = [STEP, LINEAR, CUBIC_SPLINE][j % 3]
+        n = 3 * K if interp == CUBIC_SPLINE else K
+        anim.translation_channels.append(
+            Channel(interpolation=interp, inputs=times,
+                    outputs=rng.normal(size=(n, 3)).astype(np.float32),
+                    node_index=j)
+        )
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        anim.rotation_channels.append(
+            Channel(interpolation=interp, inputs=times, outputs=q,
+                    node_index=j)
+        )
+        anim.scale_channels.append(
+            Channel(interpolation=LINEAR, inputs=times,
+                    outputs=rng.uniform(0.5, 2, (K, 3)).astype(np.float32),
+                    node_index=j)
+        )
+
+    for t in [0.0, 0.5, 1.23456, 1.999, 2.0, 2.5, -0.1]:
+        nat = AnimationJoints([sc.Similarity() for _ in range(J)])
+        py = AnimationJoints([sc.Similarity() for _ in range(J)])
+        anim.animate(nat, t)
+        assert A._anim_sample_fn not in (None, False), "native must load"
+        saved = A._anim_sample_fn
+        A._anim_sample_fn = False
+        try:
+            anim.animate(py, t)
+        finally:
+            A._anim_sample_fn = saved
+        for f in ("local_translation", "local_scale", "local_rotation"):
+            a, b = getattr(nat, f), getattr(py, f)
+            assert np.allclose(a, b, atol=2e-6), (t, f, np.abs(a - b).max())
