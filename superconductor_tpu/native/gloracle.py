@@ -199,6 +199,48 @@ void main() {
 """
 
 
+SKY_VERT_SRC = b"""
+#version 330 core
+out vec2 v_ndc;
+void main() {
+    // fullscreen triangle (fullscreen_tri, lib.rs:589-599)
+    vec2 pos = vec2((gl_VertexID << 1) & 2, gl_VertexID & 2) * 2.0 - 1.0;
+    v_ndc = pos;
+    gl_Position = vec4(pos, 0.0, 1.0);
+}
+"""
+
+SKY_FRAG_SRC = b"""
+#version 330 core
+in vec2 v_ndc;
+out vec4 frag;
+uniform samplerCube u_cube;
+uniform mat4 u_proj_inv;
+uniform vec4 u_view_quat;
+
+vec3 quat_rotate(vec4 q, vec3 v) {
+    vec3 t = 2.0 * cross(q.xyz, v);
+    return v + q.w * t + cross(q.xyz, t);
+}
+
+vec3 aces(vec3 x) {
+    return clamp((x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14),
+                 0.0, 1.0);
+}
+
+void main() {
+    // ray = view_rotation * (projection_inverse @ [ndc, 0, 1]).xyz
+    // (vertex_skybox, lib.rs:671-710; ops/sky.py skybox_rays)
+    vec4 unproj = u_proj_inv * vec4(v_ndc, 0.0, 1.0);
+    vec3 ray = quat_rotate(u_view_quat, unproj.xyz);
+    vec3 rgb = texture(u_cube, ray).rgb;
+    rgb = aces(rgb);
+    rgb = pow(clamp(rgb, 0.0, 1.0), vec3(1.0 / 2.2));
+    frag = vec4(rgb, 1.0);
+}
+"""
+
+
 class GlForwardRenderer:
     """Offscreen GL renderer matching the engine's frame conventions:
     wgpu-style [0,1] reverse-z clip (glClipControl), row 0 = top."""
@@ -251,6 +293,83 @@ class GlForwardRenderer:
         if not gl.glGetProgramiv(self.prog, gl.GL_LINK_STATUS):
             raise RuntimeError(gl.glGetProgramInfoLog(self.prog).decode())
         self.vao = gl.glGenVertexArrays(1)
+
+    def render_skybox(
+        self,
+        faces,  # 6 x (S, S, 4) float32 linear RGBA, order +X -X +Y -Y +Z -Z
+        projection_inverse: np.ndarray,  # (4, 4)
+        view_quat: np.ndarray,  # (4,) camera rotation quaternion
+    ) -> np.ndarray:
+        """Skybox-only frame through GL's samplerCube (the cubemap gather
+        oracle): same inverse-projection ray + ACES + gamma as the engine's
+        ops/sky.py. Returns (H, W, 4) u8, row 0 = top."""
+        with self._lock:
+            gl = self.gl
+            if not hasattr(self, "sky_prog"):
+                self.sky_prog = self._link(SKY_VERT_SRC, SKY_FRAG_SRC)
+            gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+            gl.glViewport(0, 0, self.width, self.height)
+            gl.glDisable(gl.GL_DEPTH_TEST)
+            gl.glDisable(gl.GL_BLEND)
+            gl.glDisable(gl.GL_CULL_FACE)
+            gl.glUseProgram(self.sky_prog)
+            gl.glBindVertexArray(self.vao)
+            for a in range(5):
+                gl.glDisableVertexAttribArray(a)
+
+            tex = gl.glGenTextures(1)
+            gl.glActiveTexture(gl.GL_TEXTURE0)
+            gl.glBindTexture(gl.GL_TEXTURE_CUBE_MAP, tex)
+            for f, img in enumerate(faces):
+                img = np.ascontiguousarray(img, np.float32)
+                s = img.shape[0]
+                gl.glTexImage2D(
+                    gl.GL_TEXTURE_CUBE_MAP_POSITIVE_X + f, 0, gl.GL_RGBA32F,
+                    s, s, 0, gl.GL_RGBA, gl.GL_FLOAT, img,
+                )
+            for p, v in (
+                (gl.GL_TEXTURE_MIN_FILTER, gl.GL_LINEAR),
+                (gl.GL_TEXTURE_MAG_FILTER, gl.GL_LINEAR),
+                (gl.GL_TEXTURE_WRAP_S, gl.GL_CLAMP_TO_EDGE),
+                (gl.GL_TEXTURE_WRAP_T, gl.GL_CLAMP_TO_EDGE),
+                (gl.GL_TEXTURE_WRAP_R, gl.GL_CLAMP_TO_EDGE),
+            ):
+                gl.glTexParameteri(gl.GL_TEXTURE_CUBE_MAP, p, v)
+
+            loc = lambda n: gl.glGetUniformLocation(self.sky_prog, n)
+            gl.glUniform1i(loc("u_cube"), 0)
+            gl.glUniformMatrix4fv(loc("u_proj_inv"), 1, gl.GL_TRUE,
+                                  np.asarray(projection_inverse, np.float32))
+            gl.glUniform4fv(loc("u_view_quat"), 1,
+                            np.asarray(view_quat, np.float32))
+            gl.glDrawArrays(gl.GL_TRIANGLES, 0, 3)
+            out = gl.glReadPixels(0, 0, self.width, self.height, gl.GL_RGBA,
+                                  gl.GL_UNSIGNED_BYTE)
+            gl.glDeleteTextures(1, [tex])
+            gl.glEnable(gl.GL_DEPTH_TEST)
+            img = np.frombuffer(out, np.uint8).reshape(
+                self.height, self.width, 4
+            )
+            return img[::-1].copy()
+
+    def _link(self, vert_src, frag_src):
+        gl = self.gl
+
+        def compile_shader(src, kind):
+            s = gl.glCreateShader(kind)
+            gl.glShaderSource(s, src)
+            gl.glCompileShader(s)
+            if not gl.glGetShaderiv(s, gl.GL_COMPILE_STATUS):
+                raise RuntimeError(gl.glGetShaderInfoLog(s).decode())
+            return s
+
+        prog = gl.glCreateProgram()
+        gl.glAttachShader(prog, compile_shader(vert_src, gl.GL_VERTEX_SHADER))
+        gl.glAttachShader(prog, compile_shader(frag_src, gl.GL_FRAGMENT_SHADER))
+        gl.glLinkProgram(prog)
+        if not gl.glGetProgramiv(prog, gl.GL_LINK_STATUS):
+            raise RuntimeError(gl.glGetProgramInfoLog(prog).decode())
+        return prog
 
     def render(
         self,

@@ -15,7 +15,8 @@ differences between analytic and quad derivatives, no structural error).
 At 256x256: alpha_blend 52.9 dB (k-buffer composite vs GL sorted
 src-alpha blending), alpha_clip 42.5 dB (in-kernel kill vs GL discard).
 Skinning (384x384, wave-palette tube, GL vertex-shader Similarity blend):
-73.4 dB. The assert stays at the official 35 dB gate."""
+73.4 dB. Skybox (320x320, gradient+sun cubemap vs GL samplerCube):
+100.0 dB. The assert stays at the official 35 dB gate."""
 
 import numpy as np
 import pytest
@@ -499,3 +500,41 @@ def test_engine_skinning_matches_gl_oracle():
 
     db = psnr(mine[..., :3], ref[..., :3])
     assert db >= 35.0, f"skinning: PSNR {db:.1f} dB vs GL oracle"
+
+
+def test_engine_skybox_matches_gl_oracle():
+    """Cubemap sampling (skybox path): the engine's face-select + bilinear
+    gathers vs GL's native samplerCube on the same 6 faces, same
+    inverse-projection ray, ACES, and gamma."""
+    from superconductor_tpu.utils.procgen import gradient_cubemap
+
+    width = height = 320
+    gl = _gl_renderer(width, height)
+
+    scene = Scene()
+    base = gradient_cubemap(scene, size=64)
+    pool = scene.textures_hdr
+    faces = []
+    for f in range(6):
+        entry = pool.tex_mip_base[base + f]
+        off = pool.mip_offset[entry]
+        w, h = pool.mip_w[entry], pool.mip_h[entry]
+        faces.append(
+            np.asarray(pool.texels.host[off:off + w * h]).reshape(h, w, 4)
+        )
+
+    uniforms = _camera([0.0, 0.0, 0.0], [0.4, 0.25, -1.0], width, height)
+    env = EnvBindings(ibl_cubemap_base=base)
+    state = build_frame_state(scene, [], uniforms)
+    config = RenderConfig(width=width, height=height, raster="ref")
+    mine = np.asarray(
+        render_frame(scene.device_arrays(), state, config, env)
+    )[0]
+
+    proj_inv = np.linalg.inv(np.asarray(uniforms.projection[0], np.float64))
+    view_inv = mat4_inverse(np.asarray(uniforms.view[0]))
+    cam_quat = mat3_to_quat(view_inv[:3, :3])
+    ref = gl.render_skybox(faces, proj_inv.astype(np.float32), cam_quat)
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"skybox: PSNR {db:.1f} dB vs GL samplerCube"
