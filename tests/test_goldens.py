@@ -109,8 +109,11 @@ def test_golden_sponza_cubes_real_assets(sponza_cubes_glb):
         open(f"{lv}/lightvol_x.ktx2", "rb").read(),
         open(f"{lv}/lightvol_y.ktx2", "rb").read(),
         open(f"{lv}/lightvol_z.ktx2", "rb").read(),
-        bottom_left=(-11.0, -0.5, -5.5),
-        scale=(22.0 / 96, 11.0 / 48, 11.0 / 48),
+        # ProbesArrayInfo::new(center (0,6,0), scale (24,12,12)) of the
+        # reference demo (demo/src/lib.rs:120-123): scale is the volume's
+        # full world extent, so rescaled coords span [0,1] over the volume
+        bottom_left=(-12.0, 0.0, -6.0),
+        scale=(24.0, 12.0, 12.0),
     )
     load_ibl_cubemap(scene, open(f"{assets}/cubemaps/noon.ktx2", "rb").read())
 
