@@ -100,6 +100,15 @@ uniform vec3 u_sh0;
 uniform vec3 u_sh1x;
 uniform vec3 u_sh1y;
 uniform vec3 u_sh1z;
+// per-pixel SH from a 3D light volume (sample_spherical_harmonics,
+// lib.rs:204-250): L0 raw, L1 x/y/z decoded with *255/127 - 128/127
+uniform int u_has_lightvol;
+uniform sampler3D u_lv0;
+uniform sampler3D u_lvx;
+uniform sampler3D u_lvy;
+uniform sampler3D u_lvz;
+uniform vec3 u_probes_bl;
+uniform vec3 u_probes_scale;
 
 // Nonlinear L1 SH irradiance, per channel (the reference's
 // eval_spherical_harmonics_nonlinear).
@@ -152,21 +161,32 @@ void main() {
     }
     vec3 view = normalize(u_eye - v_world);
 
+    vec3 sh0 = u_sh0, sh1x = u_sh1x, sh1y = u_sh1y, sh1z = u_sh1z;
+    if (u_has_lightvol != 0) {
+        vec3 pr = (v_world - u_probes_bl) / u_probes_scale;
+        const float sc = 255.0 / 127.0;
+        const float bi = -128.0 / 127.0;
+        sh0 = texture(u_lv0, pr).rgb;
+        sh1x = texture(u_lvx, pr).rgb * sc + bi;
+        sh1y = texture(u_lvy, pr).rgb * sc + bi;
+        sh1z = texture(u_lvz, pr).rgb * sc + bi;
+    }
+
     // SH channel direction vectors: r1_for_channel_c = (sh1x[c], sh1y[c],
     // sh1z[c]).
-    vec3 r1r = vec3(u_sh1x.r, u_sh1y.r, u_sh1z.r);
-    vec3 r1g = vec3(u_sh1x.g, u_sh1y.g, u_sh1z.g);
-    vec3 r1b = vec3(u_sh1x.b, u_sh1y.b, u_sh1z.b);
+    vec3 r1r = vec3(sh1x.r, sh1y.r, sh1z.r);
+    vec3 r1g = vec3(sh1x.g, sh1y.g, sh1z.g);
+    vec3 r1b = vec3(sh1x.b, sh1y.b, sh1z.b);
 
-    vec3 irradiance = vec3(sh_eval_channel(u_sh0.r, r1r, n),
-                           sh_eval_channel(u_sh0.g, r1g, n),
-                           sh_eval_channel(u_sh0.b, r1b, n));
+    vec3 irradiance = vec3(sh_eval_channel(sh0.r, r1r, n),
+                           sh_eval_channel(sh0.g, r1g, n),
+                           sh_eval_channel(sh0.b, r1b, n));
     vec3 diffuse = albedo * (1.0 - u_metallic) * irradiance;
 
     // Dominant-direction GGX specular approximation
     // (spherical_harmonics_specular_approximation), with sh0 boosted by
     // pi^2 as the reference does before specular.
-    vec3 sh0_boost = u_sh0 * (3.14159265 * 3.14159265);
+    vec3 sh0_boost = sh0 * (3.14159265 * 3.14159265);
     vec3 avg_dir = (r1r + r1g + r1b) / 3.0;
     float dir_len = length(avg_dir) + 1e-10;
     float smoothness = 1.0 - u_roughness;
@@ -378,15 +398,17 @@ class GlForwardRenderer:
         eye: np.ndarray,
         sh: np.ndarray,  # (4, 3) [L0, L1x, L1y, L1z] rgb
         clear_color=(0.0, 0.0, 0.0, 1.0),
+        lightvol=None,  # ([4 x (D,S,S,4) f32], bottom_left, scale)
     ) -> np.ndarray:
         """draws: list of dicts {positions (V,3), normals (V,3), indices
         (I,), base_color (4,), metallic, roughness, unlit, double_sided,
         translation (3,), scale, quat (4,)}. Returns (H, W, 4) u8,
         row 0 = top."""
         with self._lock:
-            return self._render(draws, view_proj, eye, sh, clear_color)
+            return self._render(draws, view_proj, eye, sh, clear_color,
+                                lightvol)
 
-    def _render(self, draws, view_proj, eye, sh, clear_color):
+    def _render(self, draws, view_proj, eye, sh, clear_color, lightvol=None):
         gl = self.gl
         gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
         gl.glViewport(0, 0, self.width, self.height)
@@ -401,6 +423,7 @@ class GlForwardRenderer:
         gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
         gl.glUseProgram(self.prog)
         gl.glBindVertexArray(self.vao)
+        textures = []
 
         loc = lambda n: gl.glGetUniformLocation(self.prog, n)
         gl.glUniformMatrix4fv(loc("u_view_proj"), 1, gl.GL_TRUE,
@@ -412,8 +435,37 @@ class GlForwardRenderer:
         gl.glUniform3fv(loc("u_sh1y"), 1, sh[2])
         gl.glUniform3fv(loc("u_sh1z"), 1, sh[3])
 
+        # optional 3D light volume: 4 (D, S, S, 4) float32 arrays, sampled
+        # per pixel with the same rescale + snorm decode as the engine
+        gl.glUniform1i(loc("u_has_lightvol"), 1 if lightvol else 0)
+        if lightvol:
+            vols, bl, scale = lightvol
+            for unit, (name, vol) in enumerate(
+                zip(("u_lv0", "u_lvx", "u_lvy", "u_lvz"), vols), start=4
+            ):
+                tex = gl.glGenTextures(1)
+                textures.append(tex)
+                gl.glActiveTexture(gl.GL_TEXTURE0 + unit)
+                gl.glBindTexture(gl.GL_TEXTURE_3D, tex)
+                vol = np.ascontiguousarray(vol, np.float32)
+                d, h, w = vol.shape[:3]
+                gl.glTexImage3D(gl.GL_TEXTURE_3D, 0, gl.GL_RGBA32F, w, h, d,
+                                0, gl.GL_RGBA, gl.GL_FLOAT, vol)
+                for p, v in (
+                    (gl.GL_TEXTURE_MIN_FILTER, gl.GL_LINEAR),
+                    (gl.GL_TEXTURE_MAG_FILTER, gl.GL_LINEAR),
+                    (gl.GL_TEXTURE_WRAP_S, gl.GL_CLAMP_TO_EDGE),
+                    (gl.GL_TEXTURE_WRAP_T, gl.GL_CLAMP_TO_EDGE),
+                    (gl.GL_TEXTURE_WRAP_R, gl.GL_CLAMP_TO_EDGE),
+                ):
+                    gl.glTexParameteri(gl.GL_TEXTURE_3D, p, v)
+                gl.glUniform1i(loc(name), unit)
+            gl.glUniform3fv(loc("u_probes_bl"), 1,
+                            np.asarray(bl, np.float32))
+            gl.glUniform3fv(loc("u_probes_scale"), 1,
+                            np.asarray(scale, np.float32))
+
         buffers = []
-        textures = []
         for d in draws:
             pos = np.ascontiguousarray(d["positions"], np.float32)
             nrm = np.ascontiguousarray(d["normals"], np.float32)

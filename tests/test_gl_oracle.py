@@ -16,7 +16,8 @@ At 256x256: alpha_blend 52.9 dB (k-buffer composite vs GL sorted
 src-alpha blending), alpha_clip 42.5 dB (in-kernel kill vs GL discard).
 Skinning (384x384, wave-palette tube, GL vertex-shader Similarity blend):
 73.4 dB. Skybox (320x320, gradient+sun cubemap vs GL samplerCube):
-100.0 dB. The assert stays at the official 35 dB gate."""
+100.0 dB. Lightvol (320x320, 4 synthetic 8^3 volumes vs GL sampler3D):
+54.0 dB. The assert stays at the official 35 dB gate."""
 
 import numpy as np
 import pytest
@@ -538,3 +539,73 @@ def test_engine_skybox_matches_gl_oracle():
 
     db = psnr(mine[..., :3], ref[..., :3])
     assert db >= 35.0, f"skybox: PSNR {db:.1f} dB vs GL samplerCube"
+
+
+def test_engine_lightvol_matches_gl_oracle():
+    """3D light-volume SH sampling (sample_2d_array_as_3d parity,
+    lib.rs:185-250): the engine's stacked-2D-layer emulation with z-lerp
+    vs GL's native sampler3D on the same four synthetic volumes."""
+    from superconductor_tpu.scene.scene import WRAP_CLAMP
+
+    width = height = 320
+    gl = _gl_renderer(width, height)
+
+    D = S = 8
+    z, y, x = np.mgrid[0:D, 0:S, 0:S].astype(np.float32)
+    z, y, x = z / (D - 1), y / (S - 1), x / (S - 1)
+
+    def vol(r, g, b):
+        a = np.ones_like(r)
+        return np.stack([r, g, b, a], -1).astype(np.float32)
+
+    # smooth spatially-varying L0 + L1 fields, encoded 0..1 like the assets
+    v0 = vol(0.4 + 0.4 * x, 0.3 + 0.5 * y, 0.5 + 0.3 * z)
+    enc = lambda c: (c * 0.5 + 0.5) * (127.0 / 255.0) * 2.0  # [-1,1] -> [0,1]ish
+    vx = vol(enc(0.4 * np.sin(3 * x)), enc(0.3 * y - 0.1), enc(0.2 * z))
+    vy = vol(enc(0.5 * np.cos(2 * y)), enc(0.35 * x), enc(0.1 + 0.2 * z))
+    vz = vol(enc(0.2 * z - 0.1), enc(0.25 * np.sin(4 * z)), enc(0.3 * x))
+
+    scene = Scene()
+    ids = []
+    for v in (v0, vx, vy, vz):
+        ids.append(
+            scene.textures_hdr.add_texture(list(v), wrap=WRAP_CLAMP)
+        )
+
+    pos, nrm, uv, idx = _sphere_arrays()
+    base = (0.85, 0.8, 0.75, 1.0)
+    mat = scene.add_material(
+        MaterialSettings(base_color_factor=base, metallic_factor=0.0,
+                         roughness_factor=0.7)
+    )
+    model = _add_mesh(scene, pos, nrm, uv, idx, mat)
+
+    bl = np.array([-1.5, -1.5, -1.5], np.float32)
+    extent = np.array([3.0, 3.0, 3.0], np.float32)
+    uniforms = _camera([0.6, 0.5, 2.2], [0, 0, 0], width, height)
+    uniforms.probes_bottom_left = bl
+    uniforms.probes_scale = extent
+    env = EnvBindings(
+        lightvol_tex_ids=tuple(ids), lightvol_z_layers=D,
+        clear_color=(0.1, 0.12, 0.15),
+    )
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    config = RenderConfig(width=width, height=height, raster="ref")
+    mine = np.asarray(
+        render_frame(scene.device_arrays(), state, config, env)
+    )[0]
+
+    ref = gl.render(
+        [
+            dict(positions=pos, normals=nrm, indices=idx, base_color=base,
+                 metallic=0.0, roughness=0.7, unlit=False),
+        ],
+        view_proj=uniforms.view_proj[0],
+        eye=uniforms.eye[0],
+        sh=np.zeros((4, 3), np.float32),
+        clear_color=_encoded_clear((0.1, 0.12, 0.15)),
+        lightvol=([v0, vx, vy, vz], bl, extent),
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"lightvol: PSNR {db:.1f} dB vs GL sampler3D"
