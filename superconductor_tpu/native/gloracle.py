@@ -436,7 +436,13 @@ class GlForwardRenderer:
         gl.glUniform3fv(loc("u_sh1z"), 1, sh[3])
 
         # optional 3D light volume: 4 (D, S, S, 4) float32 arrays, sampled
-        # per pixel with the same rescale + snorm decode as the engine
+        # per pixel with the same rescale + snorm decode as the engine.
+        # The sampler3D uniforms must ALWAYS point at dedicated units: left
+        # at the default unit 0 they alias the sampler2Ds, which is invalid
+        # GL state even when unused (every draw errors).
+        for unit, name in enumerate(("u_lv0", "u_lvx", "u_lvy", "u_lvz"),
+                                    start=4):
+            gl.glUniform1i(loc(name), unit)
         gl.glUniform1i(loc("u_has_lightvol"), 1 if lightvol else 0)
         if lightvol:
             vols, bl, scale = lightvol
