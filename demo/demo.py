@@ -135,7 +135,7 @@ def main():
                     os.path.join(lv_dir, "lightvol_y.ktx2"),
                     os.path.join(lv_dir, "lightvol_z.ktx2"),
                 ],
-                bottom_left=(-12.0, -0.5, -6.0),
+                bottom_left=(-12.0, 0.0, -6.0),  # ProbesArrayInfo center (0,6,0), extent (24,12,12)
                 scale=(24.0, 12.0, 12.0),
             )
         )

@@ -31,39 +31,70 @@ _joint_update_fn = None  # None = untried, False = unavailable
 _anim_sample_fn = None
 
 
+def _load_fn(name: str, argtypes):
+    """Resolve a libscnative function with argtypes set (shared lazy-load
+    for the animation fast paths); returns False when unavailable."""
+    try:
+        from .native import load_native
+
+        lib = load_native()
+        if lib is None or not hasattr(lib, name):
+            return False
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = argtypes
+        return fn
+    except Exception:
+        return False
+
+
+def _get_anim_sample_fn():
+    global _anim_sample_fn
+    if _anim_sample_fn is None:
+        import ctypes
+
+        _anim_sample_fn = _load_fn(
+            "sc_anim_sample",
+            [ctypes.c_int32] + [ctypes.c_void_p] * 3
+            + [ctypes.c_float] + [ctypes.c_void_p] * 3,
+        )
+    return _anim_sample_fn
+
+
+def _get_joint_update_fn():
+    global _joint_update_fn
+    if _joint_update_fn is None:
+        import ctypes
+
+        _joint_update_fn = _load_fn(
+            "sc_joint_update",
+            [ctypes.c_int32] * 2
+            + [ctypes.c_int32, ctypes.c_void_p]
+            + [ctypes.c_int32] + [ctypes.c_void_p] * 2
+            + [ctypes.c_void_p] * 6,
+        )
+    return _joint_update_fn
+
+
 def _native_animate(anim, joints: "AnimationJoints", time: float) -> bool:
     """Channel sampling + local writes in C++ (sc_anim_sample) — mirrors
     Channel.sample exactly (binary search, STEP/LINEAR/slerp/CUBIC,
     out-of-range keeps the rest pose). ~50 us per channel in Python, ~50 ns
     native."""
-    global _anim_sample_fn
-    if _anim_sample_fn is False:
+    fn = _get_anim_sample_fn()
+    if fn is False:
         return False
-    if _anim_sample_fn is None:
-        try:
-            import ctypes
-
-            from .native import load_native
-
-            lib = load_native()
-            if lib is None or not hasattr(lib, "sc_anim_sample"):
-                _anim_sample_fn = False
-                return False
-            lib.sc_anim_sample.restype = None
-            lib.sc_anim_sample.argtypes = (
-                [ctypes.c_int32] + [ctypes.c_void_p] * 3
-                + [ctypes.c_float] + [ctypes.c_void_p] * 3
-            )
-            _anim_sample_fn = lib.sc_anim_sample
-        except Exception:
-            _anim_sample_fn = False
-            return False
     for a in (joints.local_translation, joints.local_scale,
               joints.local_rotation):
         if a.dtype != np.float32 or not a.flags.c_contiguous:
             return False
-    meta, ins, outs = anim._packed_channels()
-    _anim_sample_fn(
+    packed = anim._packed_channels()
+    if packed is None:  # malformed channels: Python path raises cleanly
+        return False
+    meta, ins, outs, max_node = packed
+    if max_node >= len(joints.local_scale):
+        return False  # out-of-range node: Python raises IndexError
+    fn(
         len(meta), meta.ctypes.data, ins.ctypes.data, outs.ctypes.data,
         float(time),
         joints.local_translation.ctypes.data,
@@ -78,30 +109,8 @@ def _native_update(aj: "AnimationJoints", depth_first: DepthFirstNodes) -> bool:
     the Python link loop costs ~40 us/link in numpy overhead, which
     dominates per-frame animation at scale (64 instances x 64 joints was
     ~170 ms/frame in pure Python)."""
-    global _joint_update_fn
-    if _joint_update_fn is False:
+    if _get_joint_update_fn() is False:
         return False
-    if _joint_update_fn is None:
-        try:
-            import ctypes
-
-            from .native import load_native
-
-            lib = load_native()
-            if lib is None or not hasattr(lib, "sc_joint_update"):
-                _joint_update_fn = False
-                return False
-            lib.sc_joint_update.restype = None
-            lib.sc_joint_update.argtypes = (
-                [ctypes.c_int32] * 2
-                + [ctypes.c_int32, ctypes.c_void_p]
-                + [ctypes.c_int32] + [ctypes.c_void_p] * 2
-                + [ctypes.c_void_p] * 6
-            )
-            _joint_update_fn = lib.sc_joint_update
-        except Exception:
-            _joint_update_fn = False
-            return False
     links = depth_first.__dict__.get("_link_arrays")
     if links is None:
         links = (
@@ -120,10 +129,13 @@ def _native_update(aj: "AnimationJoints", depth_first: DepthFirstNodes) -> bool:
 
 def _call_joint_update(lt, ls, lr, gt, gs, gr, roots, parents, childs,
                        n_inst, n_nodes) -> bool:
+    fn = _get_joint_update_fn()
+    if fn is False:
+        return False
     for a in (lt, ls, lr, gt, gs, gr):
         if a.dtype != np.float32 or not a.flags.c_contiguous:
             return False
-    _joint_update_fn(
+    fn(
         n_inst, n_nodes,
         len(roots), roots.ctypes.data,
         len(parents), parents.ctypes.data, childs.ctypes.data,
@@ -148,13 +160,8 @@ def joint_palettes_batch(
     C++ (sc_joint_update with n_inst=I), palette composition vectorized.
     Returns None when the native library is unavailable (callers fall
     back to per-instance AnimationJoints)."""
-    global _joint_update_fn
-    if _joint_update_fn in (None, False):
-        # trigger lazy load via a throwaway single-joint update
-        probe = AnimationJoints([Similarity()])
-        probe.update(DepthFirstNodes(roots=[0], children=[]))
-        if _joint_update_fn is False:
-            return None
+    if _get_joint_update_fn() is False:
+        return None
     I, N = local_scale.shape
     lt = np.ascontiguousarray(local_translation, np.float32)
     ls = np.ascontiguousarray(local_scale, np.float32)
@@ -200,6 +207,10 @@ class Channel:
         inputs = self.inputs
         if t < inputs[0] or t > inputs[-1]:
             return None
+        if len(inputs) == 1:  # single key: hold its value (t == inputs[0])
+            if self.interpolation == CUBIC_SPLINE:
+                return self.outputs[1]
+            return self.outputs[0]
         i = int(np.searchsorted(inputs, t, side="right") - 1)
         if i == len(inputs) - 1:
             if inputs[i] == t:
@@ -259,33 +270,61 @@ class Animation:
 
     def _packed_channels(self):
         """Concatenated channel arrays + (C, 7) meta for sc_anim_sample,
-        built once per Animation: [kind, node, interp, K, in_off, out_off,
-        D] with float element offsets."""
-        cached = self.__dict__.get("_packed")
-        if cached is not None:
-            return cached
+        built once per Animation (channels are immutable after first use,
+        like Model._frame_arrays): [kind, node, interp, K, in_off, out_off,
+        D] with float element offsets.
+
+        Returns None when any channel is malformed (bad component count,
+        negative node, or an outputs array shorter than the keyframe count
+        demands) — the raw-pointer C++ consumer must never see such meta,
+        so those animations take the Python path, which raises the same
+        clean errors it always did. The meta's max node index is returned
+        for the per-call bound check against the joint array length."""
+        if "_packed" in self.__dict__:
+            return self.__dict__["_packed"]  # may be None (invalid meta)
         metas, ins, outs = [], [], []
         in_off = out_off = 0
+        max_node = -1
+        valid = True
         for kind, chans in (
             (0, self.translation_channels),
             (1, self.rotation_channels),
             (2, self.scale_channels),
         ):
+            expect_d = {0: (3,), 1: (4,), 2: (1, 2, 3, 4)}[kind]
             for ch in chans:
                 inp = np.ascontiguousarray(ch.inputs, np.float32)
-                out = np.ascontiguousarray(ch.outputs, np.float32)
+                out = np.ascontiguousarray(
+                    np.atleast_2d(ch.outputs), np.float32
+                )
+                k = len(inp)
+                d = out.shape[1]
+                need_rows = 3 * k if ch.interpolation == CUBIC_SPLINE else k
+                if (
+                    d not in expect_d
+                    or ch.node_index < 0
+                    or out.shape[0] < need_rows
+                    or ch.interpolation not in (STEP, LINEAR, CUBIC_SPLINE)
+                ):
+                    valid = False
+                max_node = max(max_node, int(ch.node_index))
                 metas.append([
-                    kind, ch.node_index, ch.interpolation, len(inp),
-                    in_off, out_off, out.shape[1],
+                    kind, ch.node_index, ch.interpolation, k,
+                    in_off, out_off, d,
                 ])
                 ins.append(inp)
                 outs.append(out.reshape(-1))
-                in_off += len(inp)
+                in_off += k
                 out_off += out.size
         cached = (
-            np.ascontiguousarray(metas, np.int32).reshape(-1, 7),
-            np.concatenate(ins) if ins else np.zeros(0, np.float32),
-            np.concatenate(outs) if outs else np.zeros(0, np.float32),
+            (
+                np.ascontiguousarray(metas, np.int32).reshape(-1, 7),
+                np.concatenate(ins) if ins else np.zeros(0, np.float32),
+                np.concatenate(outs) if outs else np.zeros(0, np.float32),
+                max_node,
+            )
+            if valid
+            else None
         )
         self.__dict__["_packed"] = cached
         return cached

@@ -228,7 +228,24 @@ void sc_anim_sample(
     const float* in = inputs + m[4];
     const float* out = outputs + m[5];
     const int32_t D = m[6];
-    if (K <= 0 || t < in[0] || t > in[K - 1]) continue;
+    // NaN-safe range check: !(t >= x) also rejects NaN times, matching the
+    // Python path's None (searchsorted sends NaN past the last key there)
+    if (K <= 0 || !(t >= in[0]) || !(t <= in[K - 1])) continue;
+    if (K == 1) {  // single key: hold its value (t == in[0] here)
+      float v1[4] = {0, 0, 0, 0};
+      const float* row = interp == 2 ? out + (size_t)D : out;  // cubic: value row
+      for (int d = 0; d < D && d < 4; ++d) v1[d] = row[d];
+      if (kind == 0) {
+        for (int d = 0; d < 3; ++d) local_t[3 * node + d] = v1[d];
+      } else if (kind == 1) {
+        for (int d = 0; d < 4; ++d) local_r[4 * node + d] = v1[d];
+      } else {
+        float mx = v1[0];
+        for (int d = 1; d < D && d < 4; ++d) mx = v1[d] > mx ? v1[d] : mx;
+        local_s[node] = mx;
+      }
+      continue;
+    }
     // searchsorted(side='right') - 1
     int32_t lo = 0, hi = K;
     while (lo < hi) {
@@ -239,6 +256,7 @@ void sc_anim_sample(
     if (i == K - 1) {
       if (in[i] == t) i -= 1; else continue;
     }
+    if (i < 0) continue;  // defensive: can't happen for finite t, K >= 2
     const float prev_t = in[i], next_t = in[i + 1];
     const float delta = next_t - prev_t;
     const float factor = (t - prev_t) / delta;

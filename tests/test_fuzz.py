@@ -21,8 +21,13 @@ if not hasattr(os, "fork"):  # pragma: no cover
     pytest.skip("fork-based harness", allow_module_level=True)
 
 
-def _forked(fn) -> int:
-    """Run fn in a child; return the wait status."""
+def _forked(fn, timeout_s: float = 20.0) -> int:
+    """Run fn in a child; return the wait status. A child that exceeds the
+    deadline (decoder infinite loop on corrupt input) is killed and
+    reported as a signal — a hang is a defect, not a degrade."""
+    import signal
+    import time
+
     pid = os.fork()
     if pid == 0:
         os.close(1)
@@ -32,8 +37,16 @@ def _forked(fn) -> int:
             os._exit(0)
         except BaseException:
             os._exit(1)  # clean Python failure = acceptable degrade
-    _, status = os.waitpid(pid, 0)
-    return status
+    deadline = time.time() + timeout_s
+    while True:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            return status
+        if time.time() > deadline:
+            os.kill(pid, signal.SIGKILL)
+            _, status = os.waitpid(pid, 0)
+            return status
+        time.sleep(0.005)
 
 
 def _assert_no_signal(status, ctx):
@@ -94,7 +107,7 @@ def test_fuzz_meshopt_decoders_never_crash():
 
     def icase(d):
         try:
-            M.decode_index_buffer(bytes(d), 120, 4)
+            M.decode_index_buffer(bytes(d), 120)
         except Exception:
             pass
 

@@ -273,3 +273,77 @@ def test_native_animate_matches_python():
         for f in ("local_translation", "local_scale", "local_rotation"):
             a, b = getattr(nat, f), getattr(py, f)
             assert np.allclose(a, b, atol=2e-6), (t, f, np.abs(a - b).max())
+
+
+def test_native_animate_rejects_malformed_channels():
+    """Malformed channel meta (out-of-range node, wrong component count)
+    must never reach the raw-pointer C++ sampler: the native path declines
+    and the Python path raises its usual clean errors."""
+    from superconductor_tpu.animation import (
+        LINEAR,
+        Animation,
+        AnimationJoints,
+        Channel,
+    )
+
+    times = np.linspace(0.0, 1.0, 4).astype(np.float32)
+
+    # node index far past the joint array
+    anim = Animation(total_time=1.0)
+    anim.translation_channels.append(
+        Channel(interpolation=LINEAR, inputs=times,
+                outputs=np.zeros((4, 3), np.float32), node_index=100000)
+    )
+    joints = AnimationJoints([sc.Similarity() for _ in range(5)])
+    with pytest.raises(IndexError):
+        anim.animate(joints, 0.5)
+
+    # wrong component count (MAT4-sized outputs on a translation channel)
+    anim2 = Animation(total_time=1.0)
+    anim2.translation_channels.append(
+        Channel(interpolation=LINEAR, inputs=times,
+                outputs=np.zeros((4, 16), np.float32), node_index=0)
+    )
+    assert anim2._packed_channels() is None  # invalid: native path declines
+    with pytest.raises(ValueError):
+        anim2.animate(AnimationJoints([sc.Similarity()]), 0.5)
+
+    # outputs shorter than the keyframe count
+    anim3 = Animation(total_time=1.0)
+    anim3.translation_channels.append(
+        Channel(interpolation=LINEAR, inputs=times,
+                outputs=np.zeros((2, 3), np.float32), node_index=0)
+    )
+    assert anim3._packed_channels() is None
+
+
+def test_single_keyframe_channel_holds_value():
+    """A K=1 channel sampled exactly at its key time must hold the key's
+    value on both paths (the old Python path produced NaN for LINEAR; the
+    old native path read before the array)."""
+    import superconductor_tpu.animation as A
+    from superconductor_tpu.animation import (
+        LINEAR,
+        Animation,
+        AnimationJoints,
+        Channel,
+    )
+
+    anim = Animation(total_time=0.0)
+    anim.translation_channels.append(
+        Channel(interpolation=LINEAR, inputs=np.zeros(1, np.float32),
+                outputs=np.array([[1.5, 2.5, -3.0]], np.float32),
+                node_index=0)
+    )
+    for force_python in (False, True):
+        joints = AnimationJoints([sc.Similarity()])
+        saved = A._anim_sample_fn
+        if force_python:
+            A._anim_sample_fn = False
+        try:
+            anim.animate(joints, 0.0)
+        finally:
+            A._anim_sample_fn = saved
+        assert np.allclose(
+            joints.local_translation[0], [1.5, 2.5, -3.0]
+        ), force_python
