@@ -16,11 +16,13 @@ Two configurations:
 
 2. **All-passes** — every pass enabled at 1080p on real compressed assets:
    sponza_cubes.glb + the BC6H/BCn light volume + the noon.ktx2 IBL
-   (demo/src/lib.rs:114-192's scene config), plus procedural spheres
-   raising the load to ~250k triangles (full Sponza's 262k; Sponza.bin is
-   absent from this checkout) with alpha-clipped and alpha-blended
-   materials, debug lines, and smoke particles: opaque -> clip -> lines ->
-   skybox -> particles -> blend -> tonemap.
+   (demo/src/lib.rs:114-192's scene config), with the triangle load
+   carried by the committed dense_terrain.glb fixture (114k-tri LOD0,
+   meshopt-compressed, multi-LOD, textured) + 8 procedural spheres for
+   alpha-clipped and alpha-blended materials (~240k tris total; full
+   Sponza's 262k — Sponza.bin is absent from this checkout), debug lines,
+   and smoke particles: opaque -> clip -> lines -> skybox -> particles ->
+   blend -> tonemap.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
 primary, with the all-passes numbers as extra keys.
@@ -45,10 +47,23 @@ def _aim(cam, target, look_at, mat4_inverse, mat3_to_quat):
     cam.rotation = mat3_to_quat(mat4_inverse(v)[:3, :3])
 
 
-def _measure(frame_fn, n=40, windows=5):
-    """Median FPS over `windows` timing windows of `n` frames each — the
+def _measure(frame_fn, device_fn=None, n=40, windows=5, device_windows=8):
+    """Returns {"fps", "compile_s", "img", "device_ms", "device_spread"}.
+
+    fps: median FPS over `windows` timing windows of `n` frames each,
+    including per-frame host draw-build work — the end-to-end number. The
     axon tunnel adds multi-ms interference spikes, so a single window can
-    under-report by 2x."""
+    under-report by 2x; the median absorbs most of it but r01->r02 showed
+    ~30% residual drift, hence:
+
+    device_ms: regression-proof steady-state frame time — `device_fn`
+    replays ONE pre-built frame (no host draw-build, dispatches enqueue
+    asynchronously, one sync per window) and the MIN over `device_windows`
+    windows is reported. Interference can only inflate a window, never
+    deflate it, so min-of-windows converges on the true device+dispatch
+    time and is comparable round over round. device_spread =
+    (max-min)/min across windows, the run's own noise figure.
+    """
     t0 = time.time()
     img = frame_fn(0.0)
     img.block_until_ready()
@@ -62,7 +77,25 @@ def _measure(frame_fn, n=40, windows=5):
             img = frame_fn(0.01 * i + w)
         img.block_until_ready()
         rates.append(n / (time.time() - t0))
-    return float(np.median(rates)), compile_s, img
+    out = {
+        "fps": float(np.median(rates)),
+        "compile_s": compile_s,
+        "img": img,
+        "device_ms": None,
+        "device_spread": None,
+    }
+    if device_fn is not None:
+        device_fn().block_until_ready()  # same executable: cache-warm
+        times = []
+        for _ in range(device_windows):
+            t0 = time.time()
+            for _ in range(n):
+                img2 = device_fn()
+            img2.block_until_ready()
+            times.append((time.time() - t0) / n)
+        out["device_ms"] = min(times) * 1e3
+        out["device_spread"] = (max(times) - min(times)) / min(times)
+    return out
 
 
 def bench_headline(sc, width=1920, height=1080):
@@ -99,11 +132,19 @@ def bench_headline(sc, width=1920, height=1080):
         state = build_frame_state(scene, [(model, sim)], uniforms)
         return sc.render_frame(dev, state, config, env)
 
-    return _measure(frame)
+    state0 = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
+    return _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
 
 
-def bench_all_passes(sc, width=1920, height=1080, n_spheres=16):
-    """Everything on, 1080p, real compressed assets + Sponza-scale load."""
+def bench_all_passes(sc, width=1920, height=1080, n_spheres=8):
+    """Everything on, 1080p, real compressed assets + Sponza-scale load.
+
+    The bulk triangle load is the committed dense_terrain.glb fixture
+    (114k-tri LOD0, meshopt-compressed, multi-LOD, textured — authored by
+    tools/make_dense_fixture.py), so the full asset path (meshopt decode ->
+    mega-buffers -> LOD select -> texture sampling) carries the bench the
+    way demo/src/lib.rs:57-193 feeds the reference; procedural spheres
+    provide the alpha-clip/blend materials."""
     from superconductor_tpu.assets.environment import (
         load_ibl_cubemap,
         load_lightvol,
@@ -132,6 +173,13 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=16):
         open(f"{REF_ASSETS}/models/sponza_cubes.glb", "rb").read(),
         name="sponza_cubes",
     )
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "dense_terrain.glb",
+    )
+    terrain = load_model(
+        scene, open(fixture, "rb").read(), name="dense_terrain"
+    )
     lv = f"{REF_ASSETS}/lighting/bcn"
     load_lightvol(
         scene,
@@ -158,7 +206,7 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=16):
         open(f"{smoke}/lut.ktx2", "rb").read(),
     )
 
-    # Sponza-scale triangle load: 16 PBR spheres (~15.5k tris each) around
+    # Alpha-clip/blend materials: 8 PBR spheres (~15.5k tris each) around
     # the cube field; every 5th clipped, every 7th blended.
     spheres = []
     for i in range(n_spheres):
@@ -210,9 +258,13 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=16):
         ]
     )
 
-    def frame(angle):
+    def build(angle):
         rot = quat_from_axis_angle([0, 1, 0], angle)
-        instances = [(cubes, sc.Similarity())]
+        instances = [
+            (cubes, sc.Similarity()),
+            # the dense authored asset carries the triangle load
+            (terrain, sc.Similarity(translation=[0.0, -0.6, 0.0], scale=1.6)),
+        ]
         for i, m in enumerate(spheres):
             a = 2.0 * np.pi * i / len(spheres)
             instances.append(
@@ -221,12 +273,15 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=16):
                     rotation=rot,
                 ))
             )
-        state = build_frame_state(
+        return build_frame_state(
             scene, instances, uniforms, lines=lines, particles=particles
         )
-        return sc.render_frame(dev, state, config, env)
 
-    return _measure(frame)
+    def frame(angle):
+        return sc.render_frame(dev, build(angle), config, env)
+
+    state0 = build(0.0)
+    return _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
 
 
 def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
@@ -307,7 +362,32 @@ def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
         )
         return sc.render_frame(dev, state, config, env)
 
-    return _measure(frame)
+    def build_fixed(t=0.0):
+        instances = []
+        pals = wave_joint_palettes(
+            t + 0.7 * np.arange(n_tubes, dtype=np.float32), 8, amp=0.45
+        )
+        palettes = {i: pals[i] for i in range(n_tubes)}
+        for i in range(n_tubes):
+            a = 2.0 * np.pi * i / n_tubes
+            instances.append(
+                (tube, sc.Similarity(
+                    translation=[3.2 * np.cos(a), 0.0, 3.2 * np.sin(a)]
+                ))
+            )
+        for i in range(n_spheres):
+            a = 2.0 * np.pi * (i + 0.5) / n_spheres
+            instances.append(
+                (sphere, sc.Similarity(
+                    translation=[5.5 * np.cos(a), 1.2, 5.5 * np.sin(a)]
+                ))
+            )
+        return build_frame_state(
+            scene, instances, uniforms, joint_palettes=palettes
+        )
+
+    state0 = build_fixed()
+    return _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
 
 
 def main():
@@ -320,31 +400,31 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import superconductor_tpu as sc
 
-    fps, compile_s, img = bench_headline(sc)
+    head = bench_headline(sc)
 
-    all_fps = all_compile = None
+    allp = None
     if os.path.exists(f"{REF_ASSETS}/models/sponza_cubes.glb"):
         try:
-            all_fps, all_compile, all_img = bench_all_passes(sc)
+            allp = bench_all_passes(sc)
             if os.environ.get("SC_BENCH_SAVE"):
                 import imageio.v3 as iio
 
                 iio.imwrite(
                     os.environ["SC_BENCH_SAVE"].replace(".png", "_all.png"),
-                    np.asarray(all_img)[0],
+                    np.asarray(allp["img"])[0],
                 )
         except Exception as e:  # report the primary even if this fails
             print(f"# all-passes bench failed: {e!r}", file=sys.stderr)
 
-    stereo_fps = stereo_compile = None
+    stereo = None
     try:
-        stereo_fps, stereo_compile, stereo_img = bench_stereo_animated(sc)
+        stereo = bench_stereo_animated(sc)
         if os.environ.get("SC_BENCH_SAVE"):
             import imageio.v3 as iio
 
             iio.imwrite(
                 os.environ["SC_BENCH_SAVE"].replace(".png", "_stereo.png"),
-                np.asarray(stereo_img)[0],
+                np.asarray(stereo["img"])[0],
             )
     except Exception as e:
         print(f"# stereo+animated bench failed: {e!r}", file=sys.stderr)
@@ -352,33 +432,50 @@ def main():
     if os.environ.get("SC_BENCH_SAVE"):
         import imageio.v3 as iio
 
-        iio.imwrite(os.environ["SC_BENCH_SAVE"], np.asarray(img)[0])
+        iio.imwrite(os.environ["SC_BENCH_SAVE"], np.asarray(head["img"])[0])
 
+    fps = head["fps"]
     out = {
         "metric": "FPS 1920x1080 PBR+IBL 15.5k-tri scene (TPU v5e)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
     }
-    if all_fps is not None:
-        out["all_passes_fps"] = round(all_fps, 2)
-        out["all_passes_vs_baseline"] = round(all_fps / 60.0, 3)
+
+    def add(prefix, r, views=1):
+        """Regression-proof device metrics: min-of-windows frame time on a
+        fixed pre-built state + its run-internal spread + shaded px/s."""
+        if r["device_ms"] is not None:
+            out[f"{prefix}device_ms"] = round(r["device_ms"], 3)
+            out[f"{prefix}device_spread"] = round(r["device_spread"], 3)
+            out[f"{prefix}mpix_per_s"] = round(
+                1920 * 1080 * views / (r["device_ms"] * 1e-3) / 1e6, 1
+            )
+
+    add("", head)
+    if allp is not None:
+        out["all_passes_fps"] = round(allp["fps"], 2)
+        out["all_passes_vs_baseline"] = round(allp["fps"] / 60.0, 3)
         out["all_passes_scene"] = (
-            "1080p, 250k tris, sponza_cubes+bcn lightvol+noon IBL, "
+            "1080p, ~240k tris (dense_terrain 114k meshopt/LOD fixture + "
+            "sponza_cubes + 8 spheres), bcn lightvol+noon IBL, "
             "clip+blend+lines+particles"
         )
-    if stereo_fps is not None:
-        out["stereo_anim_fps"] = round(stereo_fps, 2)
-        out["stereo_anim_vs_baseline"] = round(stereo_fps / 60.0, 3)
+        add("all_passes_", allp)
+    if stereo is not None:
+        out["stereo_anim_fps"] = round(stereo["fps"], 2)
+        out["stereo_anim_vs_baseline"] = round(stereo["fps"] / 60.0, 3)
         out["stereo_anim_scene"] = (
             "2x1080p stereo, 6 skinned 8-joint tubes (37k anim tris) "
             "+ 6 PBR spheres (93k tris), per-frame FK palettes"
         )
+        add("stereo_anim_", stereo, views=2)
     print(json.dumps(out))
     print(
-        f"# backend={jax.default_backend()} headline compile={compile_s:.1f}s"
-        + (f" all-passes compile={all_compile:.1f}s" if all_compile else "")
-        + (f" stereo compile={stereo_compile:.1f}s" if stereo_compile else ""),
+        f"# backend={jax.default_backend()} "
+        f"headline compile={head['compile_s']:.1f}s"
+        + (f" all-passes compile={allp['compile_s']:.1f}s" if allp else "")
+        + (f" stereo compile={stereo['compile_s']:.1f}s" if stereo else ""),
         file=sys.stderr,
     )
 

@@ -1,0 +1,211 @@
+#!/usr/bin/env python3
+"""Interactive frame server — the continuous present-loop analog of the
+reference's run_rendering_loop (src/lib.rs:420-564).
+
+The reference's loop: poll input -> update camera rig -> run the ECS
+schedule -> submit + present, every frame, forever. A TPU host has no
+swapchain, so "present" here is: the frame is rendered and its device
+buffer is ready (block_until_ready); optionally the newest frame is
+written to a PNG for a viewer to poll (readback over the axon tunnel is
+~1 s per 2 MB, so saving is off by default and never in the latency path).
+
+Two modes:
+
+  --selftest N   drive the loop with synthetic WASD+mouse input at 60 Hz
+                 for N seconds and report p50/p99 frame latency (input
+                 apply + host draw-build + device render, blocking) plus
+                 pipelined throughput. This is the sustained-interactive
+                 evidence run.
+
+  --stdin        newline-delimited JSON commands on stdin:
+                     {"keys": "w+d", "mouse": [dx, dy]}   input delta
+                     {"save": "/tmp/frame.png"}           readback + save
+                     {"quit": true}
+                 each frame answers with one JSON status line on stdout:
+                     {"frame": n, "latency_ms": ..., "p50_ms": ..., "p99_ms": ...}
+
+Usage:
+    python demo/serve.py --selftest 10 [--size 1920x1080] [--model PATH]
+    python demo/serve.py --stdin [--size 640x360]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+REF_ASSETS = "/root/reference/demo/web/assets"
+
+
+def build_app(width, height, raster, model_path, ibl_path):
+    import superconductor_tpu as sc
+    from superconductor_tpu.assets.fetch import FileClient
+    from superconductor_tpu.ecs.app import App
+    from superconductor_tpu.ecs.components import Instance, InstanceOf, ModelUrl
+    from superconductor_tpu.ecs.resources import NewIblCubemap
+    from superconductor_tpu.ecs.systems import CorePlugin
+    from superconductor_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    app = App()
+    app.add_plugin(
+        CorePlugin(
+            config=sc.RenderConfig(
+                width=width, height=height, t_cap=1 << 18, t_cap_anim=1 << 8,
+                p_cap=1 << 19, raster=raster,
+            ),
+            client=FileClient(),
+        )
+    )
+    w = app.world
+    if ibl_path and os.path.exists(ibl_path):
+        w.insert_resource(NewIblCubemap(ibl_path))
+    model_e = w.spawn(ModelUrl(model_path))
+    w.spawn(Instance(sc.Similarity()), InstanceOf(model_e))
+    return app
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="1920x1080")
+    ap.add_argument("--raster", default="auto")
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--ibl", default=None)
+    ap.add_argument("--selftest", type=float, default=0.0,
+                    help="run N seconds of synthetic 60 Hz input and report")
+    ap.add_argument("--stdin", action="store_true",
+                    help="read JSON input deltas from stdin")
+    ap.add_argument("--warmup", type=int, default=5)
+    args = ap.parse_args()
+    width, height = map(int, args.size.split("x"))
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/sc_tpu_jax")
+    )
+
+    model_path = args.model
+    if model_path is None:
+        for cand in (
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         "tests", "fixtures", "dense_terrain.glb"),
+            os.path.join(REF_ASSETS, "models/sponza_cubes.glb"),
+        ):
+            if os.path.exists(cand):
+                model_path = cand
+                break
+    if model_path is None:
+        print("no model found; pass --model", file=sys.stderr)
+        return 1
+    ibl = args.ibl or os.path.join(REF_ASSETS, "cubemaps/noon.ktx2")
+
+    from superconductor_tpu.ecs.components import ModelComponent
+    from superconductor_tpu.ecs.resources import CameraResource, FrameOutput
+    from superconductor_tpu.render.rig import FlyCameraRig
+
+    app = build_app(width, height, args.raster, model_path, ibl)
+    w = app.world
+    cam_res = w.resource(CameraResource)
+    rig = FlyCameraRig(position=(6.0, 3.0, 6.0), speed=6.0)
+    rig.look_at((6.0, 3.0, 6.0), (0, 0.5, 0))
+    rig.pos = rig.target_pos.copy()
+    rig.yaw, rig.pitch = rig.target_yaw, rig.target_pitch
+
+    out = w.resource(FrameOutput)
+    dt = 1.0 / 60.0
+
+    def present(keys=frozenset(), mouse=(0.0, 0.0)):
+        """One present-loop iteration -> blocking latency in seconds."""
+        t0 = time.time()
+        rig.apply_keys(keys, dt=dt, mouse=mouse)
+        cam_res.camera.position, cam_res.camera.rotation = rig.update(dt)
+        app.update()
+        out.image.block_until_ready()
+        return time.time() - t0
+
+    # warmup: model load (async) + jit compile
+    for _ in range(100):
+        app.update()
+        if any(True for _ in w.components.get(ModelComponent, {}).items()):
+            break
+    for _ in range(args.warmup):
+        present()
+
+    if args.selftest > 0:
+        keyset = ["w", "w", "w+d", "w+d", "w+a", "s", "w+e", "w+q"]
+        lat = []
+        t_start = time.time()
+        n = 0
+        while time.time() - t_start < args.selftest:
+            keys = frozenset(keyset[(n // 30) % len(keyset)].split("+"))
+            mouse = (1.1 * np.sin(0.02 * n), 0.35 * np.cos(0.013 * n))
+            lat.append(present(keys, mouse))
+            n += 1
+        total = time.time() - t_start
+        lat_ms = np.array(lat) * 1e3
+        report = {
+            "mode": "selftest",
+            "frames": n,
+            "seconds": round(total, 2),
+            "fps": round(n / total, 1),
+            "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+            "latency_p90_ms": round(float(np.percentile(lat_ms, 90)), 2),
+            "latency_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+            "latency_max_ms": round(float(lat_ms.max()), 2),
+            "size": f"{width}x{height}",
+            "sustained_60fps": bool(n / total >= 60.0),
+        }
+        print(json.dumps(report))
+        return 0
+
+    if args.stdin:
+        lat_hist = []
+        n = 0
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                cmd = json.loads(line)
+            except json.JSONDecodeError:
+                print(json.dumps({"error": "bad json"}), flush=True)
+                continue
+            if cmd.get("quit"):
+                break
+            if "save" in cmd:
+                import imageio.v3 as iio
+
+                iio.imwrite(cmd["save"], np.asarray(out.image)[0])
+                print(json.dumps({"saved": cmd["save"]}), flush=True)
+                continue
+            keys = frozenset(
+                k for k in str(cmd.get("keys", "")).split("+") if k
+            )
+            mouse = tuple(cmd.get("mouse", (0.0, 0.0)))
+            s = present(keys, mouse)
+            lat_hist.append(s * 1e3)
+            n += 1
+            hist = np.array(lat_hist[-600:])
+            print(
+                json.dumps(
+                    {
+                        "frame": n,
+                        "latency_ms": round(s * 1e3, 2),
+                        "p50_ms": round(float(np.percentile(hist, 50)), 2),
+                        "p99_ms": round(float(np.percentile(hist, 99)), 2),
+                    }
+                ),
+                flush=True,
+            )
+        return 0
+
+    print("pass --selftest N or --stdin", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

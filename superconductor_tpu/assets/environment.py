@@ -30,6 +30,7 @@ def load_ibl_cubemap(scene: Scene, data: bytes) -> int:
     ktx = parse_ktx2(data)
     if ktx.faces != 6:
         raise ValueError("not a cubemap")
+    scene.textures_hdr.source_bytes += len(data)
     n_levels = len(ktx.levels)
     skip = min(
         mip_skip_for_max_size(ktx.height, ktx.width, scene.max_texture_size),
@@ -53,6 +54,7 @@ def _load_volume_texture(scene: Scene, data: bytes) -> Tuple[int, int]:
     """3D KTX2 -> one HDR pool texture whose 'mip' entries are the z layers.
     Returns (tex_id, z_layers)."""
     ktx = parse_ktx2(data)
+    scene.textures_hdr.source_bytes += len(data)
     images = decode_level_images(ktx, 0)  # z slices of mip 0
     tid = scene.textures_hdr.add_texture(
         [img.astype(np.float32) for img in images], wrap=WRAP_CLAMP
@@ -93,6 +95,7 @@ def load_lightmaps(scene: Scene, l0: bytes, lx: bytes, ly: bytes, lz: bytes):
     ids = []
     for data in (l0, lx, ly, lz):
         ktx = parse_ktx2(data)
+        scene.textures_hdr.source_bytes += len(data)
         img = decode_level_images(ktx, 0)[0]
         ids.append(
             scene.textures_hdr.add_texture([img.astype(np.float32)], wrap=WRAP_CLAMP)
@@ -115,6 +118,7 @@ def load_smoke_textures(scene: Scene, smoke_a: bytes, smoke_b: bytes, lut: bytes
     ids = []
     for data in (smoke_a, smoke_b, lut):
         ktx = parse_ktx2(data)
+        scene.textures.source_bytes += len(data)
         u8 = decode_level_u8(ktx, 0)
         flags = TEXFLAG_SRGB if ktx.is_srgb_transfer or ktx.vk_format == 43 else 0
         ids.append(

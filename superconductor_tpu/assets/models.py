@@ -152,6 +152,7 @@ def _load_texture(
         chain[0].shape[0], chain[0].shape[1], scene.max_texture_size
     )
     chain = chain[min(skip, len(chain) - 1):]
+    scene.textures.source_bytes += len(data)
     tex_id = scene.textures.add_texture(
         chain, wrap=wrap, flags=TEXFLAG_SRGB if srgb else 0
     )

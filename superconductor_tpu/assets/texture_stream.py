@@ -59,6 +59,8 @@ class _PendingSwap:
     levels: Optional[List[np.ndarray]] = None
     # alias: serve these waiters from the already-loaded texture
     materials: List[tuple] = field(default_factory=list)
+    # final: compressed wire bytes behind `levels` (texture_memory_report)
+    source_bytes: int = 0
 
 
 class TextureStreamer:
@@ -141,6 +143,7 @@ class TextureStreamer:
                     _PendingSwap(
                         key=key, phase="final", srgb=srgb, wrap=wrap,
                         levels=chain[min(skip, len(chain) - 1):],
+                        source_bytes=len(data),
                     )
                 )
         except Exception:
@@ -213,7 +216,10 @@ class TextureStreamer:
         ktx = parse_ktx2(data)
         chain = [decode_level_u8(ktx, i) for i in range(skip, levels_n)]
         self._push(
-            _PendingSwap(key=key, phase="final", srgb=srgb, wrap=wrap, levels=chain)
+            _PendingSwap(
+                key=key, phase="final", srgb=srgb, wrap=wrap, levels=chain,
+                source_bytes=len(data),
+            )
         )
 
     # ------------------------------------------------------------------
@@ -251,6 +257,7 @@ class TextureStreamer:
                     self._served.add(swap.key)
                     waiters = list(self._by_url.get(swap.key, ()))
             else:  # final
+                scene.textures.source_bytes += swap.source_bytes
                 tex_id = self._tex_of_key.get(swap.key)
                 dims = [lvl.shape[:2] for lvl in swap.levels]
                 if tex_id is not None and self._layout_matches(scene, tex_id, dims):

@@ -31,6 +31,18 @@ class CameraResource:
 
 @dataclass
 class RenderSettings:
+    """Render config + environment bindings resource.
+
+    Overflow semantics: the render system checks bin-pair / k-layer
+    overflow stats SYNCHRONOUSLY whenever the config just changed (first
+    frame, scene/resolution churn — when overflow typically appears) and
+    re-renders before output. In the steady state it reads the PREVIOUS
+    frame's stats instead, to avoid a host-device sync every frame — so an
+    overflow caused by steady-state scene churn is detected one frame
+    late: that single frame is emitted with dropped geometry (with a
+    warning logged), and the grown config takes effect on the next frame.
+    """
+
     config: RenderConfig = field(default_factory=RenderConfig)
     env: Optional[EnvBindings] = None  # rebuilt when scene env changes
 

@@ -21,7 +21,12 @@ import numpy as np
 from ..assets.models import load_model, new_animation_joints
 from ..render.camera import make_uniforms
 from ..render.culling import sphere_culling_params
-from ..render.draws import build_frame_state, pack_lines, pack_particles
+from ..render.draws import (
+    _next_pow2,
+    build_frame_state,
+    pack_lines,
+    pack_particles,
+)
 from ..render.env import EnvBindings
 from ..render.frame import render_frame_stats
 from .app import App, Stage, World
@@ -246,8 +251,6 @@ def _grow_capacities(config, state):
     (buffers.rs:61-106)."""
     from dataclasses import replace
 
-    from ..render.draws import _next_pow2
-
     def needed(draws):
         v = draws.valid
         return (
@@ -369,17 +372,25 @@ def render(world: World) -> None:
     else:
         check_stats, check_config = out.pending_stats
     pairs = int(check_stats["pairs_needed"])
+    layers = int(check_stats["layers_needed"])
+    grow = {}
     if pairs > check_config.p_cap:
+        grow["p_cap"] = _next_pow2(pairs * 2)
+    if layers > check_config.blend_layers:
+        # A pixel needed more transparent layers than the k-buffer holds —
+        # a surface was dropped. Grow K (pow2) and re-render, restoring the
+        # reference's draw-every-blended-fragment semantics
+        # (rendering.rs:550).
+        grow["blend_layers"] = _next_pow2(layers)
+    if grow:
         from dataclasses import replace
 
-        from ..render.draws import _next_pow2
-
-        new_p = _next_pow2(pairs * 2)
         log.warning(
-            "bin-pair capacity exceeded (%d > p_cap=%d); growing p_cap to %d "
-            "and re-rendering", pairs, check_config.p_cap, new_p,
+            "frame capacity exceeded (bin pairs %d/%d, k-layers %d/%d); "
+            "growing %s and re-rendering",
+            pairs, check_config.p_cap, layers, check_config.blend_layers, grow,
         )
-        config = replace(config, p_cap=new_p)
+        config = replace(config, **grow)
         settings.config = config
         image, stats = render_frame_stats(
             scene.device_arrays(), state, config, settings.env

@@ -104,12 +104,16 @@ def build_draws_native(
     do_lod: bool,
     eye3: np.ndarray,  # (3,) f32
     denom: float,
+    copy: bool = True,
 ):
     """Run the candidate walk natively.
 
-    Returns (static, animated, inst_visible): static/animated are dicts of
-    compact arrays (n rows) ALIASING the shared scratch pool — copy before
-    the next call.
+    Returns (static, animated, inst_visible): dicts of compact arrays
+    (n rows). With copy=True (default) the arrays are owned by the caller.
+    copy=False returns views ALIASING the shared grow-only scratch pool —
+    overwritten by the next call; only for hot-path callers that consume
+    the rows before building the next frame (render/draws._pack_compact
+    repacks them immediately).
     """
     if not available():  # also configures argtypes — without them ctypes
         raise RuntimeError(  # would truncate 64-bit pointers to C int
@@ -154,4 +158,7 @@ def build_draws_native(
     ns, na = int(_scratch.counts[0]), int(_scratch.counts[1])
     static = {k: _scratch.s[k][:ns] for k in _OUT_KEYS}
     anim = {k: _scratch.a[k][:na] for k in _OUT_KEYS}
+    if copy:
+        static = {k: v.copy() for k, v in static.items()}
+        anim = {k: v.copy() for k, v in anim.items()}
     return static, anim, inst_visible.astype(bool)

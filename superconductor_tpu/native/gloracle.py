@@ -261,6 +261,113 @@ void main() {
 """
 
 
+LINE_VERT_SRC = b"""
+#version 330 core
+// Engine-pixel-space line-quad corners: (px, py top-down, depth [0,1]).
+// With glClipControl(LOWER_LEFT, ZERO_TO_ONE) the z passes through as the
+// [0,1] reverse-z depth the engine uses.
+layout(location = 0) in vec3 in_pxz;
+uniform vec2 u_size;
+void main() {
+    vec2 ndc = vec2(in_pxz.x / u_size.x * 2.0 - 1.0,
+                    1.0 - in_pxz.y / u_size.y * 2.0);
+    gl_Position = vec4(ndc, in_pxz.z, 1.0);
+}
+"""
+
+LINE_FRAG_SRC = b"""
+#version 330 core
+// flat_colour (shaders/src/lib.rs:712-732): constant palette color, no
+// tonemap (the engine writes the palette value to the display buffer).
+out vec4 frag;
+uniform vec3 u_color;
+void main() { frag = vec4(u_color, 1.0); }
+"""
+
+PARTICLE_VERT_SRC = b"""
+#version 330 core
+layout(location = 0) in vec3 in_world;  // camera-facing quad corner (world)
+layout(location = 1) in vec2 in_uv;
+uniform mat4 u_view_proj;
+out vec2 v_uv;
+out vec3 v_world;
+void main() {
+    v_uv = in_uv;
+    v_world = in_world;
+    gl_Position = u_view_proj * vec4(in_world, 1.0);
+}
+"""
+
+PARTICLE_FRAG_SRC = b"""
+#version 330 core
+// The 6-way smoke lighting model (particle_fragment, shaders/src/
+// lib.rs:873-972): smoke map A carries left/bottom/front/emissive, map B
+// right/top/back/alpha; the hemisphere maps are selected along the SH
+// dominant light direction expressed in the quad's tangent space and
+// weighted by the squared direction components; directional + ambient mix
+// from the SH L0/L1 lengths; emissive from the scalar or a LUT row.
+in vec2 v_uv;
+in vec3 v_world;
+out vec4 frag;
+uniform sampler2D u_smoke_a;
+uniform sampler2D u_smoke_b;
+uniform sampler2D u_lut;   // SRGB8_ALPHA8: GL decodes on sample, like the
+                           // engine's TEXFLAG_SRGB
+uniform vec3 u_sh0;
+uniform vec3 u_sh1x;
+uniform vec3 u_sh1y;
+uniform vec3 u_sh1z;
+uniform vec3 u_eye;
+uniform vec3 u_center;
+uniform vec3 u_cam_right;
+uniform vec3 u_cam_down;
+uniform vec3 u_colour;
+uniform vec3 u_emissive;
+uniform int u_use_lut;
+uniform float u_lut_y;
+
+vec3 aces(vec3 x) {
+    return clamp((x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14),
+                 0.0, 1.0);
+}
+
+void main() {
+    vec4 a = texture(u_smoke_a, v_uv);
+    vec4 b = texture(u_smoke_b, v_uv);
+    float m_left = a.r, m_bottom = a.g, m_front = a.b, emissive_s = a.a;
+    float m_right = b.r, m_top = b.g, m_back = b.b, alpha = b.a;
+
+    vec3 r1r = vec3(u_sh1x.r, u_sh1y.r, u_sh1z.r);
+    vec3 r1g = vec3(u_sh1x.g, u_sh1y.g, u_sh1z.g);
+    vec3 r1b = vec3(u_sh1x.b, u_sh1y.b, u_sh1z.b);
+    vec3 rgb_len = vec3(length(r1r), length(r1g), length(r1b));
+    float avg_len = (rgb_len.r + rgb_len.g + rgb_len.b) / 3.0;
+    vec3 avg_dir = ((r1r + r1g + r1b) / 3.0) / max(avg_len, 1e-8);
+
+    vec3 n = normalize(u_eye - u_center);
+    vec3 t = normalize(cross(u_cam_down, n));
+    vec3 bt = normalize(cross(n, u_cam_right));
+    vec3 lts = vec3(dot(t, avg_dir), dot(bt, avg_dir), dot(n, avg_dir));
+
+    float hm = (lts.x > 0.0) ? m_left : m_right;
+    float vm = (lts.y > 0.0) ? m_top : m_bottom;
+    float zm = (lts.z > 0.0) ? m_front : m_back;
+    float light_map = hm * lts.x * lts.x + vm * lts.y * lts.y
+                    + zm * lts.z * lts.z;
+
+    vec3 directional = u_sh0 * rgb_len;
+    vec3 ambient = u_sh0 * 0.2 * (1.0 - rgb_len);
+    vec3 lut = texture(u_lut, vec2(emissive_s, u_lut_y)).rgb;
+    vec3 emission = ((u_use_lut != 0) ? lut : vec3(emissive_s)) * u_emissive;
+
+    vec3 outc = (directional * light_map + ambient) * u_colour + emission;
+    outc = aces(outc);
+    outc = pow(clamp(outc, 0.0, 1.0), vec3(1.0 / 2.2));
+    frag = vec4(outc, alpha);
+}
+"""
+
+
 class GlForwardRenderer:
     """Offscreen GL renderer matching the engine's frame conventions:
     wgpu-style [0,1] reverse-z clip (glClipControl), row 0 = top."""
@@ -399,16 +506,26 @@ class GlForwardRenderer:
         sh: np.ndarray,  # (4, 3) [L0, L1x, L1y, L1z] rgb
         clear_color=(0.0, 0.0, 0.0, 1.0),
         lightvol=None,  # ([4 x (D,S,S,4) f32], bottom_left, scale)
+        lines=None,  # list of {corners (4,3) px/py/depth, color (3,)}
+        particles=None,  # {"smoke": (a,b,lut u8 imgs), "draws": [dict]}
     ) -> np.ndarray:
         """draws: list of dicts {positions (V,3), normals (V,3), indices
         (I,), base_color (4,), metallic, roughness, unlit, double_sided,
         translation (3,), scale, quat (4,)}. Returns (H, W, 4) u8,
-        row 0 = top."""
+        row 0 = top.
+
+        lines: flat-color screen-space line quads (engine pixel coords,
+        reverse-z depth), depth-tested against the scene — the flat_colour
+        pipeline oracle. particles: camera-facing smoke quads drawn
+        back-to-front with src-alpha blending after the scene — the 6-way
+        smoke model oracle; each draw dict has corners (4,3) world, uvs
+        (4,2), center, colour, emissive_colour, use_emissive_lut, lut_y."""
         with self._lock:
             return self._render(draws, view_proj, eye, sh, clear_color,
-                                lightvol)
+                                lightvol, lines, particles)
 
-    def _render(self, draws, view_proj, eye, sh, clear_color, lightvol=None):
+    def _render(self, draws, view_proj, eye, sh, clear_color, lightvol=None,
+                lines=None, particles=None):
         gl = self.gl
         gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
         gl.glViewport(0, 0, self.width, self.height)
@@ -594,6 +711,11 @@ class GlForwardRenderer:
                             np.asarray(d.get("quat", (0, 0, 0, 1)), np.float32))
             gl.glDrawElements(gl.GL_TRIANGLES, len(idx), gl.GL_UNSIGNED_INT, None)
 
+        if lines:
+            self._draw_lines(lines, buffers)
+        if particles:
+            self._draw_particles(particles, view_proj, eye, buffers, textures)
+
         out = gl.glReadPixels(0, 0, self.width, self.height, gl.GL_RGBA,
                               gl.GL_UNSIGNED_BYTE)
         gl.glDeleteBuffers(len(buffers), buffers)
@@ -601,3 +723,124 @@ class GlForwardRenderer:
             gl.glDeleteTextures(len(textures), textures)
         img = np.frombuffer(out, np.uint8).reshape(self.height, self.width, 4)
         return img[::-1].copy()  # GL reads bottom-up; engine rows are top-down
+
+    def _draw_lines(self, lines, buffers):
+        """Flat-color line quads (engine pixel space + reverse-z depth),
+        depth-tested GREATER against the scene depth like the engine's line
+        pass (render_view's init=vis.depth)."""
+        gl = self.gl
+        if not hasattr(self, "line_prog"):
+            self.line_prog = self._link(LINE_VERT_SRC, LINE_FRAG_SRC)
+        gl.glUseProgram(self.line_prog)
+        gl.glDisable(gl.GL_CULL_FACE)
+        gl.glDisable(gl.GL_BLEND)
+        gl.glDepthMask(gl.GL_TRUE)
+        loc = lambda n: gl.glGetUniformLocation(self.line_prog, n)
+        gl.glUniform2f(loc("u_size"), float(self.width), float(self.height))
+        idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+        for a in range(1, 5):
+            gl.glDisableVertexAttribArray(a)
+        for d in lines:
+            corners = np.ascontiguousarray(d["corners"], np.float32)
+            vbo = gl.glGenBuffers(1)
+            ibo = gl.glGenBuffers(1)
+            buffers += [vbo, ibo]
+            gl.glBindBuffer(gl.GL_ARRAY_BUFFER, vbo)
+            gl.glBufferData(gl.GL_ARRAY_BUFFER, corners.nbytes, corners,
+                            gl.GL_STATIC_DRAW)
+            gl.glEnableVertexAttribArray(0)
+            gl.glVertexAttribPointer(0, 3, gl.GL_FLOAT, gl.GL_FALSE, 0, None)
+            gl.glBindBuffer(gl.GL_ELEMENT_ARRAY_BUFFER, ibo)
+            gl.glBufferData(gl.GL_ELEMENT_ARRAY_BUFFER, idx.nbytes, idx,
+                            gl.GL_STATIC_DRAW)
+            gl.glUniform3fv(loc("u_color"), 1,
+                            np.asarray(d["color"], np.float32))
+            gl.glDrawElements(gl.GL_TRIANGLES, 6, gl.GL_UNSIGNED_INT, None)
+
+    def _draw_particles(self, particles, view_proj, eye, buffers, textures):
+        """Smoke quads back-to-front with src-alpha blending, depth test on
+        / write off — the particle pipeline's blend+depth state."""
+        gl = self.gl
+        if not hasattr(self, "particle_prog"):
+            self.particle_prog = self._link(PARTICLE_VERT_SRC,
+                                            PARTICLE_FRAG_SRC)
+        gl.glUseProgram(self.particle_prog)
+        gl.glDisable(gl.GL_CULL_FACE)
+        gl.glEnable(gl.GL_BLEND)
+        gl.glBlendFunc(gl.GL_SRC_ALPHA, gl.GL_ONE_MINUS_SRC_ALPHA)
+        gl.glDepthMask(gl.GL_FALSE)
+        loc = lambda n: gl.glGetUniformLocation(self.particle_prog, n)
+        gl.glUniformMatrix4fv(loc("u_view_proj"), 1, gl.GL_TRUE,
+                              np.asarray(view_proj, np.float32))
+        gl.glUniform3fv(loc("u_eye"), 1, np.asarray(eye, np.float32))
+        sh = particles["sh"]
+        gl.glUniform3fv(loc("u_sh0"), 1, np.asarray(sh[0], np.float32))
+        gl.glUniform3fv(loc("u_sh1x"), 1, np.asarray(sh[1], np.float32))
+        gl.glUniform3fv(loc("u_sh1y"), 1, np.asarray(sh[2], np.float32))
+        gl.glUniform3fv(loc("u_sh1z"), 1, np.asarray(sh[3], np.float32))
+        gl.glUniform3fv(loc("u_cam_right"), 1,
+                        np.asarray(particles["cam_right"], np.float32))
+        gl.glUniform3fv(loc("u_cam_down"), 1,
+                        np.asarray(particles["cam_down"], np.float32))
+
+        smoke_a, smoke_b, lut = particles["smoke"]
+        for unit, (img, internal) in enumerate(
+            ((smoke_a, gl.GL_RGBA8), (smoke_b, gl.GL_RGBA8),
+             (lut, gl.GL_SRGB8_ALPHA8))
+        ):
+            tex = gl.glGenTextures(1)
+            textures.append(tex)
+            gl.glActiveTexture(gl.GL_TEXTURE0 + unit)
+            gl.glBindTexture(gl.GL_TEXTURE_2D, tex)
+            img = np.ascontiguousarray(img, np.uint8)
+            h, w = img.shape[:2]
+            gl.glTexImage2D(gl.GL_TEXTURE_2D, 0, internal, w, h, 0,
+                            gl.GL_RGBA, gl.GL_UNSIGNED_BYTE, img)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAX_LEVEL, 0)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MIN_FILTER,
+                               gl.GL_LINEAR)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAG_FILTER,
+                               gl.GL_LINEAR)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_WRAP_S,
+                               gl.GL_CLAMP_TO_EDGE)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_WRAP_T,
+                               gl.GL_CLAMP_TO_EDGE)
+        gl.glUniform1i(loc("u_smoke_a"), 0)
+        gl.glUniform1i(loc("u_smoke_b"), 1)
+        gl.glUniform1i(loc("u_lut"), 2)
+
+        idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+        for a in range(2, 5):
+            gl.glDisableVertexAttribArray(a)
+        for d in particles["draws"]:  # caller passes back-to-front
+            corners = np.ascontiguousarray(d["corners"], np.float32)
+            uvs = np.ascontiguousarray(d["uvs"], np.float32)
+            vbo = gl.glGenBuffers(1)
+            ubo = gl.glGenBuffers(1)
+            ibo = gl.glGenBuffers(1)
+            buffers += [vbo, ubo, ibo]
+            gl.glBindBuffer(gl.GL_ARRAY_BUFFER, vbo)
+            gl.glBufferData(gl.GL_ARRAY_BUFFER, corners.nbytes, corners,
+                            gl.GL_STATIC_DRAW)
+            gl.glEnableVertexAttribArray(0)
+            gl.glVertexAttribPointer(0, 3, gl.GL_FLOAT, gl.GL_FALSE, 0, None)
+            gl.glBindBuffer(gl.GL_ARRAY_BUFFER, ubo)
+            gl.glBufferData(gl.GL_ARRAY_BUFFER, uvs.nbytes, uvs,
+                            gl.GL_STATIC_DRAW)
+            gl.glEnableVertexAttribArray(1)
+            gl.glVertexAttribPointer(1, 2, gl.GL_FLOAT, gl.GL_FALSE, 0, None)
+            gl.glBindBuffer(gl.GL_ELEMENT_ARRAY_BUFFER, ibo)
+            gl.glBufferData(gl.GL_ELEMENT_ARRAY_BUFFER, idx.nbytes, idx,
+                            gl.GL_STATIC_DRAW)
+            gl.glUniform3fv(loc("u_center"), 1,
+                            np.asarray(d["center"], np.float32))
+            gl.glUniform3fv(loc("u_colour"), 1,
+                            np.asarray(d.get("colour", (1, 1, 1)), np.float32))
+            gl.glUniform3fv(loc("u_emissive"), 1,
+                            np.asarray(d.get("emissive_colour", (0, 0, 0)),
+                                       np.float32))
+            gl.glUniform1i(loc("u_use_lut"), int(d.get("use_emissive_lut", 0)))
+            gl.glUniform1f(loc("u_lut_y"), float(d.get("lut_y", 0.0)))
+            gl.glDrawElements(gl.GL_TRIANGLES, 6, gl.GL_UNSIGNED_INT, None)
+        gl.glDisable(gl.GL_BLEND)
+        gl.glDepthMask(gl.GL_TRUE)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import TriangleSetup
+from .raster_ref import _tie
 
 
 class KBuffer(NamedTuple):
@@ -96,8 +97,14 @@ def rasterize_kbuffer_ref(
     chunk: int = 8,
     depth_floor=None,  # (H, W): only keep fragments nearer than this
     y_offset=0,
-) -> KBuffer:
-    """Brute-force K-layer rasterization (reference / CPU path)."""
+):
+    """Brute-force K-layer rasterization (reference / CPU path).
+
+    Returns (KBuffer, layers (H, W) i32): layers counts every accepted
+    fragment per pixel — including those ranked past K that the buffer had
+    to drop — so the caller can detect K overflow and grow blend_layers
+    instead of silently losing a surface (the reference draws *all* blended
+    fragments, rendering.rs:550; never-drop policy)."""
     t = tri.setup.shape[0]
     pad = (-t) % chunk
     setup = jnp.pad(tri.setup, ((0, pad), (0, 0)))
@@ -109,18 +116,33 @@ def rasterize_kbuffer_ref(
     py = ys[:, None]
 
     kb0 = empty_kbuffer(k, height, width, reverse_z)
+    # Taint the scan carry with y_offset's varying axes (see
+    # raster_ref.taint_with) so shard_map's check_vma accepts the scan.
+    zf = jnp.asarray(y_offset, jnp.float32) * 0.0
+    zi = jnp.asarray(y_offset, jnp.int32) * 0
+    kb0 = KBuffer(
+        depth=kb0.depth + zf, pair=kb0.pair + zi, b0=kb0.b0 + zf, b1=kb0.b1 + zf
+    )
+    layers0 = jnp.zeros((height, width), jnp.int32) + zi
     if depth_floor is None:
         depth_floor = jnp.full((height, width), 0.0 if reverse_z else 1.0)
 
-    def body(kb, inp):
+    def body(carry, inp):
         s_chunk, v_chunk, base = inp
 
-        def one(i, kb):
+        def one(i, carry):
+            kb, layers = carry
             row = s_chunk[i]
             e0 = row[0] * px + row[1] * py + row[2]
             e1 = row[3] * px + row[4] * py + row[5]
             e2 = row[6] * px + row[7] * py + row[8]
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & v_chunk[i]
+            # Fill rule (see raster_ref._tie): edge pixels partition exactly
+            # between adjacent triangles — critical here, where a double
+            # count means a surface blends twice along the shared edge.
+            ok0 = jnp.where(_tie(row[0], row[1]), e0 >= 0, e0 > 0)
+            ok1 = jnp.where(_tie(row[3], row[4]), e1 >= 0, e1 > 0)
+            ok2 = jnp.where(_tie(row[6], row[7]), e2 >= 0, e2 > 0)
+            inside = ok0 & ok1 & ok2 & v_chunk[i]
             zsum = e0 * row[9] + e1 * row[10] + e2 * row[11]
             wsum = e0 * row[12] + e1 * row[13] + e2 * row[14]
             inside = inside & (wsum > 0)
@@ -132,7 +154,7 @@ def rasterize_kbuffer_ref(
                 accept = inside & (z < depth_floor)
             esum = e0 + e1 + e2
             esafe = jnp.where(esum == 0, 1.0, esum)
-            return kbuffer_insert(
+            kb = kbuffer_insert(
                 kb,
                 z,
                 jnp.full_like(kb.pair[0], base + i),
@@ -141,14 +163,16 @@ def rasterize_kbuffer_ref(
                 accept,
                 reverse_z,
             )
+            return kb, layers + accept.astype(jnp.int32)
 
-        kb = jax.lax.fori_loop(0, chunk, one, kb)
-        return kb, None
+        return jax.lax.fori_loop(0, chunk, one, carry), None
 
     n_chunks = setup.shape[0] // chunk
     s_chunks = setup.reshape(n_chunks, chunk, 16)
     v_chunks = valid.reshape(n_chunks, chunk)
     bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
 
-    kb, _ = jax.lax.scan(body, kb0, (s_chunks, v_chunks, bases))
-    return kb
+    (kb, layers), _ = jax.lax.scan(
+        body, (kb0, layers0), (s_chunks, v_chunks, bases)
+    )
+    return kb, layers

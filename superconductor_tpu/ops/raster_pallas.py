@@ -40,6 +40,19 @@ CHUNK = 256  # triangles per DMA chunk (multiple of 8)
 ROWS_PER_CHUNK = CHUNK // 8  # packed 128-wide HBM rows per chunk
 
 
+def _scalar_tie(a, b):
+    """Scalar edge tie-break as f32 (see raster_ref._tie): 1.0 = accept
+    e == 0 (edge coefficients (a, b) lexicographically positive)."""
+    return jnp.where((a > 0.0) | ((a == 0.0) & (b > 0.0)), 1.0, 0.0)
+
+
+def _edge_ok(e, tie_f):
+    """Vector half-plane test with the fill rule: e > 0, or e == 0 when the
+    scalar tie bit is set. Formulated with f32 selects only — Mosaic cannot
+    legalize arith.select on i1 vectors."""
+    return (e >= 0.0) & (jnp.where(e == 0.0, tie_f, 1.0) > 0.5)
+
+
 def pack_setup_rows(sorted_setup: jax.Array) -> jax.Array:
     """(P, 16) -> (ceil(P/8) + ROWS_PER_CHUNK + 1, 128) lane-aligned pack."""
     p = sorted_setup.shape[0]
@@ -134,7 +147,14 @@ def _raster_kernel(
             e0 = s(0) * px + s(1) * py + s(2)
             e1 = s(3) * px + s(4) * py + s(5)
             e2 = s(6) * px + s(7) * py + s(8)
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            # Fill rule (see raster_ref._tie). The tie bit is a scalar f32
+            # select per edge; the vector side stays f32 selects + compares
+            # (Mosaic cannot legalize arith.select on i1 vectors).
+            inside = (
+                _edge_ok(e0, _scalar_tie(s(0), s(1)))
+                & _edge_ok(e1, _scalar_tie(s(3), s(4)))
+                & _edge_ok(e2, _scalar_tie(s(6), s(7)))
+            )
             zsum = e0 * s(9) + e1 * s(10) + e2 * s(11)
             wsum = e0 * s(12) + e1 * s(13) + e2 * s(14)
             inside = inside & (wsum > 0.0)
@@ -305,10 +325,12 @@ def _kbuffer_kernel(
     pair_out,
     b0_out,
     b1_out,
+    layers_out,  # (tile_h, tile_w) i32 accepted-fragment count (may exceed K)
     depth_s,  # VMEM scratch (K, tile_h, tile_w)
     pair_s,
     b0_s,
     b1_s,
+    layers_s,  # VMEM scratch (tile_h, tile_w) i32
     setup_smem,
     dma_sem,
     *,
@@ -337,6 +359,7 @@ def _kbuffer_kernel(
         pair_s[i] = jnp.full((tile_h, tile_w), -1, jnp.int32)
         b0_s[i] = jnp.zeros((tile_h, tile_w), jnp.float32)
         b1_s[i] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    layers_s[:, :] = jnp.zeros((tile_h, tile_w), jnp.int32)
 
     floor = floor_in[:, :]
     num_chunks = pl.cdiv(count, CHUNK)
@@ -375,7 +398,13 @@ def _kbuffer_kernel(
             e0 = s(0) * px + s(1) * py + s(2)
             e1 = s(3) * px + s(4) * py + s(5)
             e2 = s(6) * px + s(7) * py + s(8)
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            # Fill rule (see raster_ref._tie): without it a pixel on two
+            # adjacent transparent triangles' shared edge blends twice.
+            inside = (
+                _edge_ok(e0, _scalar_tie(s(0), s(1)))
+                & _edge_ok(e1, _scalar_tie(s(3), s(4)))
+                & _edge_ok(e2, _scalar_tie(s(6), s(7)))
+            )
             zsum = e0 * s(9) + e1 * s(10) + e2 * s(11)
             wsum = e0 * s(12) + e1 * s(13) + e2 * s(14)
             inside = inside & (wsum > 0.0)
@@ -390,6 +419,7 @@ def _kbuffer_kernel(
             nb0 = e0 / esafe
             nb1 = e1 / esafe
             sorted_pos = start + c * CHUNK + r
+            layers_s[:, :] = layers_s[:, :] + accept.astype(jnp.int32)
 
             # Sorted insert (slot 0 = nearest). rank = #slots nearer.
             old_d = [depth_s[i] for i in range(k)]
@@ -433,6 +463,7 @@ def _kbuffer_kernel(
         pair_out[i] = pair_s[i]
         b0_out[i] = b0_s[i]
         b1_out[i] = b1_s[i]
+    layers_out[:, :] = layers_s[:, :]
 
 
 @functools.partial(
@@ -453,7 +484,9 @@ def kbuffer_pallas_sorted(
     interpret: bool = False,
     y_offset=0,
 ):
-    """K-layer raster; returns KBuffer with SORTED positions in .pair."""
+    """K-layer raster -> (KBuffer with SORTED positions in .pair,
+    layers (H, W) i32 accepted-fragment count, which may exceed k — the
+    caller's signal to grow blend_layers rather than drop surfaces)."""
     from .raster_kbuffer import KBuffer
 
     ntx = -(-width // tile_w)
@@ -488,7 +521,7 @@ def kbuffer_pallas_sorted(
     )
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    depth, pair, b0, b1 = pl.pallas_call(
+    depth, pair, b0, b1, layers = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
         in_specs=[
@@ -498,18 +531,20 @@ def kbuffer_pallas_sorted(
             blocked,  # floor
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=(blocked_k, blocked_k, blocked_k, blocked_k),
+        out_specs=(blocked_k, blocked_k, blocked_k, blocked_k, blocked),
         out_shape=(
             jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.int32),
             jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
             pltpu.VMEM((k, tile_h, tile_w), jnp.int32),
             pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
             pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.int32),
             pltpu.SMEM((2, ROWS_PER_CHUNK + 1, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -521,11 +556,14 @@ def kbuffer_pallas_sorted(
         floor0,
         packed,
     )
-    return KBuffer(
-        depth=depth[:, :height, :width],
-        pair=pair[:, :height, :width],
-        b0=b0[:, :height, :width],
-        b1=b1[:, :height, :width],
+    return (
+        KBuffer(
+            depth=depth[:, :height, :width],
+            pair=pair[:, :height, :width],
+            b0=b0[:, :height, :width],
+            b1=b1[:, :height, :width],
+        ),
+        layers[:height, :width],
     )
 
 
@@ -542,10 +580,11 @@ def kbuffer_pallas(
     interpret: bool | None = None,
     y_offset=0,
 ):
-    """K-layer raster of binned triangles with original pair ids."""
+    """K-layer raster of binned triangles with original pair ids.
+    -> (KBuffer, layers (H, W) i32); see kbuffer_pallas_sorted."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    kb = kbuffer_pallas_sorted(
+    kb, layers = kbuffer_pallas_sorted(
         sorted_setup,
         bins.tile_start,
         bins.tile_count,
@@ -561,4 +600,4 @@ def kbuffer_pallas(
     )
     hit = kb.pair >= 0
     pair = jnp.where(hit, bins.order[jnp.maximum(kb.pair, 0)], -1)
-    return kb._replace(pair=pair)
+    return kb._replace(pair=pair), layers

@@ -39,6 +39,25 @@ def empty_visibility(height: int, width: int, reverse_z: bool = True):
     )
 
 
+def _tie(a, b):
+    """Edge tie-break bit: accept e == 0 iff (a, b) lexicographically > 0."""
+    return (a > 0) | ((a == 0) & (b > 0))
+
+
+def taint_with(vis: VisibilityBuffer, y_offset) -> VisibilityBuffer:
+    """Propagate y_offset's varying-manual-axes onto a fresh (constant)
+    visibility buffer. Under shard_map with check_vma=True, a lax.scan whose
+    carry starts replicated but becomes band-varying (because the setup
+    inputs depend on the band's y_offset) is a type error; adding
+    0 * y_offset marks the init as varying up front. Outside shard_map
+    y_offset is a plain 0 and this folds away."""
+    zf = jnp.asarray(y_offset, jnp.float32) * 0.0
+    zi = jnp.asarray(y_offset, jnp.int32) * 0
+    return VisibilityBuffer(
+        depth=vis.depth + zf, pair=vis.pair + zi, b0=vis.b0 + zf, b1=vis.b1 + zf
+    )
+
+
 def rasterize_ref(
     tri: TriangleSetup,
     height: int,
@@ -60,7 +79,11 @@ def rasterize_ref(
     px = xs[None, :]  # (1, W)
     py = ys[:, None]  # (H, 1)
 
-    vis = init if init is not None else empty_visibility(height, width, reverse_z)
+    vis = (
+        init
+        if init is not None
+        else taint_with(empty_visibility(height, width, reverse_z), y_offset)
+    )
 
     def body(carry, inp):
         depth, pair, b0, b1 = carry
@@ -72,7 +95,16 @@ def rasterize_ref(
             e0 = row[0] * px + row[1] * py + row[2]
             e1 = row[3] * px + row[4] * py + row[5]
             e2 = row[6] * px + row[7] * py + row[8]
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & v[i]
+            # Fill rule: a pixel exactly on an edge (e == 0) belongs to the
+            # triangle whose edge coefficients are lexicographically
+            # positive. Shared edges have exact-negation coefficients
+            # (_setup_from_clip canonical operand order), so adjacent
+            # triangles partition edge pixels exactly — no double-blend, no
+            # holes (the software analog of the GPU top-left rule).
+            ok0 = jnp.where(_tie(row[0], row[1]), e0 >= 0, e0 > 0)
+            ok1 = jnp.where(_tie(row[3], row[4]), e1 >= 0, e1 > 0)
+            ok2 = jnp.where(_tie(row[6], row[7]), e2 >= 0, e2 > 0)
+            inside = ok0 & ok1 & ok2 & v[i]
             zsum = e0 * row[9] + e1 * row[10] + e2 * row[11]
             wsum = e0 * row[12] + e1 * row[13] + e2 * row[14]
             inside = inside & (wsum > 0)

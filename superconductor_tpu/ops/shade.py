@@ -395,17 +395,6 @@ def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
     m = scene["materials"]
     mat = gbuf.material
     alb = m["albedo_tex"][mat]
-    base_entry = tex["tex_mip_base"][alb]
-    tw = tex["mip_w"][base_entry].astype(jnp.float32)
-    th = tex["mip_h"][base_entry].astype(jnp.float32)
-    lod = jnp.maximum(
-        mip_level_from_derivatives(
-            gbuf.duvdx[..., 0], gbuf.duvdx[..., 1],
-            gbuf.duvdy[..., 0], gbuf.duvdy[..., 1],
-            tw, th,
-        ),
-        0.0,
-    )
     albedo = sample_anisotropic(
         texels, tex, alb, gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps
     ) * m["base_color_factor"][mat]

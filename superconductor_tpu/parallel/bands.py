@@ -66,9 +66,10 @@ def render_frame_sharded(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P("view", "band", None, None),
-        # the raster scan carry starts replicated and becomes band-varying;
-        # the vma check can't see through that, so opt out.
-        check_vma=False,
+        # check_vma stays ON: the raster scan carries are tainted with the
+        # band's y_offset (raster_ref.taint_with) so their varying-manual-
+        # axes are consistent from the start.
+        check_vma=True,
     )
     def shard_fn(scene_rep, state_rep):
         v = jax.lax.axis_index("view")

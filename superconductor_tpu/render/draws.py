@@ -212,10 +212,11 @@ def _big_tables(mas: list) -> dict:
 
     The concatenation (including padding every model's LOD tables to the
     frame's deepest chain) is invariant while the same models are drawn, so
-    it is cached keyed on the identity of the per-model cache dicts — a
-    model edit rebuilds its _frame_arrays dict, which changes the key and
-    invalidates this cache naturally. Bounded to keep churny scenes from
-    accumulating stale entries."""
+    it is cached keyed on the identity of the per-model cache dicts. NOTE:
+    nothing watches `model.primitives` for mutation — editing a loaded
+    model requires Model.invalidate_frame_cache(), which pops the
+    _frame_arrays dict and thereby changes this cache's key too. Bounded
+    to keep churny scenes from accumulating stale entries."""
     key = tuple(id(ma) for ma in mas)
     hit = _BIG_TABLE_CACHE.get(key)
     if hit is not None:
@@ -387,6 +388,7 @@ def build_frame_state(
             tables["any_lods"],
             eye,
             float(y * y * aspect),
+            copy=False,  # _pack_compact repacks the rows before returning
         )
         palettes, inst_pal_offset = _register_palettes(
             instances, joint_palettes, inst_visible

@@ -125,12 +125,16 @@ def _rasterize_kbuffer(
     y_offset,
     depth_floor,
 ):
-    """-> (KBuffer, pairs_needed i32); see _rasterize."""
+    """-> (KBuffer, pairs_needed i32, layers_needed i32); see _rasterize.
+    layers_needed is the max accepted-fragment count any pixel saw — when it
+    exceeds config.blend_layers the k-buffer dropped a surface and the host
+    must grow blend_layers and re-render (never-drop policy; the reference
+    draws every blended fragment, rendering.rs:550)."""
     from ..ops.raster_kbuffer import rasterize_kbuffer_ref
 
     method = config.resolve_raster()
     if method == "ref":
-        kb = rasterize_kbuffer_ref(
+        kb, layers = rasterize_kbuffer_ref(
             tri,
             band_height,
             config.width,
@@ -139,14 +143,14 @@ def _rasterize_kbuffer(
             depth_floor=depth_floor,
             y_offset=y_offset,
         )
-        return kb, jnp.int32(0)
+        return kb, jnp.int32(0), layers.max()
     from ..ops.raster_pallas import kbuffer_pallas
 
     bins = bin_triangles(
         tri, config.width, band_height, config.p_cap, y_offset=y_offset
     )
     sorted_setup = gather_sorted_setup(tri, bins)
-    kb = kbuffer_pallas(
+    kb, layers = kbuffer_pallas(
         sorted_setup,
         bins,
         band_height,
@@ -156,7 +160,7 @@ def _rasterize_kbuffer(
         depth_floor=depth_floor,
         y_offset=y_offset,
     )
-    return kb, bins.num_pairs
+    return kb, bins.num_pairs, layers.max()
 
 
 def _pixel_centers(config: RenderConfig, band_height: int, y_offset):
@@ -228,8 +232,10 @@ def render_view(
 ):
     """Render one view (or one horizontal band of it) -> (bh, W, 4) f32.
 
-    with_stats: also return {"pairs_needed": i32} — the max bin-pair count
-    any raster pass in this view needed (vs config.p_cap)."""
+    with_stats: also return {"pairs_needed": i32, "layers_needed": i32} —
+    the max bin-pair count any raster pass in this view needed (vs
+    config.p_cap) and the max per-pixel transparent-fragment count any
+    k-buffer pass saw (vs config.blend_layers)."""
     band_height = band_height or config.height
     u = state.uniforms
     view_proj = u["view_proj"][view_index]
@@ -248,6 +254,7 @@ def render_view(
     # --- pass 1: opaque visibility ---
     opaque_tri = merged_tri._replace(valid=merged_tri.valid & (blend_mode == 0))
     vis, pairs_needed = _rasterize(opaque_tri, config, band_height, y_offset)
+    layers_needed = jnp.int32(0)
 
     # --- pass 2: alpha-clip resolve (K nearest candidates, keep the nearest
     # one whose albedo alpha passes the cutoff; the same decision the
@@ -258,10 +265,11 @@ def render_view(
         clip_tri = merged_tri._replace(
             valid=merged_tri.valid & (blend_mode == 1)
         )
-        kb, clip_pairs = _rasterize_kbuffer(
+        kb, clip_pairs, clip_layers = _rasterize_kbuffer(
             clip_tri, config, band_height, y_offset, vis.depth
         )
         pairs_needed = jnp.maximum(pairs_needed, clip_pairs)
+        layers_needed = jnp.maximum(layers_needed, clip_layers)
         chosen_pair = jnp.full_like(vis.pair, -1)
         chosen_depth = vis.depth
         chosen_b0 = jnp.zeros_like(vis.b0)
@@ -269,7 +277,7 @@ def render_view(
         found = jnp.zeros(vis.pair.shape, bool)
         for k in range(config.blend_layers):
             g = gbuffer_of(kb.pair[k], kb.b0[k], kb.b1[k])
-            a = albedo_alpha(g, scene)
+            a = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
             cutoff = mats["alpha_cutoff"][g.material]
             ok = (
                 g.valid & (a >= cutoff)
@@ -362,10 +370,11 @@ def render_view(
             config.height,
             flip_viewport=config.flip_viewport,
         )
-        pkb, p_pairs = _rasterize_kbuffer(
+        pkb, p_pairs, p_layers = _rasterize_kbuffer(
             p_tri, config, band_height, y_offset, depth_floor
         )
         pairs_needed = jnp.maximum(pairs_needed, p_pairs)
+        layers_needed = jnp.maximum(layers_needed, p_layers)
 
         def sh_sampler(world_pos):
             fake = _GB(
@@ -400,10 +409,11 @@ def render_view(
         blend_tri = merged_tri._replace(
             valid=merged_tri.valid & (blend_mode == 2)
         )
-        kb, blend_pairs = _rasterize_kbuffer(
+        kb, blend_pairs, blend_layers_seen = _rasterize_kbuffer(
             blend_tri, config, band_height, y_offset, depth_floor
         )
         pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
+        layers_needed = jnp.maximum(layers_needed, blend_layers_seen)
         for k in range(config.blend_layers - 1, -1, -1):
             g = gbuffer_of(kb.pair[k], kb.b0[k], kb.b1[k])
             lrgb, la = shade(
@@ -414,6 +424,7 @@ def render_view(
                 env=env,
                 inline_tonemapping=config.inline_tonemapping,
                 inline_srgb=config.inline_srgb,
+                aniso_taps=config.aniso_taps,
             )
             la = jnp.where(g.valid, la, 0.0)
             rgb = lrgb * la[..., None] + rgb * (1.0 - la[..., None])
@@ -433,7 +444,7 @@ def render_view(
         band_height, config.width, 4
     )
     if with_stats:
-        return img, {"pairs_needed": pairs_needed}
+        return img, {"pairs_needed": pairs_needed, "layers_needed": layers_needed}
     return img
 
 
@@ -446,16 +457,19 @@ def render_frame_impl(
 ):
     """Unjitted frame body (all views) -> (V, H, W, 4) uint8.
 
-    with_stats: also return {"pairs_needed": i32} aggregated (max) over all
-    views/bands, so the host can grow p_cap instead of silently truncating."""
+    with_stats: also return {"pairs_needed": i32, "layers_needed": i32}
+    aggregated (max) over all views/bands, so the host can grow
+    p_cap/blend_layers instead of silently truncating."""
     views = []
     pairs_needed = jnp.int32(0)
+    layers_needed = jnp.int32(0)
     for v in range(config.num_views):
         if config.row_chunks <= 1:
             out = render_view(scene, state, v, config, env, with_stats=with_stats)
             if with_stats:
                 out, stats = out
                 pairs_needed = jnp.maximum(pairs_needed, stats["pairs_needed"])
+                layers_needed = jnp.maximum(layers_needed, stats["layers_needed"])
             views.append(to_u8(out))
             continue
         assert config.height % config.row_chunks == 0
@@ -469,17 +483,18 @@ def render_frame_impl(
             )
             if with_stats:
                 img, stats = out
-                return to_u8(img), stats["pairs_needed"]
+                return to_u8(img), stats["pairs_needed"], stats["layers_needed"]
             return to_u8(out)
 
         bands = jax.lax.map(band, y0s)  # (chunks, band_h, W, 4)
         if with_stats:
-            bands, band_pairs = bands
+            bands, band_pairs, band_layers = bands
             pairs_needed = jnp.maximum(pairs_needed, band_pairs.max())
+            layers_needed = jnp.maximum(layers_needed, band_layers.max())
         views.append(bands.reshape(config.height, config.width, 4))
     image = jnp.stack(views)
     if with_stats:
-        return image, {"pairs_needed": pairs_needed}
+        return image, {"pairs_needed": pairs_needed, "layers_needed": layers_needed}
     return image
 
 
@@ -490,9 +505,9 @@ def _render_frame_stats_impl(scene, state, config, env=EnvBindings()):
     return render_frame_impl(scene, state, config, env, with_stats=True)
 
 
-# (image, {"pairs_needed": i32}) variant — used by the ECS render system to
-# detect bin-pair overflow and grow p_cap (the grow-never-drop policy of
-# buffers.rs:61-106).
+# (image, {"pairs_needed": i32, "layers_needed": i32}) variant — used by the
+# ECS render system to detect bin-pair / k-layer overflow and grow
+# p_cap / blend_layers (the grow-never-drop policy of buffers.rs:61-106).
 render_frame_stats = partial(jax.jit, static_argnames=("config", "env"))(
     _render_frame_stats_impl
 )

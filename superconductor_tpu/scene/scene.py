@@ -15,9 +15,14 @@ a handful of SoA arrays living in HBM:
     pass gathers material state per pixel, so "bind groups" become gathers;
   * a material SoA table mirroring shared_structs::MaterialSettings;
   * texture pools: one flat uint8 RGBA texel pool for LDR material textures
-    and one float32 pool for HDR (IBL cubemap, lightvols, lightmaps, smoke),
-    each with a mip descriptor table — mip/bilinear sampling is a gather
-    from these pools (see ops/texture.py).
+    and one float16 pool for HDR (IBL cubemap, lightvols, lightmaps), each
+    with a mip descriptor table — mip/bilinear sampling is a gather from
+    these pools (see ops/texture.py). TPUs cannot sample BC/ASTC blocks, so
+    decode-at-load replaces the reference's compressed-in-VRAM residency
+    (textures.rs:929-1097); f16 HDR texels (8 B/texel, shading still f32
+    after the gather) halve the expansion vs f32, and
+    Scene.texture_memory_report() accounts pool bytes vs compressed source
+    bytes so the residency cost stays measured.
 
 Primitives keep the reference's grouping by BlendMode x FaceSides
 (models.rs:52-58) and MSFT_lod chains (models.rs:306-338).
@@ -76,6 +81,10 @@ class TexturePool:
         # Range-allocated so freed textures return their texels to the pool
         # (the reference range-allocs its mega-buffers the same way).
         self.texels = AllocatedArray((4,), dtype, initial_capacity=4096)
+        # Compressed source bytes behind this pool's content (loaders add
+        # the wire size of each texture they decode) — feeds
+        # Scene.texture_memory_report()'s expansion factor.
+        self.source_bytes: int = 0
         self.mip_offset: List[int] = []
         self.mip_w: List[int] = []
         self.mip_h: List[int] = []
@@ -228,7 +237,13 @@ def mip_skip_for_max_size(h: int, w: int, max_size: Optional[int]) -> int:
     max_size (downscaling_for_max_size, textures.rs:609-614 — log2 of the
     larger axis minus log2 of the limit, saturating at 0). The TPU pool has
     no hardware dimension limit; this caps pool HBM the way the reference
-    caps to ``device.limits().max_texture_dimension_2d``."""
+    caps to ``device.limits().max_texture_dimension_2d``.
+
+    Reference-parity looseness (kept bug-for-bug): floor-log2 difference
+    means a NON-pow2 texture can keep one level slightly above max_size
+    (e.g. 1000px with cap 512 gives skip 0). max_texture_size is a soft
+    HBM bound, not a hard limit, so this overshoot (< 2x on one level) is
+    accepted for parity with the reference's hardware-limit path."""
     if not max_size:
         return 0
     size = max(h, w)
@@ -328,6 +343,14 @@ class Model:
     num_joints: int = 0
     bounding_sphere_radius: float = 0.0
 
+    def invalidate_frame_cache(self) -> None:
+        """Drop the per-model draw-build SoA cache
+        (render/draws._model_frame_arrays). Call after mutating
+        ``primitives`` (LODs, materials, radii, transforms) post-load —
+        the cache is keyed on identity, so edits are otherwise invisible
+        to subsequent frames."""
+        self.__dict__.pop("_frame_arrays", None)
+
 
 class Scene:
     """The whole renderable world as SoA arrays + host-side registries."""
@@ -361,9 +384,11 @@ class Scene:
         self.tri_material = AllocatedArray((), np.int32, 4096)
         self.anim_tri_material = AllocatedArray((), np.int32, 1024)
 
-        # Texture pools.
+        # Texture pools. HDR is f16: the gather upcasts to f32 before any
+        # shading math, and every HDR source here (BC6H, RGBA16F KTX2, SH
+        # volumes) has <= f16 precision to begin with.
         self.textures = TexturePool(np.uint8)
-        self.textures_hdr = TexturePool(np.float32)
+        self.textures_hdr = TexturePool(np.float16)
         self._add_dummy_textures()
 
         # Materials.
@@ -480,6 +505,32 @@ class Scene:
         return istart, len(rebased), vstart, len(positions)
 
     # ------------------------------------------------------------------
+    def texture_memory_report(self) -> dict:
+        """Pool residency vs compressed source bytes.
+
+        The reference keeps BC7/ASTC/BC6H compressed in GPU memory
+        (passthrough upload + transcode priority, textures.rs:929-1153 —
+        chosen precisely to stay near 1 byte/texel). TPUs cannot sample
+        block-compressed memory, so this build decodes at load into flat
+        pools; this report keeps that expansion measured: u8 LDR = 4 B and
+        f16 HDR = 8 B per texel vs the compressed wire size."""
+
+        def pool(p: TexturePool) -> dict:
+            arr = p.texels.array
+            itemsize = arr.host.dtype.itemsize * 4  # RGBA
+            used = p.texels.alloc.used()
+            return {
+                "texel_bytes_used": used * itemsize,
+                "texel_bytes_capacity": arr.capacity * itemsize,
+                "source_bytes": p.source_bytes,
+                "expansion": (used * itemsize / p.source_bytes)
+                if p.source_bytes
+                else None,
+                "num_textures": p.num_textures,
+            }
+
+        return {"ldr": pool(self.textures), "hdr": pool(self.textures_hdr)}
+
     def device_arrays(self) -> dict:
         """All device-resident arrays the frame function needs, as a dict
         pytree. Cached per-buffer; cheap to call every frame."""

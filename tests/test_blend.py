@@ -175,3 +175,70 @@ def test_blend_layers_sorted():
     # over(green 0.5, over(red 0.5, black)) = 0.5*green + 0.25*red
     assert abs(c[1] - 128) <= 6
     assert abs(c[0] - 64) <= 6
+
+
+def _render_stacked_quads(k_init, n_quads=6):
+    """ECS render of n stacked half-transparent quads with blend_layers
+    starting at k_init -> (image, final RenderConfig)."""
+    from superconductor_tpu.ecs.app import App
+    from superconductor_tpu.ecs.components import (
+        Instance,
+        InstanceOf,
+        ModelComponent,
+    )
+    from superconductor_tpu.ecs.resources import (
+        CameraResource,
+        FrameOutput,
+        RenderSettings,
+        SceneResource,
+    )
+    from superconductor_tpu.ecs.systems import CorePlugin
+
+    app = App()
+    app.add_plugin(
+        CorePlugin(
+            config=RenderConfig(
+                width=48, height=48, t_cap=64, t_cap_anim=8, raster="ref",
+                blend_layers=k_init,
+            )
+        )
+    )
+    w = app.world
+    scene = w.resource(SceneResource).scene
+    colors = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (0, 1, 1), (1, 0, 1)]
+    for i in range(n_quads):
+        m = scene.add_material(
+            MaterialSettings(
+                base_color_factor=(*colors[i % len(colors)], 0.5),
+                flags=MAT_UNLIT,
+                blend_mode=BLEND_ALPHA_BLENDED,
+            )
+        )
+        model = make_quad_model(scene, m)
+        e = w.spawn(ModelComponent(model))
+        w.spawn(
+            Instance(Sim(translation=[0, 0, -0.5 + 0.15 * i])), InstanceOf(e)
+        )
+    w.resource(CameraResource).camera.position = np.array([0, 0, 2.0], np.float32)
+    app.update()
+    return (
+        np.asarray(w.resource(FrameOutput).image)[0],
+        w.resource(RenderSettings).config,
+    )
+
+
+def test_blend_layers_grow_never_drop():
+    """Six stacked half-transparent quads with blend_layers=4: the ECS must
+    see layers_needed=6 in the frame stats, grow blend_layers, and re-render
+    — producing the same image as a hand-set blend_layers=8 config, with no
+    manual tuning (never-drop; the reference draws every blended fragment,
+    rendering.rs:550)."""
+    img_auto, cfg_auto = _render_stacked_quads(k_init=4)
+    assert cfg_auto.blend_layers == 8, cfg_auto.blend_layers
+    img_manual, cfg_manual = _render_stacked_quads(k_init=8)
+    assert cfg_manual.blend_layers == 8  # no spurious growth when K suffices
+    assert np.array_equal(img_auto, img_manual)
+    # and the 6-layer composite really differs from the truncated one: the
+    # farthest quad's red contribution must be present
+    center = img_auto[24, 24].astype(int)
+    assert center.sum() > 0

@@ -1,15 +1,22 @@
 """Corrupt-input fuzzing: loaders and native decoders must degrade with a
 Python exception (which the ECS catches and logs, keeping dummies bound —
 the reference's never-fatal policy, renderer-core/src/lib.rs:248-267),
-NEVER crash the process. Each case runs in a fork so a segfault in the C++
-decoders is detected as a signal instead of killing the test run.
+NEVER crash the process.
 
-Seeded and bounded (~120 forks total) to stay fast; the same harness was
+Each case family runs its whole mutation batch in ONE fresh subprocess
+(fuzz_worker.py): a segfault in the C++ decoders surfaces as a negative
+returncode instead of killing the test run, and the worker prints the blob
+index before each case so the failure is attributable. Subprocess (not
+os.fork) because forking a multithreaded JAX process trips pytest's
+deadlock warnings.
+
+Seeded and bounded (~120 cases total) to stay fast; the same mutations were
 run at 5x these counts during development with zero crashes.
 """
 
 import os
 import struct
+import subprocess
 import sys
 
 import numpy as np
@@ -17,40 +24,29 @@ import pytest
 
 from conftest import make_box_glb
 
-if not hasattr(os, "fork"):  # pragma: no cover
-    pytest.skip("fork-based harness", allow_module_level=True)
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fuzz_worker.py")
 
 
-def _forked(fn, timeout_s: float = 20.0) -> int:
-    """Run fn in a child; return the wait status. A child that exceeds the
-    deadline (decoder infinite loop on corrupt input) is killed and
-    reported as a signal — a hang is a defect, not a degrade."""
-    import signal
-    import time
-
-    pid = os.fork()
-    if pid == 0:
-        os.close(1)
-        os.close(2)
-        try:
-            fn()
-            os._exit(0)
-        except BaseException:
-            os._exit(1)  # clean Python failure = acceptable degrade
-    deadline = time.time() + timeout_s
-    while True:
-        done, status = os.waitpid(pid, os.WNOHANG)
-        if done:
-            return status
-        if time.time() > deadline:
-            os.kill(pid, signal.SIGKILL)
-            _, status = os.waitpid(pid, 0)
-            return status
-        time.sleep(0.005)
-
-
-def _assert_no_signal(status, ctx):
-    assert not os.WIFSIGNALED(status), (ctx, os.WTERMSIG(status))
+def _run_batch(case: str, blobs, timeout_s: float = 300.0):
+    """Run all blobs through fuzz_worker.py in one subprocess; fail the test
+    on a signal death (negative returncode) or a hang, reporting the index
+    of the blob that was being decoded."""
+    payload = b"".join(struct.pack("<Q", len(b)) + bytes(b) for b in blobs)
+    try:
+        proc = subprocess.run(
+            [sys.executable, _WORKER, case],
+            input=payload,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode(errors="replace").split()
+        pytest.fail(f"{case}: worker hang at blob {out[-1] if out else '?'}")
+    if proc.returncode != 0:
+        out = proc.stdout.decode(errors="replace").split()
+        last = out[-1] if out else "?"
+        pytest.fail(f"{case}: crash (returncode {proc.returncode}) at blob {last}")
 
 
 def _mutate(rng, base: bytes, trial: int) -> bytearray:
@@ -70,19 +66,7 @@ def _mutate(rng, base: bytes, trial: int) -> bytearray:
 def test_fuzz_glb_loader_never_crashes():
     rng = np.random.default_rng(0)
     glb = make_box_glb()
-
-    def case(data):
-        import superconductor_tpu as sc
-        from superconductor_tpu.assets.models import load_model
-
-        try:
-            load_model(sc.Scene(), bytes(data), name="f")
-        except Exception:
-            pass
-
-    for trial in range(30):
-        d = _mutate(rng, glb, trial)
-        _assert_no_signal(_forked(lambda dd=d: case(dd)), ("glb", trial))
+    _run_batch("glb", [_mutate(rng, glb, t) for t in range(30)])
 
 
 def test_fuzz_meshopt_decoders_never_crash():
@@ -99,27 +83,13 @@ def test_fuzz_meshopt_decoders_never_crash():
     idx = rng.integers(0, 63, size=120, dtype=np.uint32)
     istream = M.encode_index_buffer(idx)
 
-    def vcase(d):
-        try:
-            M.decode_vertex_buffer(bytes(d), 64, 64)
-        except Exception:
-            pass
-
-    def icase(d):
-        try:
-            M.decode_index_buffer(bytes(d), 120)
-        except Exception:
-            pass
-
+    # interleave mutation draws exactly as the original per-case harness did
+    vblobs, iblobs = [], []
     for trial in range(24):
-        _assert_no_signal(
-            _forked(lambda dd=_mutate(rng, vstream, trial): vcase(dd)),
-            ("meshopt-vertex", trial),
-        )
-        _assert_no_signal(
-            _forked(lambda dd=_mutate(rng, istream, trial): icase(dd)),
-            ("meshopt-index", trial),
-        )
+        vblobs.append(_mutate(rng, vstream, trial))
+        iblobs.append(_mutate(rng, istream, trial))
+    _run_batch("meshopt-vertex", vblobs)
+    _run_batch("meshopt-index", iblobs)
 
 
 def test_fuzz_ktx2_and_block_decoders_never_crash():
@@ -128,35 +98,11 @@ def test_fuzz_ktx2_and_block_decoders_never_crash():
 
     rng = np.random.default_rng(2)
     ktx = make_rgba8_ktx2(_chain((10, 20, 30, 255), size=16))
+    _run_batch("ktx2", [_mutate(rng, ktx, t) for t in range(18)])
 
-    def kcase(d):
-        from superconductor_tpu.assets.ktx2 import decode_level_u8, parse_ktx2
-
-        try:
-            decode_level_u8(parse_ktx2(bytes(d)), 0)
-        except Exception:
-            pass
-
-    for trial in range(18):
-        _assert_no_signal(
-            _forked(lambda dd=_mutate(rng, ktx, trial): kcase(dd)),
-            ("ktx2", trial),
-        )
-
-    def bcase(blob, which):
-        from superconductor_tpu.native.astc import decode_astc
-        from superconductor_tpu.native.bc6h import decode_bc6h
-        from superconductor_tpu.native.bc7 import decode_bc7
-
-        try:
-            [decode_bc7, decode_bc6h, decode_astc][which](blob, 16, 16)
-        except Exception:
-            pass
-
-    for trial in range(6):
-        blob = bytes(rng.integers(0, 255, size=16 * 16, dtype=np.uint8))
-        for which in range(3):
-            _assert_no_signal(
-                _forked(lambda b=blob, w=which: bcase(b, w)),
-                ("block", trial, which),
-            )
+    blobs = [
+        bytes(rng.integers(0, 255, size=16 * 16, dtype=np.uint8))
+        for _ in range(6)
+    ]
+    for case in ("bc7", "bc6h", "astc"):
+        _run_batch(case, blobs)

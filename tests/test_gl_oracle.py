@@ -609,3 +609,225 @@ def test_engine_lightvol_matches_gl_oracle():
 
     db = psnr(mine[..., :3], ref[..., :3])
     assert db >= 35.0, f"lightvol: PSNR {db:.1f} dB vs GL sampler3D"
+
+
+def test_engine_lines_match_gl_oracle():
+    """Line pipeline (flat_colour, shaders/src/lib.rs:712-732): the
+    engine's screen-space line quads + palette colors + depth test against
+    the opaque scene vs GL triangles built from an independent numpy
+    expansion of the same segments."""
+    width, height = 320, 240
+    gl = _gl_renderer(width, height)
+
+    # opaque unlit occluder: some lines pass behind it
+    qpos = np.array(
+        [[-0.7, -0.7, 0], [0.7, -0.7, 0], [0.7, 0.7, 0], [-0.7, 0.7, 0]],
+        np.float32,
+    )
+    qnrm = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    quv = np.zeros((4, 2), np.float32)
+    qidx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    scene = Scene()
+    mat = scene.add_material(
+        MaterialSettings(base_color_factor=(0.3, 0.5, 0.3, 1.0),
+                         flags=MAT_UNLIT)
+    )
+    model = _add_mesh(scene, qpos, qnrm, quv, qidx, mat)
+
+    uniforms = _camera([0.4, 0.3, 3.0], [0, 0, 0], width, height)
+
+    segments = []
+    colors = []
+    rng = np.random.default_rng(7)
+    for i in range(9):
+        a = rng.uniform(-1.4, 1.4, 3).astype(np.float32)
+        b = rng.uniform(-1.4, 1.4, 3).astype(np.float32)
+        a[2] = rng.uniform(-1.2, 1.2)
+        b[2] = rng.uniform(-1.2, 1.2)
+        segments.append([a.tolist(), b.tolist()])
+        colors.append(i + 4)
+
+    from superconductor_tpu.render.draws import pack_lines
+
+    line_w = 5.0
+    state = build_frame_state(
+        scene, [(model, Similarity())], uniforms,
+        lines=pack_lines(segments, colors),
+    )
+    config = RenderConfig(
+        width=width, height=height, raster="ref", enable_lines=True,
+        line_width_px=line_w,
+    )
+    mine = np.asarray(
+        render_frame(scene.device_arrays(), state, config, EnvBindings())
+    )[0]
+
+    # independent quad expansion (the line-pipeline spec: project, extrude
+    # perpendicular by width/2 in screen space, screen-linear depth)
+    from superconductor_tpu.ops.lines import DEBUG_COLOURS
+
+    vp = np.asarray(uniforms.view_proj[0], np.float32)
+    line_draws = []
+    for seg, cid in zip(segments, colors):
+        p = np.concatenate(
+            [np.asarray(seg, np.float32), np.ones((2, 1), np.float32)], -1
+        )
+        clip = p @ vp.T
+        w = clip[:, 3]
+        assert (w > 1e-6).all()
+        px = (clip[:, 0] / w + 1.0) * (width * 0.5)
+        py = (1.0 - clip[:, 1] / w) * (height * 0.5)
+        z = clip[:, 2] / w
+        d = np.array([px[1] - px[0], py[1] - py[0]], np.float32)
+        d /= max(np.linalg.norm(d), 1e-3)
+        n = np.array([-d[1], d[0]], np.float32) * (line_w * 0.5)
+        corners = np.array(
+            [
+                [px[0] - n[0], py[0] - n[1], z[0]],
+                [px[0] + n[0], py[0] + n[1], z[0]],
+                [px[1] + n[0], py[1] + n[1], z[1]],
+                [px[1] - n[0], py[1] - n[1], z[1]],
+            ],
+            np.float32,
+        )
+        line_draws.append(
+            {"corners": corners, "color": DEBUG_COLOURS[cid % 16]}
+        )
+
+    ref = gl.render(
+        [
+            dict(positions=qpos, normals=qnrm, indices=qidx,
+                 base_color=(0.3, 0.5, 0.3, 1.0), unlit=True),
+        ],
+        view_proj=vp,
+        eye=uniforms.eye[0],
+        sh=np.zeros((4, 3), np.float32),
+        clear_color=_encoded_clear((0, 0, 0)),
+        lines=line_draws,
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"lines: PSNR {db:.1f} dB vs GL flat-color quads"
+
+
+def _smooth_u8(rng, size, lo=0, hi=255):
+    """Smooth random u8 field: low-res noise upsampled bilinearly."""
+    small = rng.uniform(lo, hi, (8, 8, 4)).astype(np.float32)
+    # bilinear upsample via repeat + box averaging passes
+    img = small
+    while img.shape[0] < size:
+        h, w = img.shape[:2]
+        up = np.zeros((h * 2, w * 2, 4), np.float32)
+        up[0::2, 0::2] = img
+        up[1::2, 0::2] = np.roll(img, -1, 0) * 0.5 + img * 0.5
+        up[0::2, 1::2] = np.roll(img, -1, 1) * 0.5 + img * 0.5
+        up[1::2, 1::2] = (
+            img + np.roll(img, -1, 0) + np.roll(img, -1, 1)
+            + np.roll(np.roll(img, -1, 0), -1, 1)
+        ) * 0.25
+        img = up
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def test_engine_particles_match_gl_oracle():
+    """Particle pipeline (particle_vertex/fragment, shaders/src/
+    lib.rs:817-972): the engine's k-buffer-sorted camera-facing smoke quads
+    with the 6-way hemisphere lighting model + emissive LUT vs GL quads
+    blended back-to-front with the same model in GLSL."""
+    width, height = 320, 240
+    gl = _gl_renderer(width, height)
+
+    from superconductor_tpu.render.draws import pack_particles
+    from superconductor_tpu.scene.scene import TEXFLAG_SRGB, WRAP_CLAMP
+
+    rng = np.random.default_rng(11)
+    smoke_a = _smooth_u8(rng, 64)
+    smoke_b = _smooth_u8(rng, 64, lo=40, hi=255)
+    lut = _smooth_u8(rng, 32)
+
+    scene = Scene()
+    a_id = scene.textures.add_texture([smoke_a], wrap=WRAP_CLAMP)
+    b_id = scene.textures.add_texture([smoke_b], wrap=WRAP_CLAMP)
+    lut_id = scene.textures.add_texture(
+        [lut], wrap=WRAP_CLAMP, flags=TEXFLAG_SRGB
+    )
+
+    uniforms = _camera([0.3, 0.4, 4.0], [0, 0, 0], width, height)
+    env = EnvBindings(
+        smoke_tex_ids=(a_id, b_id, lut_id),
+        ambient_sh=tuple(SH.reshape(-1).tolist()),
+    )
+
+    parts = [
+        {"center": [-0.6, 0.1, -0.8], "scale": [1.6, 1.4],
+         "colour": [0.9, 0.85, 0.95], "emissive_colour": [0.4, 0.25, 0.1]},
+        {"center": [0.5, -0.2, 0.0], "scale": [1.8, 1.8],
+         "colour": [0.8, 0.9, 1.0], "emissive_colour": [0.5, 0.4, 0.6],
+         "use_emissive_lut": 1, "lut_y": 0.35},
+        {"center": [0.0, 0.5, 0.9], "scale": [1.3, 1.7],
+         "colour": [1.0, 0.95, 0.9], "emissive_colour": [0.0, 0.0, 0.0]},
+    ]
+
+    state = build_frame_state(
+        scene, [], uniforms, particles=pack_particles(parts)
+    )
+    config = RenderConfig(
+        width=width, height=height, raster="ref", enable_particles=True,
+    )
+    mine = np.asarray(
+        render_frame(scene.device_arrays(), state, config, env)
+    )[0]
+
+    # independent quad expansion: view-space offset corners, world via the
+    # inverse view; uv = (x + 0.5, 0.5 - y) (particle_vertex, lib.rs:838-855)
+    view = np.asarray(uniforms.view[0], np.float32)
+    view_inv = mat4_inverse(view)
+    corner_x = np.array([-0.5, 0.5, 0.5, -0.5], np.float32)
+    corner_y = np.array([-0.5, -0.5, 0.5, 0.5], np.float32)
+    draws = []
+    order = []
+    for p in parts:
+        c = np.asarray(p["center"] + [1.0], np.float32)
+        vc = view @ c
+        sx, sy = p["scale"]
+        corners_v = np.stack(
+            [
+                vc[0] + sx * corner_x,
+                vc[1] + sy * corner_y,
+                np.full(4, vc[2], np.float32),
+                np.ones(4, np.float32),
+            ],
+            axis=-1,
+        )
+        world = (corners_v @ view_inv.T)[:, :3]
+        uvs = np.stack([corner_x + 0.5, 0.5 - corner_y], axis=-1)
+        draws.append(
+            {
+                "corners": world, "uvs": uvs, "center": p["center"],
+                "colour": p["colour"],
+                "emissive_colour": p["emissive_colour"],
+                "use_emissive_lut": p.get("use_emissive_lut", 0),
+                "lut_y": p.get("lut_y", 0.0),
+            }
+        )
+        order.append(vc[2])
+    # back-to-front: most negative view z (farthest) first
+    draws = [draws[i] for i in np.argsort(order)]
+
+    ref = gl.render(
+        [],
+        view_proj=uniforms.view_proj[0],
+        eye=uniforms.eye[0],
+        sh=np.zeros((4, 3), np.float32),
+        clear_color=_encoded_clear((0, 0, 0)),
+        particles={
+            "smoke": (smoke_a, smoke_b, lut),
+            "draws": draws,
+            "sh": SH,
+            "cam_right": view_inv[:3, 0],
+            "cam_down": -view_inv[:3, 1],
+        },
+    )
+
+    db = psnr(mine[..., :3], ref[..., :3])
+    assert db >= 35.0, f"particles: PSNR {db:.1f} dB vs GL 6-way smoke"

@@ -134,6 +134,6 @@ def test_big_table_cache_consistency():
     for insts, w in zip(combos, warm):
         D._BIG_TABLE_CACHE.clear()
         for m in (lod_model, sphere):
-            m.__dict__.pop("_frame_arrays", None)
+            m.invalidate_frame_cache()
         cold = _drawlist_tuple(build_frame_state(scene, insts, uniforms))
         assert cold == w

@@ -126,7 +126,7 @@ def test_ecs_grows_p_cap_on_pallas_overflow(caplog):
         img = _load_and_render(app, "box.glb")
     cfg = app.world.resource(RenderSettings).config
     assert cfg.p_cap > 2, cfg.p_cap
-    assert any("bin-pair capacity" in r.message for r in caplog.records)
+    assert any("frame capacity exceeded" in r.message for r in caplog.records)
     # the re-rendered frame contains the full box
     big = _make_app(
         {"box.glb": glb}, width=128, height=64, t_cap=16, p_cap=256,
