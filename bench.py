@@ -47,7 +47,8 @@ def _aim(cam, target, look_at, mat4_inverse, mat3_to_quat):
     cam.rotation = mat3_to_quat(mat4_inverse(v)[:3, :3])
 
 
-def _measure(frame_fn, device_fn=None, n=40, windows=5, device_windows=8):
+def _measure(frame_fn, device_fn=None, n=40, windows=5, device_windows=16,
+             device_n=200):
     """Returns {"fps", "compile_s", "img", "device_ms", "device_spread"}.
 
     fps: median FPS over `windows` timing windows of `n` frames each,
@@ -59,10 +60,14 @@ def _measure(frame_fn, device_fn=None, n=40, windows=5, device_windows=8):
     device_ms: regression-proof steady-state frame time — `device_fn`
     replays ONE pre-built frame (no host draw-build, dispatches enqueue
     asynchronously, one sync per window) and the MIN over `device_windows`
-    windows is reported. Interference can only inflate a window, never
-    deflate it, so min-of-windows converges on the true device+dispatch
-    time and is comparable round over round. device_spread =
-    (max-min)/min across windows, the run's own noise figure.
+    windows of `device_n` frames is reported. Interference can only
+    inflate a window, never deflate it, so min-of-windows converges on the
+    true pipelined device throughput and is comparable round over round.
+    device_n is LONG (200): measured on this tunnel (2026-08-17), 40-frame
+    windows still carry 2x dispatch-latency spikes, while 200-frame
+    windows sit within ~6% of each other (min 0.172 / p50 0.183 ms on the
+    headline scene). device_spread = (max-min)/min across windows, the
+    run's own noise figure.
     """
     t0 = time.time()
     img = frame_fn(0.0)
@@ -88,11 +93,11 @@ def _measure(frame_fn, device_fn=None, n=40, windows=5, device_windows=8):
         device_fn().block_until_ready()  # same executable: cache-warm
         times = []
         for _ in range(device_windows):
-            t0 = time.time()
-            for _ in range(n):
+            t0 = time.perf_counter()
+            for _ in range(device_n):
                 img2 = device_fn()
             img2.block_until_ready()
-            times.append((time.time() - t0) / n)
+            times.append((time.perf_counter() - t0) / device_n)
         out["device_ms"] = min(times) * 1e3
         out["device_spread"] = (max(times) - min(times)) / min(times)
     return out

@@ -21,6 +21,10 @@ Two modes:
                      {"keys": "w+d", "mouse": [dx, dy]}   input delta
                      {"save": "/tmp/frame.png"}           readback + save
                      {"quit": true}
+                 NOTE (axon tunnel only): the first "save" readback
+                 permanently switches the tunnel session to eager output
+                 readback (~RTT x frame bytes per frame) — save at the end
+                 of a session, or restart after saving.
                  each frame answers with one JSON status line on stdout:
                      {"frame": n, "latency_ms": ..., "p50_ms": ..., "p99_ms": ...}
 
@@ -42,12 +46,12 @@ import numpy as np
 REF_ASSETS = "/root/reference/demo/web/assets"
 
 
-def build_app(width, height, raster, model_path, ibl_path):
+def build_app(width, height, raster, model_path, ibl_path, stats_interval=0):
     import superconductor_tpu as sc
     from superconductor_tpu.assets.fetch import FileClient
     from superconductor_tpu.ecs.app import App
     from superconductor_tpu.ecs.components import Instance, InstanceOf, ModelUrl
-    from superconductor_tpu.ecs.resources import NewIblCubemap
+    from superconductor_tpu.ecs.resources import NewIblCubemap, RenderSettings
     from superconductor_tpu.ecs.systems import CorePlugin
     from superconductor_tpu.utils.cache import enable_compile_cache
 
@@ -63,6 +67,13 @@ def build_app(width, height, raster, model_path, ibl_path):
         )
     )
     w = app.world
+    # Zero-read frame loop by default: on the axon tunnel, ONE device->host
+    # read permanently drops the session from ~0.2 ms/frame (speculated
+    # dispatch) to RTT x output-bytes per frame (~737 ms at 1080p). Size
+    # p_cap/blend_layers generously instead (see RenderSettings docstring);
+    # pass --stats-interval 1 on directly attached TPUs for full never-drop
+    # overflow detection.
+    w.resource(RenderSettings).stats_interval = stats_interval
     if ibl_path and os.path.exists(ibl_path):
         w.insert_resource(NewIblCubemap(ibl_path))
     model_e = w.spawn(ModelUrl(model_path))
@@ -81,6 +92,13 @@ def main():
     ap.add_argument("--stdin", action="store_true",
                     help="read JSON input deltas from stdin")
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument(
+        "--stats-interval", type=int, default=0,
+        help="device-stats read period for overflow detection (0 = never "
+        "read: required for full speed over the axon tunnel, where one "
+        "device->host read permanently de-speculates the session; use 1 "
+        "on directly attached TPUs)",
+    )
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -107,7 +125,8 @@ def main():
     from superconductor_tpu.ecs.resources import CameraResource, FrameOutput
     from superconductor_tpu.render.rig import FlyCameraRig
 
-    app = build_app(width, height, args.raster, model_path, ibl)
+    app = build_app(width, height, args.raster, model_path, ibl,
+                    stats_interval=args.stats_interval)
     w = app.world
     cam_res = w.resource(CameraResource)
     rig = FlyCameraRig(position=(6.0, 3.0, 6.0), speed=6.0)

@@ -41,10 +41,24 @@ class RenderSettings:
     overflow caused by steady-state scene churn is detected one frame
     late: that single frame is emitted with dropped geometry (with a
     warning logged), and the grown config takes effect on the next frame.
+
+    stats_interval controls how often the steady-state device stats are
+    READ on the host: 1 (default) = every frame (full never-drop
+    semantics); N > 1 = every Nth frame (overflow detected up to N frames
+    late); 0 = never — no device->host transfer ever happens on the frame
+    loop, the plain (stats-free) frame executable is used, and bin-pair /
+    k-layer overflow detection is OFF (geometry t/v capacities still grow
+    from exact host-side counts). 0 exists for transports where any
+    device->host read degrades the session: the axon tunnel's speculative
+    dispatch drops from ~0.2 ms/frame to a full RTT x output-bytes per
+    frame (~737 ms at 1080p) after the FIRST read, permanently
+    (measured 2026-08-17). On a directly attached TPU a scalar read is
+    microseconds and the default is correct.
     """
 
     config: RenderConfig = field(default_factory=RenderConfig)
     env: Optional[EnvBindings] = None  # rebuilt when scene env changes
+    stats_interval: int = 1
 
 
 @dataclass

@@ -356,6 +356,25 @@ def render(world: World) -> None:
         settings.env = EnvBindings.from_scene(scene)
 
     out = world.resource(FrameOutput)
+    interval = settings.stats_interval
+    if interval == 0:
+        # Zero-read mode (see RenderSettings.stats_interval): the plain
+        # stats-free executable, no device->host transfer on the frame
+        # loop. Bin-pair / k-layer overflow detection is off.
+        from ..render.frame import render_frame
+
+        if out.last_config is None:
+            log.warning(
+                "stats_interval=0: bin-pair/k-layer overflow detection is "
+                "OFF (size p_cap/blend_layers for the content up front)"
+            )
+        image = render_frame(scene.device_arrays(), state, config, settings.env)
+        out.pending_stats = None
+        out.last_config = config
+        out.image = image
+        out.frame_index += 1
+        return
+
     image, stats = render_frame_stats(
         scene.device_arrays(), state, config, settings.env
     )
@@ -364,24 +383,27 @@ def render(world: World) -> None:
     # completion every frame, serializing host build with device render —
     # so sync only when the config just changed (first frame / scene or
     # resolution churn: exactly when overflow typically appears). In the
-    # steady state, read the PREVIOUS frame's stats instead: they are
-    # materialized by now, so the check is free, and overflow grows p_cap
-    # one frame late with a warning — never silently.
+    # steady state, read the PREVIOUS frame's stats instead (every
+    # `stats_interval`th frame): they are materialized by now, so the
+    # check is cheap, and overflow grows p_cap/blend_layers up to
+    # `stats_interval` frames late with a warning — never silently.
+    check_stats = check_config = None
     if config != out.last_config or out.pending_stats is None:
         check_stats, check_config = stats, config
-    else:
+    elif out.frame_index % interval == 0:
         check_stats, check_config = out.pending_stats
-    pairs = int(check_stats["pairs_needed"])
-    layers = int(check_stats["layers_needed"])
     grow = {}
-    if pairs > check_config.p_cap:
-        grow["p_cap"] = _next_pow2(pairs * 2)
-    if layers > check_config.blend_layers:
-        # A pixel needed more transparent layers than the k-buffer holds —
-        # a surface was dropped. Grow K (pow2) and re-render, restoring the
-        # reference's draw-every-blended-fragment semantics
-        # (rendering.rs:550).
-        grow["blend_layers"] = _next_pow2(layers)
+    if check_stats is not None:
+        pairs = int(check_stats["pairs_needed"])
+        layers = int(check_stats["layers_needed"])
+        if pairs > check_config.p_cap:
+            grow["p_cap"] = _next_pow2(pairs * 2)
+        if layers > check_config.blend_layers:
+            # A pixel needed more transparent layers than the k-buffer
+            # holds — a surface was dropped. Grow K (pow2) and re-render,
+            # restoring the reference's draw-every-blended-fragment
+            # semantics (rendering.rs:550).
+            grow["blend_layers"] = _next_pow2(layers)
     if grow:
         from dataclasses import replace
 
