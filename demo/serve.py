@@ -28,6 +28,14 @@ Two modes:
                  each frame answers with one JSON status line on stdout:
                      {"frame": n, "latency_ms": ..., "p50_ms": ..., "p99_ms": ...}
 
+Zero-read serving + the capacity probe: the frame loop defaults to
+stats_interval=0 (no device->host reads — required for speed on
+readback-hostile transports), which turns off in-loop bin-pair/k-layer
+overflow detection. To keep never-drop sizing anyway, startup runs a
+CAPACITY PROBE subprocess (own device session): the same scene with
+stats ON over a deterministic camera sweep; the capacities its growth
+loop settles on are what this process serves with. --probe off skips it.
+
 Usage:
     python demo/serve.py --selftest 10 [--size 1920x1080] [--model PATH]
     python demo/serve.py --stdin [--size 640x360]
@@ -46,7 +54,8 @@ import numpy as np
 REF_ASSETS = "/root/reference/demo/web/assets"
 
 
-def build_app(width, height, raster, model_path, ibl_path, stats_interval=0):
+def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
+              p_cap=1 << 19, blend_layers=None):
     import superconductor_tpu as sc
     from superconductor_tpu.assets.fetch import FileClient
     from superconductor_tpu.ecs.app import App
@@ -56,12 +65,13 @@ def build_app(width, height, raster, model_path, ibl_path, stats_interval=0):
     from superconductor_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    cfg_kw = {} if blend_layers is None else {"blend_layers": blend_layers}
     app = App()
     app.add_plugin(
         CorePlugin(
             config=sc.RenderConfig(
                 width=width, height=height, t_cap=1 << 18, t_cap_anim=1 << 8,
-                p_cap=1 << 19, raster=raster,
+                p_cap=p_cap, raster=raster, **cfg_kw,
             ),
             client=FileClient(),
         )
@@ -79,6 +89,76 @@ def build_app(width, height, raster, model_path, ibl_path, stats_interval=0):
     model_e = w.spawn(ModelUrl(model_path))
     w.spawn(Instance(sc.Similarity()), InstanceOf(model_e))
     return app
+
+
+def _probe_cmd(args, width, height, model_path, ibl):
+    return [
+        sys.executable, os.path.abspath(__file__),
+        "--probe-only", "--size", f"{width}x{height}",
+        "--raster", args.raster, "--model", model_path, "--ibl", ibl,
+    ]
+
+
+def capacity_probe(args, width, height, model_path, ibl):
+    """Size p_cap/blend_layers for zero-read serving, without reading.
+
+    Runs a SUBPROCESS that renders the same scene with stats ON
+    (stats_interval=1) over a deterministic camera sweep and reports the
+    capacities the never-drop growth loop settled on. The subprocess owns
+    its own device session, so its device->host stats reads cannot
+    de-speculate THIS process's session — the serving loop stays
+    zero-read at full speed while still being sized from measured
+    per-pixel demand rather than guesses. Steady-state scene churn beyond
+    what the sweep saw can still exceed the probed caps (documented
+    limitation of stats_interval=0; use --stats-interval 1 on directly
+    attached TPUs for full never-drop semantics).
+    """
+    import subprocess
+
+    cmd = _probe_cmd(args, width, height, model_path, ibl)
+    try:
+        res = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900,
+        )
+        line = res.stdout.strip().splitlines()[-1]
+        caps = json.loads(line)
+        print(json.dumps({"probe": caps}), file=sys.stderr)
+        return int(caps["p_cap"]), int(caps["blend_layers"])
+    except Exception as e:  # noqa: BLE001 - probe is best-effort sizing
+        print(
+            json.dumps({"probe_failed": str(e)[:200]}), file=sys.stderr
+        )
+        return 1 << 19, None
+
+
+def probe_only(args, width, height, model_path, ibl):
+    """Subprocess body for capacity_probe: stats-on sweep, report caps."""
+    from superconductor_tpu.ecs.components import ModelComponent
+    from superconductor_tpu.ecs.resources import CameraResource, RenderSettings
+    from superconductor_tpu.render.rig import FlyCameraRig
+
+    app = build_app(width, height, args.raster, model_path, ibl,
+                    stats_interval=1)
+    w = app.world
+    cam_res = w.resource(CameraResource)
+    rig = FlyCameraRig(position=(6.0, 3.0, 6.0), speed=6.0)
+    rig.look_at((6.0, 3.0, 6.0), (0, 0.5, 0))
+    rig.pos, rig.yaw, rig.pitch = (
+        rig.target_pos.copy(), rig.target_yaw, rig.target_pitch,
+    )
+    for _ in range(100):
+        app.update()
+        if any(True for _ in w.components.get(ModelComponent, {}).items()):
+            break
+    keyset = ["w", "w+d", "w+a", "s", "w+e", "w+q", "d", "a"]
+    for n in range(24):
+        keys = frozenset(keyset[(n // 3) % len(keyset)].split("+"))
+        rig.apply_keys(keys, dt=1 / 60.0, mouse=(15.0 * np.sin(0.3 * n), 0.0))
+        cam_res.camera.position, cam_res.camera.rotation = rig.update(1 / 60.0)
+        app.update()
+    cfg = w.resource(RenderSettings).config
+    print(json.dumps({"p_cap": cfg.p_cap, "blend_layers": cfg.blend_layers}))
+    return 0
 
 
 def main():
@@ -99,6 +179,14 @@ def main():
         "device->host read permanently de-speculates the session; use 1 "
         "on directly attached TPUs)",
     )
+    ap.add_argument(
+        "--probe", choices=("auto", "off"), default="auto",
+        help="capacity probe before zero-read serving: a subprocess (own "
+        "device session, so its stats reads can't slow this one) renders "
+        "a stats-on camera sweep and the measured p_cap/blend_layers are "
+        "used here (auto = when --stats-interval 0)",
+    )
+    ap.add_argument("--probe-only", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -121,12 +209,20 @@ def main():
         return 1
     ibl = args.ibl or os.path.join(REF_ASSETS, "cubemaps/noon.ktx2")
 
+    if args.probe_only:
+        return probe_only(args, width, height, model_path, ibl)
+
     from superconductor_tpu.ecs.components import ModelComponent
     from superconductor_tpu.ecs.resources import CameraResource, FrameOutput
     from superconductor_tpu.render.rig import FlyCameraRig
 
+    p_cap, blend_layers = 1 << 19, None
+    if args.stats_interval == 0 and args.probe == "auto":
+        p_cap, blend_layers = capacity_probe(args, width, height, model_path, ibl)
+
     app = build_app(width, height, args.raster, model_path, ibl,
-                    stats_interval=args.stats_interval)
+                    stats_interval=args.stats_interval,
+                    p_cap=p_cap, blend_layers=blend_layers)
     w = app.world
     cam_res = w.resource(CameraResource)
     rig = FlyCameraRig(position=(6.0, 3.0, 6.0), speed=6.0)

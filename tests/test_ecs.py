@@ -154,3 +154,26 @@ def test_ecs_stereo_renders_two_eyes(box_glb):
     left, right = img[0], img[1]
     assert (left[..., 0] == 255).any() and (right[..., 0] == 255).any()
     assert (left != right).mean() > 0.005  # parallax shifts the box
+
+
+def test_ecs_zero_read_mode_matches_default(box_glb):
+    """stats_interval=0 (zero device->host reads on the frame loop, for
+    readback-hostile transports) must render the identical image via the
+    stats-free executable; pending_stats stays unset."""
+    imgs = {}
+    for interval in (1, 0):
+        app = _make_app({"box.glb": box_glb})
+        w = app.world
+        w.resource(RenderSettings).stats_interval = interval
+        w.resource(CameraResource).camera.position = np.array(
+            [0, 0, 2.5], np.float32
+        )
+        model_e = w.spawn(ModelUrl("box.glb"))
+        w.spawn(Instance(Similarity()), InstanceOf(model_e))
+        assert _wait_loaded(app, model_e)
+        app.update()
+        out = w.resource(FrameOutput)
+        if interval == 0:
+            assert out.pending_stats is None
+        imgs[interval] = np.asarray(out.image)
+    np.testing.assert_array_equal(imgs[0], imgs[1])
