@@ -9,6 +9,12 @@ buffer is ready (block_until_ready); optionally the newest frame is
 written to a PNG for a viewer to poll (readback over the axon tunnel is
 ~1 s per 2 MB, so saving is off by default and never in the latency path).
 
+--frames-in-flight N emulates the swapchain's frame queue (wgpu's
+desired_maximum_frame_latency defaults to 2): up to N frames are
+submitted before blocking on the oldest, overlapping host draw-build of
+frame n+1 with device render of frame n. Latency is measured
+submit->ready per frame, so added queue latency is reported, not hidden.
+
 Two modes:
 
   --selftest N   drive the loop with synthetic WASD+mouse input at 60 Hz
@@ -92,11 +98,14 @@ def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
 
 
 def _probe_cmd(args, width, height, model_path, ibl):
-    return [
+    cmd = [
         sys.executable, os.path.abspath(__file__),
         "--probe-only", "--size", f"{width}x{height}",
         "--raster", args.raster, "--model", model_path, "--ibl", ibl,
     ]
+    if args.platform:
+        cmd += ["--platform", args.platform]
+    return cmd
 
 
 def capacity_probe(args, width, height, model_path, ibl):
@@ -173,6 +182,21 @@ def main():
                     help="read JSON input deltas from stdin")
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument(
+        "--frames-in-flight", type=int, default=1,
+        help="present-queue depth: submit up to N frames before blocking "
+        "on the oldest (the swapchain frames-in-flight pattern — wgpu's "
+        "default desired_maximum_frame_latency is 2). 1 = fully "
+        "synchronous. Latency is still measured submit->ready per frame, "
+        "so queue wait is included honestly",
+    )
+    ap.add_argument(
+        "--sync", default="probe", choices=("probe", "block"),
+        help="frame completion barrier: 'probe' reads back one texel "
+        "(the only honest barrier on the axon tunnel, ~33 ms RTT, "
+        "docs/TIMING.md); 'block' trusts block_until_ready (fine on "
+        "directly attached devices, lies on the tunnel)",
+    )
+    ap.add_argument(
         "--stats-interval", type=int, default=0,
         help="device-stats read period for overflow detection (0 = never "
         "read: required for full speed over the axon tunnel, where one "
@@ -187,8 +211,19 @@ def main():
         "used here (auto = when --stats-interval 0)",
     )
     ap.add_argument("--probe-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform (e.g. cpu). Note the axon TPU plugin "
+        "ignores the JAX_PLATFORMS env var, so this uses "
+        "jax.config.update, which wins",
+    )
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/sc_tpu_jax")
@@ -230,17 +265,31 @@ def main():
     rig.pos = rig.target_pos.copy()
     rig.yaw, rig.pitch = rig.target_yaw, rig.target_pitch
 
+    from superconductor_tpu.render.present import (
+        PresentQueue,
+        block_sync,
+        probe_sync,
+    )
+
     out = w.resource(FrameOutput)
     dt = 1.0 / 60.0
+    depth = max(1, args.frames_in_flight)
+    queue = PresentQueue(
+        depth, sync=probe_sync if args.sync == "probe" else block_sync
+    )
 
     def present(keys=frozenset(), mouse=(0.0, 0.0)):
-        """One present-loop iteration -> blocking latency in seconds."""
+        """One present-loop iteration: apply input, run the ECS schedule,
+        submit the frame. Returns the completed (oldest in-flight)
+        frame's input-to-ready latency in seconds, or None while the
+        present queue is still filling (see PresentQueue)."""
         t0 = time.time()
         rig.apply_keys(keys, dt=dt, mouse=mouse)
         cam_res.camera.position, cam_res.camera.rotation = rig.update(dt)
         app.update()
-        out.image.block_until_ready()
-        return time.time() - t0
+        return queue.submit(out.image, t_start=t0)
+
+    drain = queue.drain
 
     # warmup: model load (async) + jit compile
     for _ in range(100):
@@ -249,6 +298,7 @@ def main():
             break
     for _ in range(args.warmup):
         present()
+    list(drain())  # enter the measured loop with an empty present queue
 
     if args.selftest > 0:
         keyset = ["w", "w", "w+d", "w+d", "w+a", "s", "w+e", "w+q"]
@@ -258,13 +308,18 @@ def main():
         while time.time() - t_start < args.selftest:
             keys = frozenset(keyset[(n // 30) % len(keyset)].split("+"))
             mouse = (1.1 * np.sin(0.02 * n), 0.35 * np.cos(0.013 * n))
-            lat.append(present(keys, mouse))
+            s = present(keys, mouse)
+            if s is not None:
+                lat.append(s)
             n += 1
+        lat.extend(drain())
         total = time.time() - t_start
         lat_ms = np.array(lat) * 1e3
         report = {
             "mode": "selftest",
             "frames": n,
+            "frames_in_flight": depth,
+            "sync": args.sync,
             "seconds": round(total, 2),
             "fps": round(n / total, 1),
             "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
@@ -294,6 +349,7 @@ def main():
             if "save" in cmd:
                 import imageio.v3 as iio
 
+                lat_hist.extend(s * 1e3 for s in drain())  # newest frame
                 iio.imwrite(cmd["save"], np.asarray(out.image)[0])
                 print(json.dumps({"saved": cmd["save"]}), flush=True)
                 continue
@@ -302,8 +358,11 @@ def main():
             )
             mouse = tuple(cmd.get("mouse", (0.0, 0.0)))
             s = present(keys, mouse)
-            lat_hist.append(s * 1e3)
             n += 1
+            if s is None:  # pipeline still filling
+                print(json.dumps({"frame": n, "queued": True}), flush=True)
+                continue
+            lat_hist.append(s * 1e3)
             hist = np.array(lat_hist[-600:])
             print(
                 json.dumps(
