@@ -47,27 +47,174 @@ def _aim(cam, target, look_at, mat4_inverse, mat3_to_quat):
     cam.rotation = mat3_to_quat(mat4_inverse(v)[:3, :3])
 
 
-def _measure(frame_fn, device_fn=None, n=40, windows=5, device_windows=16,
-             device_n=200):
+def make_unrolled(dev, state0, config, env, k):
+    """K back-to-back frame copies in ONE executable, image output.
+
+    The tunnel-proof device-time metric is the unroll-count SLOPE of
+    t(k) (see measure_device_delta — (t(k=4) - t(k=1)) / 3):
+    all executables are dispatched with the identical window pattern, so
+    every transport cost (dispatch floor, RTT) is common-mode and cancels;
+    what remains is exactly one frame of on-device work. Two compilation
+    pitfalls shape this design (both measured 2026-08-17):
+
+    * The copies are a straight-line unroll, NOT a loop — wrapping the
+      frame in lax.fori_loop compiles a different, massively slower
+      program (fused gather layouts lost: 753 ms/frame vs 0.23 ms).
+    * The output must stay an IMAGE — reducing to a scalar inside the jit
+      ALSO de-optimizes the frame body (27 ms/frame at 256px), and the
+      tunnel's block_until_ready can return speculatively for scalar
+      results, silently not waiting (even device faults go unsurfaced).
+      With the (V,H,W,4) u8 output kept, blocking is honest and per-copy
+      layout assignment matches the production frame executable.
+
+    Copy i scales view_proj by (1 + i*1e-6) — ~3 f32 ulps on unit-scale
+    entries, invisible after u8 quantization (1/255), but a real bit
+    change so no two copies CSE. An earlier additive +i*1e-12 was a
+    lesson: it underflows against f32 eps (1.2e-7), every copy became
+    bit-identical, XLA folded the whole unroll to ONE frame, and the
+    bench reported delta ~= 0 (BENCH r3b: -0.003/-0.0/-0.002 ms).
+    Copies combine by elementwise max so every pixel stays live."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from superconductor_tpu.render.frame import render_frame_impl
+
+    step = functools.partial(render_frame_impl, config=config, env=env)
+
+    @jax.jit
+    def run(dev_arrays, state):
+        out = None
+        for i in range(k):
+            u = dict(state.uniforms)
+            u["view_proj"] = u["view_proj"] * (1.0 + jnp.float32(i) * 1e-6)
+            img = step(dev_arrays, state._replace(uniforms=u))
+            out = img if out is None else jnp.maximum(out, img)
+        return out
+
+    fn = lambda: run(dev, state0)  # noqa: E731
+    # AOT handle for validation: compiled-FLOPs must scale ~k, proving
+    # the copies were not CSE-folded (tools/check_unroll.py).
+    fn.lowered = lambda: run.lower(dev, state0)
+    return fn
+
+
+def _sync(img):
+    """The only honest completion barrier on the axon tunnel.
+
+    block_until_ready() RACES on this transport: called immediately after
+    the dispatch it is meant to await, it can return in ~0 ms with the
+    execution still queued (measured 2026-08-17: block 0.0 ms, the
+    subsequent 4-byte readback then waited 32.7 s for the backlog). Every
+    timing loop that dispatches and immediately blocks therefore measures
+    DISPATCH RATE, not render rate — this is how the r1/r2 wall-clock FPS
+    numbers were inflated ~500x. A device_get of one pixel cannot lie:
+    the 4-byte answer does not exist until the frame executed. Costs one
+    transport RTT (~33 ms, measured via _probe_rtt) which is common-mode
+    in the unroll-count slope."""
+    import jax
+
+    return jax.device_get(img[(0,) * img.ndim])
+
+
+def _probe_rtt(img, n=5):
+    """Median readback latency of an ALREADY-materialized buffer: the
+    transport floor that _sync adds on top of true device time."""
+    _sync(img)  # materialize
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _sync(img)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3
+
+
+def measure_device_delta(results, calls=3, repeats=3):
+    """Measure every scene's TRUE on-device frame time (unroll slope).
+
+    Estimator: each of the k=1/2/4 unrolled executables is timed over
+    `calls` dispatch+_sync round trips (median); the reported frame time
+    is the slope (t(k=4) - t(k=1)) / 3, which cancels the transport RTT
+    and any fixed per-program cost exactly — both endpoints carry the
+    identical dispatch+readback pattern, and only real frame copies
+    differ. The whole interleaved set runs `repeats` times; the median
+    repeat is reported and (max-min)/median across repeats is
+    delta_spread, the run's own round-over-round comparability figure.
+    t(k=2) is a linearity cross-check: delta21 = t2-t1 and
+    delta42 = (t4-t2)/2 should bracket the slope. tools/check_unroll.py
+    separately proves (via compiled FLOPs) that the k copies were not
+    CSE-folded — an earlier underflowing perturbation was, silently.
+
+    Few calls suffice because per-call times here are 100s of ms of real
+    device work with sub-ms jitter (measured spread between full repeats:
+    <1%), unlike the sub-ms dispatch-floor timings this replaced.
+
+    Sets r["delta_ms"], r["delta_spread"], r["delta_check_ms"] =
+    (delta21, delta42) of the median repeat, r["rtt_ms"], or
+    r["delta_error"]."""
+
+    def timed_ms(fn):
+        ts = []
+        for _ in range(calls):
+            t0 = time.perf_counter()
+            _sync(fn())
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2] * 1e3
+
+    for r in results:
+        if "delta_fns" not in r:
+            continue
+        try:
+            f1, f2, f4 = r["delta_fns"]
+            for f in (f1, f2, f4):
+                _sync(f())  # compile + settle
+            r["rtt_ms"] = _probe_rtt(f1())
+            reps = []
+            for _ in range(repeats):
+                t1 = timed_ms(f1)
+                t2 = timed_ms(f2)
+                t4 = timed_ms(f4)
+                reps.append((t1, t2, t4))
+            reps.sort(key=lambda w: w[2] - w[0])
+            t1, t2, t4 = reps[len(reps) // 2]
+            mid = (t4 - t1) / 3
+            lo = (reps[0][2] - reps[0][0]) / 3
+            hi = (reps[-1][2] - reps[-1][0]) / 3
+            r["delta_ms"] = mid
+            r["delta_spread"] = (hi - lo) / mid if mid > 0 else None
+            r["delta_check_ms"] = (t2 - t1, (t4 - t2) / 2)
+        except Exception as e:  # noqa: BLE001 - report, don't kill the bench
+            r["delta_error"] = f"{type(e).__name__}: {e}"[:200]
+
+
+def _measure(frame_fn, device_fn=None, n=25, windows=4, device_windows=4,
+             device_n=25):
     """Returns {"fps", "compile_s", "img", "device_ms", "device_spread"}.
+    The TRUE frame-time metric is NOT measured here (measure_device_delta).
 
-    fps: median FPS over `windows` timing windows of `n` frames each,
-    including per-frame host draw-build work — the end-to-end number. The
-    axon tunnel adds multi-ms interference spikes, so a single window can
-    under-report by 2x; the median absorbs most of it but r01->r02 showed
-    ~30% residual drift, hence:
+    WARNING — both numbers below are DISPATCH rates, not render rates
+    (discovered 2026-08-17, docs/TIMING.md): block_until_ready() called
+    right after a dispatch races on the axon transport and returns without
+    waiting, so these loops time how fast frames can be SUBMITTED. They
+    are kept (reported as dispatch_fps/dispatch_ms) for continuity with
+    the r1/r2 records, which were produced by exactly these loops.
 
-    device_ms: regression-proof steady-state frame time — `device_fn`
-    replays ONE pre-built frame (no host draw-build, dispatches enqueue
-    asynchronously, one sync per window) and the MIN over `device_windows`
-    windows of `device_n` frames is reported. Interference can only
-    inflate a window, never deflate it, so min-of-windows converges on the
-    true pipelined device throughput and is comparable round over round.
-    device_n is LONG (200): measured on this tunnel (2026-08-17), 40-frame
-    windows still carry 2x dispatch-latency spikes, while 200-frame
-    windows sit within ~6% of each other (min 0.172 / p50 0.183 ms on the
-    headline scene). device_spread = (max-min)/min across windows, the
-    run's own noise figure.
+    fps: median over `windows` windows of `n` frames each, including
+    per-frame host draw-build work — an upper bound on end-to-end rate,
+    and still the honest measure of HOST-side per-frame cost.
+
+    device_ms: min-of-windows replay of one pre-built frame. With the
+    broken barrier this is the transport's per-dispatch floor (~0.2-0.5
+    ms), NOT device time — the true number is measure_device_delta's
+    unroll slope with the _sync readback barrier.
+
+    Window sizes are deliberately SMALL now (the r1/r2 values were 16
+    windows x 200 frames): every un-awaited dispatch queues ~0.65 s of
+    real device work that measure_device_delta's first honest _sync must
+    then drain — 3200 queued frames made the bench take hours.
     """
     t0 = time.time()
     img = frame_fn(0.0)
@@ -138,10 +285,14 @@ def bench_headline(sc, width=1920, height=1080):
         return sc.render_frame(dev, state, config, env)
 
     state0 = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
-    return _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    r["delta_fns"] = tuple(
+        make_unrolled(dev, state0, config, env, k) for k in (1, 2, 4)
+    )
+    return r
 
 
-def bench_all_passes(sc, width=1920, height=1080, n_spheres=8):
+def all_passes_scene(sc, width=1920, height=1080, n_spheres=8):
     """Everything on, 1080p, real compressed assets + Sponza-scale load.
 
     The bulk triangle load is the committed dense_terrain.glb fixture
@@ -149,7 +300,11 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=8):
     tools/make_dense_fixture.py), so the full asset path (meshopt decode ->
     mega-buffers -> LOD select -> texture sampling) carries the bench the
     way demo/src/lib.rs:57-193 feeds the reference; procedural spheres
-    provide the alpha-clip/blend materials."""
+    provide the alpha-clip/blend materials.
+
+    Returns (dev, build, config, env): device scene arrays, a
+    build(angle)->FrameState closure, the all-passes RenderConfig, and the
+    EnvBindings — shared by bench_all_passes and tools/pass_costs.py."""
     from superconductor_tpu.assets.environment import (
         load_ibl_cubemap,
         load_lightvol,
@@ -282,11 +437,21 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=8):
             scene, instances, uniforms, lines=lines, particles=particles
         )
 
+    return dev, build, config, env
+
+
+def bench_all_passes(sc, width=1920, height=1080, n_spheres=8):
+    dev, build, config, env = all_passes_scene(sc, width, height, n_spheres)
+
     def frame(angle):
         return sc.render_frame(dev, build(angle), config, env)
 
     state0 = build(0.0)
-    return _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    r["delta_fns"] = tuple(
+        make_unrolled(dev, state0, config, env, k) for k in (1, 2, 4)
+    )
+    return r
 
 
 def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
@@ -392,7 +557,11 @@ def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
         )
 
     state0 = build_fixed()
-    return _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    r["delta_fns"] = tuple(
+        make_unrolled(dev, state0, config, env, k) for k in (1, 2, 4)
+    )
+    return r
 
 
 def main():
@@ -439,28 +608,64 @@ def main():
 
         iio.imwrite(os.environ["SC_BENCH_SAVE"], np.asarray(head["img"])[0])
 
-    fps = head["fps"]
+    # True-device-time metric (unroll slope with honest _sync barriers —
+    # see measure_device_delta/_sync). Run last so its compiles don't sit
+    # between the wall-clock windows.
+    measure_device_delta([r for r in (head, allp, stereo) if r is not None])
+
+    # HEADLINE VALUE = true on-device frame rate, 1000/delta_ms. The r1/r2
+    # benches reported the dispatch-rate wall clock here (1229-2073 "fps"):
+    # block_until_ready() races on this transport and those loops never
+    # actually awaited a frame (docs/TIMING.md). The wall-clock loop is
+    # still reported as dispatch_fps for continuity, clearly renamed.
+    delta = head.get("delta_ms")
+    fps = 1e3 / delta if delta and delta > 0 else head["fps"]
     out = {
-        "metric": "FPS 1920x1080 PBR+IBL 15.5k-tri scene (TPU v5e)",
+        "metric": "true device FPS 1920x1080 PBR+IBL 15.5k-tri scene "
+                  "(TPU v5e via axon tunnel; executor ~300x below v5e "
+                  "spec, see docs/TIMING.md)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
     }
+    if not (delta and delta > 0):
+        out["metric"] = ("DISPATCH-RATE " + out["metric"] +
+                         " [delta metric failed — wall-clock fallback]")
 
     def add(prefix, r, views=1):
-        """Regression-proof device metrics: min-of-windows frame time on a
-        fixed pre-built state + its run-internal spread + shaded px/s."""
+        """Regression metrics. device_delta_ms (true on-device frame time,
+        honest barrier, transport cancels in the slope) is THE
+        round-over-round comparable; dispatch_ms/dispatch_fps are the old
+        pipelined wall-clock numbers kept for r1/r2 continuity — they
+        measure transport dispatch rate, NOT render rate."""
         if r["device_ms"] is not None:
-            out[f"{prefix}device_ms"] = round(r["device_ms"], 3)
-            out[f"{prefix}device_spread"] = round(r["device_spread"], 3)
+            out[f"{prefix}dispatch_ms"] = round(r["device_ms"], 3)
+            out[f"{prefix}dispatch_spread"] = round(r["device_spread"], 3)
+        if r.get("delta_ms") is not None:
+            out[f"{prefix}device_delta_ms"] = round(r["delta_ms"], 3)
             out[f"{prefix}mpix_per_s"] = round(
-                1920 * 1080 * views / (r["device_ms"] * 1e-3) / 1e6, 1
+                1920 * 1080 * views / (r["delta_ms"] * 1e-3) / 1e6, 2
             )
+            if r.get("delta_spread") is not None:
+                out[f"{prefix}device_delta_spread"] = round(
+                    r["delta_spread"], 3
+                )
+            d21, d42 = r["delta_check_ms"]
+            out[f"{prefix}device_delta_check_ms"] = [
+                round(d21, 3), round(d42, 3)
+            ]
+        if r.get("rtt_ms") is not None:
+            out[f"{prefix}rtt_ms"] = round(r["rtt_ms"], 1)
+        if r.get("delta_error"):
+            out[f"{prefix}device_delta_error"] = r["delta_error"]
 
     add("", head)
+    out["dispatch_fps"] = round(head["fps"], 2)
     if allp is not None:
-        out["all_passes_fps"] = round(allp["fps"], 2)
-        out["all_passes_vs_baseline"] = round(allp["fps"] / 60.0, 3)
+        out["all_passes_dispatch_fps"] = round(allp["fps"], 2)
+        d = allp.get("delta_ms")
+        if d and d > 0:
+            out["all_passes_true_fps"] = round(1e3 / d, 2)
         out["all_passes_scene"] = (
             "1080p, ~240k tris (dense_terrain 114k meshopt/LOD fixture + "
             "sponza_cubes + 8 spheres), bcn lightvol+noon IBL, "
@@ -468,8 +673,10 @@ def main():
         )
         add("all_passes_", allp)
     if stereo is not None:
-        out["stereo_anim_fps"] = round(stereo["fps"], 2)
-        out["stereo_anim_vs_baseline"] = round(stereo["fps"] / 60.0, 3)
+        out["stereo_anim_dispatch_fps"] = round(stereo["fps"], 2)
+        d = stereo.get("delta_ms")
+        if d and d > 0:
+            out["stereo_anim_true_fps"] = round(1e3 / d, 2)
         out["stereo_anim_scene"] = (
             "2x1080p stereo, 6 skinned 8-joint tubes (37k anim tris) "
             "+ 6 PBR spheres (93k tris), per-frame FK palettes"
