@@ -131,28 +131,37 @@ def _probe_rtt(img, n=5):
     return ts[len(ts) // 2] * 1e3
 
 
-def measure_device_delta(results, calls=3, repeats=3):
+def measure_device_delta(results, calls=3, repeats=3, budget_s=None,
+                         t_start=None):
     """Measure every scene's TRUE on-device frame time (unroll slope).
 
-    Estimator: each of the k=1/2/4 unrolled executables is timed over
-    `calls` dispatch+_sync round trips (median); the reported frame time
-    is the slope (t(k=4) - t(k=1)) / 3, which cancels the transport RTT
-    and any fixed per-program cost exactly — both endpoints carry the
-    identical dispatch+readback pattern, and only real frame copies
-    differ. The whole interleaved set runs `repeats` times; the median
-    repeat is reported and (max-min)/median across repeats is
-    delta_spread, the run's own round-over-round comparability figure.
-    t(k=2) is a linearity cross-check: delta21 = t2-t1 and
-    delta42 = (t4-t2)/2 should bracket the slope. tools/check_unroll.py
-    separately proves (via compiled FLOPs) that the k copies were not
-    CSE-folded — an earlier underflowing perturbation was, silently.
+    Estimator: each of the k-unrolled executables in r["delta_fns"]
+    (a tuple of (k, fn) pairs, k ascending) is timed over `calls`
+    dispatch+_sync round trips (median); the reported frame time is the
+    slope (t(k_max) - t(k_1)) / (k_max - k_1), which cancels the
+    transport RTT and any fixed per-program cost exactly — all
+    endpoints carry the identical dispatch+readback pattern, and only
+    real frame copies differ. The whole interleaved set runs `repeats`
+    times; the median repeat is reported and (max-min)/median across
+    repeats is delta_spread, the run's own round-over-round
+    comparability figure. Intermediate k's are linearity cross-checks:
+    delta_check_ms lists the consecutive-pair slopes, which should
+    bracket the headline slope. tools/check_unroll.py separately proves
+    (via compiled FLOPs) that the k copies were not CSE-folded — an
+    earlier underflowing perturbation was, silently.
 
     Few calls suffice because per-call times here are 100s of ms of real
     device work with sub-ms jitter (measured spread between full repeats:
     <1%), unlike the sub-ms dispatch-floor timings this replaced.
 
-    Sets r["delta_ms"], r["delta_spread"], r["delta_check_ms"] =
-    (delta21, delta42) of the median repeat, r["rtt_ms"], or
+    budget_s/t_start: overall bench wall-clock budget. Scenes are
+    processed in order; once elapsed exceeds the budget the remaining
+    scenes get delta_error="skipped: bench budget" instead of hanging
+    the driver on more multi-minute unroll compiles (the scene order in
+    main() puts the headline metric first, so it always lands).
+
+    Sets r["delta_ms"], r["delta_spread"], r["delta_check_ms"] (list of
+    consecutive-pair slopes of the median repeat), r["rtt_ms"], or
     r["delta_error"]."""
 
     def timed_ms(fn):
@@ -167,31 +176,43 @@ def measure_device_delta(results, calls=3, repeats=3):
     for r in results:
         if "delta_fns" not in r:
             continue
+        if (budget_s is not None and t_start is not None
+                and time.time() - t_start > budget_s):
+            r["delta_error"] = "skipped: bench budget"
+            print(f"# delta[{r.get('tag', '?')}]: skipped (budget "
+                  f"{budget_s:.0f}s exceeded)", file=sys.stderr, flush=True)
+            continue
         try:
-            f1, f2, f4 = r["delta_fns"]
-            for f in (f1, f2, f4):
+            pairs = list(r["delta_fns"])
+            ks = [k for k, _ in pairs]
+            fns = [f for _, f in pairs]
+            for k, f in pairs:
+                t0 = time.time()
                 _sync(f())  # compile + settle
-            r["rtt_ms"] = _probe_rtt(f1())
+                print(f"# delta[{r.get('tag', '?')}] k={k}: compile+settle "
+                      f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+            r["rtt_ms"] = _probe_rtt(fns[0]())
             reps = []
             for _ in range(repeats):
-                t1 = timed_ms(f1)
-                t2 = timed_ms(f2)
-                t4 = timed_ms(f4)
-                reps.append((t1, t2, t4))
-            reps.sort(key=lambda w: w[2] - w[0])
-            t1, t2, t4 = reps[len(reps) // 2]
-            mid = (t4 - t1) / 3
-            lo = (reps[0][2] - reps[0][0]) / 3
-            hi = (reps[-1][2] - reps[-1][0]) / 3
+                reps.append([timed_ms(f) for f in fns])
+            span = ks[-1] - ks[0]
+            reps.sort(key=lambda w: w[-1] - w[0])
+            mid_rep = reps[len(reps) // 2]
+            mid = (mid_rep[-1] - mid_rep[0]) / span
+            lo = (reps[0][-1] - reps[0][0]) / span
+            hi = (reps[-1][-1] - reps[-1][0]) / span
             r["delta_ms"] = mid
             r["delta_spread"] = (hi - lo) / mid if mid > 0 else None
-            r["delta_check_ms"] = (t2 - t1, (t4 - t2) / 2)
+            r["delta_check_ms"] = [
+                (mid_rep[i + 1] - mid_rep[i]) / (ks[i + 1] - ks[i])
+                for i in range(len(ks) - 1)
+            ]
         except Exception as e:  # noqa: BLE001 - report, don't kill the bench
             r["delta_error"] = f"{type(e).__name__}: {e}"[:200]
 
 
-def _measure(frame_fn, device_fn=None, n=25, windows=4, device_windows=4,
-             device_n=25):
+def _measure(frame_fn, device_fn=None, n=10, windows=2, device_windows=2,
+             device_n=10):
     """Returns {"fps", "compile_s", "img", "device_ms", "device_spread"}.
     The TRUE frame-time metric is NOT measured here (measure_device_delta).
 
@@ -286,8 +307,10 @@ def bench_headline(sc, width=1920, height=1080):
 
     state0 = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
     r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    # Headline metric: full k=1/2/4 rig (slope + linearity cross-check).
+    r["tag"] = "headline"
     r["delta_fns"] = tuple(
-        make_unrolled(dev, state0, config, env, k) for k in (1, 2, 4)
+        (k, make_unrolled(dev, state0, config, env, k)) for k in (1, 2, 4)
     )
     return r
 
@@ -448,8 +471,12 @@ def bench_all_passes(sc, width=1920, height=1080, n_spheres=8):
 
     state0 = build(0.0)
     r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    # Secondary scene: 2-point slope (k=1,2) — same RTT/fixed-cost
+    # cancellation, one fewer multi-minute unroll compile; linearity was
+    # established by the headline's 3-point rig (delta_check brackets).
+    r["tag"] = "all_passes"
     r["delta_fns"] = tuple(
-        make_unrolled(dev, state0, config, env, k) for k in (1, 2, 4)
+        (k, make_unrolled(dev, state0, config, env, k)) for k in (1, 2)
     )
     return r
 
@@ -558,8 +585,9 @@ def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
 
     state0 = build_fixed()
     r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
+    r["tag"] = "stereo"
     r["delta_fns"] = tuple(
-        make_unrolled(dev, state0, config, env, k) for k in (1, 2, 4)
+        (k, make_unrolled(dev, state0, config, env, k)) for k in (1, 2)
     )
     return r
 
@@ -574,11 +602,28 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import superconductor_tpu as sc
 
+    # Overall wall-clock budget. Cold unroll compiles through the tunnel
+    # are multi-minute each; the budget guarantees the bench always
+    # prints its JSON line instead of hanging a driver timeout. Scene
+    # order (headline delta first) protects the primary metric.
+    t_bench0 = time.time()
+    budget_s = float(os.environ.get("SC_BENCH_BUDGET_S", "4200"))
+
+    def progress(msg):
+        print(f"# [{time.time() - t_bench0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    progress("headline scene...")
     head = bench_headline(sc)
+    # Primary metric first: its unroll compiles + slope run before the
+    # secondary scenes can eat the budget.
+    progress("headline device-delta (k=1/2/4 unroll compiles + slope)...")
+    measure_device_delta([head], budget_s=budget_s, t_start=t_bench0)
 
     allp = None
     if os.path.exists(f"{REF_ASSETS}/models/sponza_cubes.glb"):
         try:
+            progress("all-passes scene...")
             allp = bench_all_passes(sc)
             if os.environ.get("SC_BENCH_SAVE"):
                 import imageio.v3 as iio
@@ -592,6 +637,7 @@ def main():
 
     stereo = None
     try:
+        progress("stereo+animated scene...")
         stereo = bench_stereo_animated(sc)
         if os.environ.get("SC_BENCH_SAVE"):
             import imageio.v3 as iio
@@ -608,10 +654,16 @@ def main():
 
         iio.imwrite(os.environ["SC_BENCH_SAVE"], np.asarray(head["img"])[0])
 
-    # True-device-time metric (unroll slope with honest _sync barriers —
-    # see measure_device_delta/_sync). Run last so its compiles don't sit
-    # between the wall-clock windows.
-    measure_device_delta([r for r in (head, allp, stereo) if r is not None])
+    # True-device-time metric for the secondary scenes (the headline's
+    # was measured first, right after its own scene). 2-point slopes
+    # with honest _sync barriers; skipped with a marker if over budget.
+    progress("secondary device-deltas (k=1/2 unroll slopes)...")
+    measure_device_delta(
+        [r for r in (allp, stereo)
+         if r is not None and "delta_ms" not in r and "delta_error" not in r],
+        budget_s=budget_s, t_start=t_bench0,
+    )
+    progress("done measuring; emitting JSON")
 
     # HEADLINE VALUE = true on-device frame rate, 1000/delta_ms. The r1/r2
     # benches reported the dispatch-rate wall clock here (1229-2073 "fps"):
@@ -650,9 +702,8 @@ def main():
                 out[f"{prefix}device_delta_spread"] = round(
                     r["delta_spread"], 3
                 )
-            d21, d42 = r["delta_check_ms"]
             out[f"{prefix}device_delta_check_ms"] = [
-                round(d21, 3), round(d42, 3)
+                round(d, 3) for d in r["delta_check_ms"]
             ]
         if r.get("rtt_ms") is not None:
             out[f"{prefix}rtt_ms"] = round(r["rtt_ms"], 1)
