@@ -1,0 +1,73 @@
+"""Unit tests for bench.py's honest-timing harness (no device needed).
+
+The unroll-count-slope estimator (docs/TIMING.md) is the round-over-round
+regression metric; these tests pin its arithmetic with mock "executables"
+whose cost is a known sleep, so a refactor that breaks slope/check/budget
+logic fails fast on CPU."""
+
+import sys
+import time
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import bench
+
+
+PER_COPY_MS = 60.0  # coarse enough that scheduler sleep-overshoot
+TOL_MS = 20.0  # (a few ms under load) stays well inside tolerance
+
+
+def _mk(k, fixed_s=0.010):
+    """Mock unrolled executable: k frame copies + fixed per-program cost."""
+
+    def f():
+        time.sleep(fixed_s + PER_COPY_MS * 1e-3 * k)
+        return np.zeros((1, 4, 4, 4), np.uint8)
+
+    return f
+
+
+def test_slope_three_point():
+    r = {"tag": "t3", "delta_fns": ((1, _mk(1)), (2, _mk(2)), (4, _mk(4)))}
+    bench.measure_device_delta([r], calls=3, repeats=3)
+    # slope recovers the per-copy cost, cancelling the fixed cost
+    assert abs(r["delta_ms"] - PER_COPY_MS) < TOL_MS, r["delta_ms"]
+    assert len(r["delta_check_ms"]) == 2
+    for d in r["delta_check_ms"]:
+        assert abs(d - PER_COPY_MS) < 2 * TOL_MS, r["delta_check_ms"]
+    assert r["rtt_ms"] < 50.0
+
+
+def test_slope_two_point():
+    r = {"tag": "t2", "delta_fns": ((1, _mk(1)), (2, _mk(2)))}
+    bench.measure_device_delta([r], calls=3, repeats=3)
+    assert abs(r["delta_ms"] - PER_COPY_MS) < TOL_MS, r["delta_ms"]
+    assert len(r["delta_check_ms"]) == 1
+
+
+def test_budget_skips_and_marks():
+    calls = []
+
+    def spy():
+        calls.append(1)
+        return np.zeros((1, 4, 4, 4), np.uint8)
+
+    r = {"tag": "tb", "delta_fns": ((1, spy), (2, spy))}
+    bench.measure_device_delta(
+        [r], budget_s=1.0, t_start=time.time() - 10.0
+    )
+    assert r["delta_error"] == "skipped: bench budget"
+    assert "delta_ms" not in r
+    assert not calls  # never dispatched
+
+
+def test_delta_error_reported_not_raised():
+    def boom():
+        raise RuntimeError("device fell over")
+
+    r = {"tag": "te", "delta_fns": ((1, boom), (2, boom))}
+    bench.measure_device_delta([r])
+    assert r["delta_error"].startswith("RuntimeError")
