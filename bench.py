@@ -463,8 +463,48 @@ def all_passes_scene(sc, width=1920, height=1080, n_spheres=8):
     return dev, build, config, env
 
 
+def fit_caps(dev, state0, config, env, max_rounds=3):
+    """Right-size the never-drop capacities for a bench scene.
+
+    Runs one stats frame (honest readback) and grows any exceeded cap
+    exactly as the ECS render system would (ecs/systems.py render()):
+    pairs -> p_cap, k-layers -> blend_layers, transparent-shading
+    worklist -> shade_px_cap. Without this, a bench scene whose
+    transparent coverage exceeds shade_px_cap would silently leave
+    pixels unshaded — and the timed executable would be measuring a
+    frame that drops work. Returns the (possibly grown) config."""
+    import jax
+
+    from superconductor_tpu.ecs.systems import _next_pow2
+    from superconductor_tpu.render.frame import render_frame_stats
+
+    for _ in range(max_rounds):
+        _, stats = render_frame_stats(dev, state0, config, env)
+        stats = {k: int(jax.device_get(v)) for k, v in stats.items()}
+        grow = {}
+        if stats["pairs_needed"] > config.p_cap:
+            grow["p_cap"] = _next_pow2(stats["pairs_needed"] * 2)
+        if stats["layers_needed"] > config.blend_layers:
+            grow["blend_layers"] = _next_pow2(stats["layers_needed"])
+        if stats.get("shade_px_needed", 0) > config.shade_px_cap:
+            grow["shade_px_cap"] = _next_pow2(stats["shade_px_needed"] * 2)
+        print(f"# fit_caps: {stats} grow={grow or None}",
+              file=sys.stderr, flush=True)
+        if not grow:
+            return config
+        config = replace_config(config, **grow)
+    return config
+
+
+def replace_config(config, **kw):
+    from dataclasses import replace
+
+    return replace(config, **kw)
+
+
 def bench_all_passes(sc, width=1920, height=1080, n_spheres=8):
     dev, build, config, env = all_passes_scene(sc, width, height, n_spheres)
+    config = fit_caps(dev, build(0.0), config, env)
 
     def frame(angle):
         return sc.render_frame(dev, build(angle), config, env)

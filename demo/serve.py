@@ -61,7 +61,7 @@ REF_ASSETS = "/root/reference/demo/web/assets"
 
 
 def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
-              p_cap=1 << 19, blend_layers=None):
+              p_cap=1 << 19, blend_layers=None, shade_px_cap=None):
     import superconductor_tpu as sc
     from superconductor_tpu.assets.fetch import FileClient
     from superconductor_tpu.ecs.app import App
@@ -71,7 +71,11 @@ def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
     from superconductor_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    cfg_kw = {} if blend_layers is None else {"blend_layers": blend_layers}
+    cfg_kw = {}
+    if blend_layers is not None:
+        cfg_kw["blend_layers"] = blend_layers
+    if shade_px_cap is not None:
+        cfg_kw["shade_px_cap"] = shade_px_cap
     app = App()
     app.add_plugin(
         CorePlugin(
@@ -132,12 +136,13 @@ def capacity_probe(args, width, height, model_path, ibl):
         line = res.stdout.strip().splitlines()[-1]
         caps = json.loads(line)
         print(json.dumps({"probe": caps}), file=sys.stderr)
-        return int(caps["p_cap"]), int(caps["blend_layers"])
+        return (int(caps["p_cap"]), int(caps["blend_layers"]),
+                int(caps.get("shade_px_cap", 0)) or None)
     except Exception as e:  # noqa: BLE001 - probe is best-effort sizing
         print(
             json.dumps({"probe_failed": str(e)[:200]}), file=sys.stderr
         )
-        return 1 << 19, None
+        return 1 << 19, None, None
 
 
 def probe_only(args, width, height, model_path, ibl):
@@ -166,7 +171,8 @@ def probe_only(args, width, height, model_path, ibl):
         cam_res.camera.position, cam_res.camera.rotation = rig.update(1 / 60.0)
         app.update()
     cfg = w.resource(RenderSettings).config
-    print(json.dumps({"p_cap": cfg.p_cap, "blend_layers": cfg.blend_layers}))
+    print(json.dumps({"p_cap": cfg.p_cap, "blend_layers": cfg.blend_layers,
+                      "shade_px_cap": cfg.shade_px_cap}))
     return 0
 
 
@@ -251,13 +257,15 @@ def main():
     from superconductor_tpu.ecs.resources import CameraResource, FrameOutput
     from superconductor_tpu.render.rig import FlyCameraRig
 
-    p_cap, blend_layers = 1 << 19, None
+    p_cap, blend_layers, shade_px_cap = 1 << 19, None, None
     if args.stats_interval == 0 and args.probe == "auto":
-        p_cap, blend_layers = capacity_probe(args, width, height, model_path, ibl)
+        p_cap, blend_layers, shade_px_cap = capacity_probe(
+            args, width, height, model_path, ibl)
 
     app = build_app(width, height, args.raster, model_path, ibl,
                     stats_interval=args.stats_interval,
-                    p_cap=p_cap, blend_layers=blend_layers)
+                    p_cap=p_cap, blend_layers=blend_layers,
+                    shade_px_cap=shade_px_cap)
     w = app.world
     cam_res = w.resource(CameraResource)
     rig = FlyCameraRig(position=(6.0, 3.0, 6.0), speed=6.0)

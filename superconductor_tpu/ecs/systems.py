@@ -396,6 +396,7 @@ def render(world: World) -> None:
     if check_stats is not None:
         pairs = int(check_stats["pairs_needed"])
         layers = int(check_stats["layers_needed"])
+        shade_px = int(check_stats.get("shade_px_needed", 0))
         if pairs > check_config.p_cap:
             grow["p_cap"] = _next_pow2(pairs * 2)
         if layers > check_config.blend_layers:
@@ -404,13 +405,20 @@ def render(world: World) -> None:
             # restoring the reference's draw-every-blended-fragment
             # semantics (rendering.rs:550).
             grow["blend_layers"] = _next_pow2(layers)
+        if shade_px > check_config.shade_px_cap:
+            # More pixels carried transparent fragments than the shading
+            # worklist holds (render_view._compact_px) — some pixels'
+            # clip/blend/particle layers went unshaded. Grow and
+            # re-render (the cap self-limits at the band pixel count).
+            grow["shade_px_cap"] = _next_pow2(shade_px * 2)
     if grow:
         from dataclasses import replace
 
         log.warning(
-            "frame capacity exceeded (bin pairs %d/%d, k-layers %d/%d); "
-            "growing %s and re-rendering",
-            pairs, check_config.p_cap, layers, check_config.blend_layers, grow,
+            "frame capacity exceeded (bin pairs %d/%d, k-layers %d/%d, "
+            "shade px %d/%d); growing %s and re-rendering",
+            pairs, check_config.p_cap, layers, check_config.blend_layers,
+            shade_px, check_config.shade_px_cap, grow,
         )
         config = replace(config, **grow)
         settings.config = config

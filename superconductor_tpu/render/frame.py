@@ -57,6 +57,11 @@ class RenderConfig:
     enable_particles: bool = False
     line_width_px: float = 1.5
     aniso_taps: int = 1  # albedo anisotropic filtering (1 = trilinear)
+    # Transparent-shading worklist capacity: clip/blend/particle layers are
+    # shaded only for pixels that actually have transparent fragments
+    # (fixed-capacity compaction; see _compact_px). Grown by the ECS render
+    # system from the shade_px_needed stat — never silently dropped.
+    shade_px_cap: int = 1 << 17
     # Render each view in this many horizontal bands, sequentially (lax.map)
     # — bounds peak HBM for large resolutions (4K+) at the cost of repeated
     # geometry work per band. 1 = whole frame at once.
@@ -163,6 +168,33 @@ def _rasterize_kbuffer(
     return kb, bins.num_pairs, layers.max()
 
 
+def _compact_px(mask: jax.Array, cap: int):
+    """Fixed-capacity pixel compaction for the transparent-shading passes.
+
+    The k-buffer passes produce fragments on a small fraction of the
+    screen, but shading K layers over every pixel costs K full-screen
+    shades regardless (the all-passes frame measured 33x the opaque-only
+    headline before this). The TPU-idiomatic fix is the same
+    static-capacity expansion used for bin pairs: gather the indices of
+    pixels with any transparent fragment into a bounded worklist, shade
+    only the worklist, scatter the composite back.
+
+    mask: (npx,) bool. Returns (idx, safe, live, needed):
+      idx   (cap',) i32 — set-lane indices, sentinel npx past the end
+      safe  (cap',) i32 — idx clamped for gathers (dead lanes discarded)
+      live  (cap',) bool
+      needed () i32 — true set-lane count; > cap' means the worklist
+      overflowed and the host must grow shade_px_cap and re-render
+      (never-drop, same contract as pairs_needed/p_cap).
+    """
+    npx = mask.shape[0]
+    cap = min(cap, npx)
+    idx = jnp.nonzero(mask, size=cap, fill_value=npx)[0].astype(jnp.int32)
+    live = idx < npx
+    safe = jnp.minimum(idx, npx - 1)
+    return idx, safe, live, jnp.sum(mask.astype(jnp.int32))
+
+
 def _pixel_centers(config: RenderConfig, band_height: int, y_offset):
     ys = jnp.arange(band_height, dtype=jnp.float32) + 0.5 + y_offset
     xs = jnp.arange(config.width, dtype=jnp.float32) + 0.5
@@ -232,10 +264,12 @@ def render_view(
 ):
     """Render one view (or one horizontal band of it) -> (bh, W, 4) f32.
 
-    with_stats: also return {"pairs_needed": i32, "layers_needed": i32} —
-    the max bin-pair count any raster pass in this view needed (vs
-    config.p_cap) and the max per-pixel transparent-fragment count any
-    k-buffer pass saw (vs config.blend_layers)."""
+    with_stats: also return {"pairs_needed", "layers_needed",
+    "shade_px_needed"} (i32) — the max bin-pair count any raster pass in
+    this view needed (vs config.p_cap), the max per-pixel
+    transparent-fragment count any k-buffer pass saw (vs
+    config.blend_layers), and the max transparent-covered-pixel count
+    any compacted shading worklist needed (vs config.shade_px_cap)."""
     band_height = band_height or config.height
     u = state.uniforms
     view_proj = u["view_proj"][view_index]
@@ -255,10 +289,14 @@ def render_view(
     opaque_tri = merged_tri._replace(valid=merged_tri.valid & (blend_mode == 0))
     vis, pairs_needed = _rasterize(opaque_tri, config, band_height, y_offset)
     layers_needed = jnp.int32(0)
+    shade_px_needed = jnp.int32(0)
 
     # --- pass 2: alpha-clip resolve (K nearest candidates, keep the nearest
     # one whose albedo alpha passes the cutoff; the same decision the
-    # in-raster discard makes in fragment_alpha_clipped, lib.rs:405-407) ---
+    # in-raster discard makes in fragment_alpha_clipped, lib.rs:405-407).
+    # Alpha is evaluated only on the compacted worklist of pixels that have
+    # any clip fragment (see _compact_px) — K full-screen albedo fetches
+    # collapse to K worklist-sized ones. ---
     if config.enable_clip:
         from ..ops.shade import albedo_alpha
 
@@ -270,28 +308,44 @@ def render_view(
         )
         pairs_needed = jnp.maximum(pairs_needed, clip_pairs)
         layers_needed = jnp.maximum(layers_needed, clip_layers)
-        chosen_pair = jnp.full_like(vis.pair, -1)
-        chosen_depth = vis.depth
-        chosen_b0 = jnp.zeros_like(vis.b0)
-        chosen_b1 = jnp.zeros_like(vis.b1)
-        found = jnp.zeros(vis.pair.shape, bool)
+        anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
+        idx, safe, live, need = _compact_px(anyhit, config.shade_px_cap)
+        shade_px_needed = jnp.maximum(shade_px_needed, need)
+        pxc, pyc = px[safe], py[safe]
+        vshape = vis.pair.shape
+        chosen_pair = jnp.full(idx.shape, -1, jnp.int32)
+        chosen_depth = vis.depth.reshape(-1)[safe]
+        chosen_b0 = jnp.zeros(idx.shape, jnp.float32)
+        chosen_b1 = jnp.zeros(idx.shape, jnp.float32)
+        found = jnp.zeros(idx.shape, bool)
         for k in range(config.blend_layers):
-            g = gbuffer_of(kb.pair[k], kb.b0[k], kb.b1[k])
+            pair_k = jnp.where(live, kb.pair[k].reshape(-1)[safe], -1)
+            g = interpolate_gbuffer(
+                pair_k, kb.b0[k].reshape(-1)[safe],
+                kb.b1[k].reshape(-1)[safe], pxc, pyc,
+                merged_tri, merged_attrs,
+            )
             a = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
             cutoff = mats["alpha_cutoff"][g.material]
-            ok = (
-                g.valid & (a >= cutoff)
-            ).reshape(vis.pair.shape) & ~found
-            chosen_pair = jnp.where(ok, kb.pair[k], chosen_pair)
-            chosen_depth = jnp.where(ok, kb.depth[k], chosen_depth)
-            chosen_b0 = jnp.where(ok, kb.b0[k], chosen_b0)
-            chosen_b1 = jnp.where(ok, kb.b1[k], chosen_b1)
+            ok = g.valid & (a >= cutoff) & ~found
+            chosen_pair = jnp.where(ok, pair_k, chosen_pair)
+            chosen_depth = jnp.where(ok, kb.depth[k].reshape(-1)[safe], chosen_depth)
+            chosen_b0 = jnp.where(ok, kb.b0[k].reshape(-1)[safe], chosen_b0)
+            chosen_b1 = jnp.where(ok, kb.b1[k].reshape(-1)[safe], chosen_b1)
             found = found | ok
+        # scatter the winning clip surfaces back into the visibility buffer
+        # (unfound worklist lanes rewrite their original values; dead lanes
+        # carry sentinel indices and are dropped)
+        flat = lambda a: a.reshape(-1)  # noqa: E731
+
+        def put(full, values):
+            return flat(full).at[idx].set(values, mode="drop").reshape(vshape)
+
         vis = VisibilityBuffer(
-            depth=chosen_depth,
-            pair=jnp.where(found, chosen_pair, vis.pair),
-            b0=jnp.where(found, chosen_b0, vis.b0),
-            b1=jnp.where(found, chosen_b1, vis.b1),
+            depth=put(vis.depth, chosen_depth),
+            pair=put(vis.pair, jnp.where(found, chosen_pair, flat(vis.pair)[safe])),
+            b0=put(vis.b0, jnp.where(found, chosen_b0, flat(vis.b0)[safe])),
+            b1=put(vis.b1, jnp.where(found, chosen_b1, flat(vis.b1)[safe])),
         )
 
     # --- shade the winning opaque/clip surface ---
@@ -386,11 +440,16 @@ def render_view(
             )
             return sample_spherical_harmonics(fake, scene, u, env)
 
+        # K smoke-shading layers over the compacted covered-pixel worklist
+        anyhit = (pkb.pair >= 0).any(axis=0).reshape(-1)
+        idx, safe, live, need = _compact_px(anyhit, config.shade_px_cap)
+        shade_px_needed = jnp.maximum(shade_px_needed, need)
+        acc = rgb[safe]
         for k in range(config.blend_layers - 1, -1, -1):
             prgb, pa = shade_particles(
-                pkb.pair[k].reshape(-1),
-                pkb.b0[k].reshape(-1),
-                pkb.b1[k].reshape(-1),
+                jnp.where(live, pkb.pair[k].reshape(-1)[safe], -1),
+                pkb.b0[k].reshape(-1)[safe],
+                pkb.b1[k].reshape(-1)[safe],
                 p_attrs,
                 state.particles,
                 scene,
@@ -401,7 +460,8 @@ def render_view(
                 inline_tonemapping=config.inline_tonemapping,
                 inline_srgb=config.inline_srgb,
             )
-            rgb = prgb * pa[..., None] + rgb * (1.0 - pa[..., None])
+            acc = prgb * pa[..., None] + acc * (1.0 - pa[..., None])
+        rgb = rgb.at[idx].set(acc, mode="drop")
 
     # --- pass 3: alpha-blend composite (K nearest blended layers, shaded
     # and blended back-to-front; drawn last like rendering.rs:550) ---
@@ -414,8 +474,19 @@ def render_view(
         )
         pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
         layers_needed = jnp.maximum(layers_needed, blend_layers_seen)
+        # K full shades over the compacted covered-pixel worklist only
+        anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
+        idx, safe, live, need = _compact_px(anyhit, config.shade_px_cap)
+        shade_px_needed = jnp.maximum(shade_px_needed, need)
+        pxc, pyc = px[safe], py[safe]
+        acc = rgb[safe]
         for k in range(config.blend_layers - 1, -1, -1):
-            g = gbuffer_of(kb.pair[k], kb.b0[k], kb.b1[k])
+            g = interpolate_gbuffer(
+                jnp.where(live, kb.pair[k].reshape(-1)[safe], -1),
+                kb.b0[k].reshape(-1)[safe],
+                kb.b1[k].reshape(-1)[safe],
+                pxc, pyc, merged_tri, merged_attrs,
+            )
             lrgb, la = shade(
                 g,
                 scene,
@@ -427,7 +498,8 @@ def render_view(
                 aniso_taps=config.aniso_taps,
             )
             la = jnp.where(g.valid, la, 0.0)
-            rgb = lrgb * la[..., None] + rgb * (1.0 - la[..., None])
+            acc = lrgb * la[..., None] + acc * (1.0 - la[..., None])
+        rgb = rgb.at[idx].set(acc, mode="drop")
 
     # Non-inline path: the reference renders linear HDR to an intermediate
     # buffer and tonemaps in a composite pass (tonemap shader,
@@ -444,7 +516,11 @@ def render_view(
         band_height, config.width, 4
     )
     if with_stats:
-        return img, {"pairs_needed": pairs_needed, "layers_needed": layers_needed}
+        return img, {
+            "pairs_needed": pairs_needed,
+            "layers_needed": layers_needed,
+            "shade_px_needed": shade_px_needed,
+        }
     return img
 
 
@@ -457,19 +533,24 @@ def render_frame_impl(
 ):
     """Unjitted frame body (all views) -> (V, H, W, 4) uint8.
 
-    with_stats: also return {"pairs_needed": i32, "layers_needed": i32}
-    aggregated (max) over all views/bands, so the host can grow
-    p_cap/blend_layers instead of silently truncating."""
+    with_stats: also return {"pairs_needed", "layers_needed",
+    "shade_px_needed"} (i32) aggregated (max) over all views/bands, so
+    the host can grow p_cap/blend_layers/shade_px_cap instead of
+    silently truncating."""
     views = []
-    pairs_needed = jnp.int32(0)
-    layers_needed = jnp.int32(0)
+    stats_acc = {
+        "pairs_needed": jnp.int32(0),
+        "layers_needed": jnp.int32(0),
+        "shade_px_needed": jnp.int32(0),
+    }
     for v in range(config.num_views):
         if config.row_chunks <= 1:
             out = render_view(scene, state, v, config, env, with_stats=with_stats)
             if with_stats:
                 out, stats = out
-                pairs_needed = jnp.maximum(pairs_needed, stats["pairs_needed"])
-                layers_needed = jnp.maximum(layers_needed, stats["layers_needed"])
+                stats_acc = {
+                    k: jnp.maximum(stats_acc[k], stats[k]) for k in stats_acc
+                }
             views.append(to_u8(out))
             continue
         assert config.height % config.row_chunks == 0
@@ -483,18 +564,20 @@ def render_frame_impl(
             )
             if with_stats:
                 img, stats = out
-                return to_u8(img), stats["pairs_needed"], stats["layers_needed"]
+                return to_u8(img), stats
             return to_u8(out)
 
         bands = jax.lax.map(band, y0s)  # (chunks, band_h, W, 4)
         if with_stats:
-            bands, band_pairs, band_layers = bands
-            pairs_needed = jnp.maximum(pairs_needed, band_pairs.max())
-            layers_needed = jnp.maximum(layers_needed, band_layers.max())
+            bands, band_stats = bands
+            stats_acc = {
+                k: jnp.maximum(stats_acc[k], band_stats[k].max())
+                for k in stats_acc
+            }
         views.append(bands.reshape(config.height, config.width, 4))
     image = jnp.stack(views)
     if with_stats:
-        return image, {"pairs_needed": pairs_needed, "layers_needed": layers_needed}
+        return image, stats_acc
     return image
 
 
@@ -505,9 +588,10 @@ def _render_frame_stats_impl(scene, state, config, env=EnvBindings()):
     return render_frame_impl(scene, state, config, env, with_stats=True)
 
 
-# (image, {"pairs_needed": i32, "layers_needed": i32}) variant — used by the
-# ECS render system to detect bin-pair / k-layer overflow and grow
-# p_cap / blend_layers (the grow-never-drop policy of buffers.rs:61-106).
+# (image, {"pairs_needed", "layers_needed", "shade_px_needed"}) variant —
+# used by the ECS render system to detect bin-pair / k-layer / shading-
+# worklist overflow and grow p_cap / blend_layers / shade_px_cap (the
+# grow-never-drop policy of buffers.rs:61-106).
 render_frame_stats = partial(jax.jit, static_argnames=("config", "env"))(
     _render_frame_stats_impl
 )

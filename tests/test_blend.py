@@ -177,7 +177,7 @@ def test_blend_layers_sorted():
     assert abs(c[0] - 64) <= 6
 
 
-def _render_stacked_quads(k_init, n_quads=6):
+def _render_stacked_quads(k_init, n_quads=6, shade_px_cap=1 << 17):
     """ECS render of n stacked half-transparent quads with blend_layers
     starting at k_init -> (image, final RenderConfig)."""
     from superconductor_tpu.ecs.app import App
@@ -199,7 +199,7 @@ def _render_stacked_quads(k_init, n_quads=6):
         CorePlugin(
             config=RenderConfig(
                 width=48, height=48, t_cap=64, t_cap_anim=8, raster="ref",
-                blend_layers=k_init,
+                blend_layers=k_init, shade_px_cap=shade_px_cap,
             )
         )
     )
@@ -242,3 +242,15 @@ def test_blend_layers_grow_never_drop():
     # farthest quad's red contribution must be present
     center = img_auto[24, 24].astype(int)
     assert center.sum() > 0
+
+
+def test_shade_px_cap_grow_never_drop():
+    """The transparent-shading worklist (shade_px_cap) must grow on overflow
+    and re-render, never silently leave covered pixels unshaded. The stacked
+    quads cover far more than 16 pixels; starting from shade_px_cap=16 the
+    ECS must match a generous hand-set cap exactly."""
+    img_auto, cfg_auto = _render_stacked_quads(k_init=8, shade_px_cap=16)
+    assert cfg_auto.shade_px_cap > 16, cfg_auto.shade_px_cap
+    img_manual, cfg_manual = _render_stacked_quads(k_init=8)
+    assert cfg_manual.shade_px_cap == 1 << 17  # no spurious growth
+    assert np.array_equal(img_auto, img_manual)

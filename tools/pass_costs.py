@@ -72,6 +72,9 @@ def main():
 
     dev, build, full_config, env = bench.all_passes_scene(sc, width, height)
     state0 = build(0.0)
+    # Right-size the never-drop capacities (p_cap/blend_layers/shade_px_cap)
+    # first — otherwise a rung could time a frame that silently drops work.
+    full_config = bench.fit_caps(dev, state0, full_config, env)
 
     import jax
     import jax.numpy as jnp
