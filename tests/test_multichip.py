@@ -31,9 +31,26 @@ WIDTH = 64
 HEIGHT = 64  # bands of >= 8 rows (f32 sublane tile) for every mesh shape
 
 
-def _scene(stereo):
+def _scene(stereo, transparent=False):
     scene = sc.Scene()
     model = add_pbr_sphere(scene, stacks=12, slices=12)
+    extra = []
+    if transparent:
+        from superconductor_tpu.scene.scene import (
+            BLEND_ALPHA_BLENDED,
+            BLEND_ALPHA_CLIPPED,
+        )
+
+        for name, bm in (("clip", BLEND_ALPHA_CLIPPED),
+                         ("blend", BLEND_ALPHA_BLENDED)):
+            m = add_pbr_sphere(scene, stacks=10, slices=10, name=name)
+            mat = scene.materials[m.primitives[0].material]
+            mat.blend_mode = bm
+            if bm == BLEND_ALPHA_BLENDED:
+                mat.base_color_factor = (1.0, 0.5, 0.3, 0.5)
+            m.primitives[0].blend_mode = bm
+            extra.append(m)
+        scene._materials_dirty = True
     cubemap_base = gradient_cubemap(scene, size=16)
     cam = sc.Camera(position=np.array([0.0, 0.3, 2.4], np.float32))
     cam.rotation = mat3_to_quat(
@@ -54,18 +71,26 @@ def _scene(stereo):
         )
     else:
         uniforms = sc.make_uniforms(cam, WIDTH, HEIGHT)
-    state = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
+    instances = [(model, sc.Similarity())]
+    for i, m in enumerate(extra):
+        # in front of the opaque sphere so the k-buffer passes have work
+        instances.append(
+            (m, sc.Similarity(translation=[0.5 - i, 0.0, 0.8 + 0.4 * i],
+                              scale=0.6))
+        )
+    state = build_frame_state(scene, instances, uniforms)
     return scene, state, env
 
 
-def _run_pair(n_devices, num_views, raster="ref"):
+def _run_pair(n_devices, num_views, raster="ref", transparent=False,
+              **config_kw):
     devices = jax.devices("cpu")
     if len(devices) < n_devices:
         pytest.skip(f"need {n_devices} devices")
-    scene, state, env = _scene(stereo=num_views == 2)
+    scene, state, env = _scene(stereo=num_views == 2, transparent=transparent)
     config = sc.RenderConfig(
         width=WIDTH, height=HEIGHT, t_cap=512, t_cap_anim=64, p_cap=2048,
-        num_views=num_views, raster=raster,
+        num_views=num_views, raster=raster, **config_kw,
     )
     dev = scene.device_arrays()
     ref = np.asarray(sc.render_frame(dev, state, config, env))
@@ -88,6 +113,28 @@ def test_sharded_view_band_mesh_matches_single_device():
     _assert_match(out, ref, 2)
     # parallax: the two sharded eyes must differ
     assert not np.array_equal(out[0], out[1])
+
+
+def test_sharded_transparent_passes_match_single_device():
+    """Alpha-clip + alpha-blend k-buffer passes (with the compacted
+    shading worklist, render/frame.py _compact_px) under shard_map vs
+    single-device. The worklist is per-band in the sharded path and
+    whole-frame single-device; both are exact, so images must match.
+
+    Slow-gated: compiling the full transparent frame under shard_map on
+    the 1-core CPU backend takes ~17 min (measured 2026-08-18; the
+    opaque sharded test compiles in 22 s). Last green 2026-08-18:
+    exact match, translucent footprint present."""
+    if not os.environ.get("SC_RUN_SLOW"):
+        pytest.skip("set SC_RUN_SLOW=1 (transparent frame under shard_map "
+                    "compiles ~17 min on the 1-core CPU backend)")
+    out, ref = _run_pair(
+        2, 1, transparent=True,
+        enable_clip=True, enable_blend=True, shade_px_cap=1 << 12,
+    )
+    _assert_match(out, ref, 1)
+    # the blended sphere must actually have left a translucent footprint
+    assert not np.array_equal(out, ref * 0)
 
 
 @pytest.mark.parametrize("n_devices,num_views", [(2, 1), (8, 1), (2, 2)])
