@@ -299,13 +299,17 @@ def bench_headline(sc, width=1920, height=1080):
         p_cap=1 << 17, raster="auto",
     )
     dev = scene.device_arrays()
+    state0 = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
+    # Right-size the never-drop caps (opaque_px_cap matters here: the
+    # sphere covers ~23% of 1080p and the compacted opaque shade must
+    # hold all of it; coverage is rotation-invariant for this scene).
+    config = fit_caps(dev, state0, config, env)
 
     def frame(angle):
         sim = sc.Similarity(rotation=quat_from_axis_angle([0, 1, 0], angle))
         state = build_frame_state(scene, [(model, sim)], uniforms)
         return sc.render_frame(dev, state, config, env)
 
-    state0 = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
     r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
     # Headline metric: full k=1/2/4 rig (slope + linearity cross-check).
     r["tag"] = "headline"
@@ -476,8 +480,15 @@ def fit_caps(dev, state0, config, env, max_rounds=3):
     import jax
 
     from superconductor_tpu.ecs.systems import _next_pow2
+    from superconductor_tpu.render import frame as frame_mod
     from superconductor_tpu.render.frame import render_frame_stats
 
+    if config.opaque_px_cap is None:
+        # Seed the compacted opaque shade (growth below right-sizes it;
+        # plain render_frame defaults it off because it has no grower).
+        config = replace_config(
+            config, opaque_px_cap=frame_mod.DEFAULT_OPAQUE_PX_CAP
+        )
     for _ in range(max_rounds):
         _, stats = render_frame_stats(dev, state0, config, env)
         stats = {k: int(jax.device_get(v)) for k, v in stats.items()}
@@ -488,6 +499,10 @@ def fit_caps(dev, state0, config, env, max_rounds=3):
             grow["blend_layers"] = _next_pow2(stats["layers_needed"])
         if stats.get("shade_px_needed", 0) > config.shade_px_cap:
             grow["shade_px_cap"] = _next_pow2(stats["shade_px_needed"] * 2)
+        if (config.opaque_px_cap or 0) and (
+            config.opaque_px_cap < stats.get("opaque_px_needed", 0)
+        ):
+            grow["opaque_px_cap"] = _next_pow2(stats["opaque_px_needed"] * 2)
         print(f"# fit_caps: {stats} grow={grow or None}",
               file=sys.stderr, flush=True)
         if not grow:
@@ -624,6 +639,7 @@ def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
         )
 
     state0 = build_fixed()
+    config = fit_caps(dev, state0, config, env)
     r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
     r["tag"] = "stereo"
     r["delta_fns"] = tuple(

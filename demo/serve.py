@@ -61,7 +61,8 @@ REF_ASSETS = "/root/reference/demo/web/assets"
 
 
 def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
-              p_cap=1 << 19, blend_layers=None, shade_px_cap=None):
+              p_cap=1 << 19, blend_layers=None, shade_px_cap=None,
+              opaque_px_cap=None):
     import superconductor_tpu as sc
     from superconductor_tpu.assets.fetch import FileClient
     from superconductor_tpu.ecs.app import App
@@ -76,6 +77,8 @@ def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
         cfg_kw["blend_layers"] = blend_layers
     if shade_px_cap is not None:
         cfg_kw["shade_px_cap"] = shade_px_cap
+    if opaque_px_cap is not None:
+        cfg_kw["opaque_px_cap"] = opaque_px_cap
     app = App()
     app.add_plugin(
         CorePlugin(
@@ -137,12 +140,13 @@ def capacity_probe(args, width, height, model_path, ibl):
         caps = json.loads(line)
         print(json.dumps({"probe": caps}), file=sys.stderr)
         return (int(caps["p_cap"]), int(caps["blend_layers"]),
-                int(caps.get("shade_px_cap", 0)) or None)
+                int(caps.get("shade_px_cap", 0)) or None,
+                int(caps.get("opaque_px_cap", 0)) or None)
     except Exception as e:  # noqa: BLE001 - probe is best-effort sizing
         print(
             json.dumps({"probe_failed": str(e)[:200]}), file=sys.stderr
         )
-        return 1 << 19, None, None
+        return 1 << 19, None, None, None
 
 
 def probe_only(args, width, height, model_path, ibl):
@@ -172,7 +176,8 @@ def probe_only(args, width, height, model_path, ibl):
         app.update()
     cfg = w.resource(RenderSettings).config
     print(json.dumps({"p_cap": cfg.p_cap, "blend_layers": cfg.blend_layers,
-                      "shade_px_cap": cfg.shade_px_cap}))
+                      "shade_px_cap": cfg.shade_px_cap,
+                      "opaque_px_cap": cfg.opaque_px_cap}))
     return 0
 
 
@@ -257,15 +262,15 @@ def main():
     from superconductor_tpu.ecs.resources import CameraResource, FrameOutput
     from superconductor_tpu.render.rig import FlyCameraRig
 
-    p_cap, blend_layers, shade_px_cap = 1 << 19, None, None
+    p_cap, blend_layers, shade_px_cap, opaque_px_cap = 1 << 19, None, None, None
     if args.stats_interval == 0 and args.probe == "auto":
-        p_cap, blend_layers, shade_px_cap = capacity_probe(
+        p_cap, blend_layers, shade_px_cap, opaque_px_cap = capacity_probe(
             args, width, height, model_path, ibl)
 
     app = build_app(width, height, args.raster, model_path, ibl,
                     stats_interval=args.stats_interval,
                     p_cap=p_cap, blend_layers=blend_layers,
-                    shade_px_cap=shade_px_cap)
+                    shade_px_cap=shade_px_cap, opaque_px_cap=opaque_px_cap)
     w = app.world
     cam_res = w.resource(CameraResource)
     rig = FlyCameraRig(position=(6.0, 3.0, 6.0), speed=6.0)

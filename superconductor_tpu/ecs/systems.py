@@ -350,6 +350,16 @@ def render(world: World) -> None:
 
     config = _derive_config(config, scene, lines, particles)
     config = _grow_capacities(config, state)
+    if settings.stats_interval != 0 and config.opaque_px_cap is None:
+        # Seed the compacted opaque-shading worklist only where the stats
+        # loop below can grow it (never-drop); in zero-read mode
+        # (stats_interval=0) the user pre-sizes caps explicitly and an
+        # unseeded None keeps the always-correct full-screen shade.
+        from dataclasses import replace
+
+        from ..render.frame import DEFAULT_OPAQUE_PX_CAP
+
+        config = replace(config, opaque_px_cap=DEFAULT_OPAQUE_PX_CAP)
     settings.config = config
 
     if settings.env is None:
@@ -397,6 +407,7 @@ def render(world: World) -> None:
         pairs = int(check_stats["pairs_needed"])
         layers = int(check_stats["layers_needed"])
         shade_px = int(check_stats.get("shade_px_needed", 0))
+        opaque_px = int(check_stats.get("opaque_px_needed", 0))
         if pairs > check_config.p_cap:
             grow["p_cap"] = _next_pow2(pairs * 2)
         if layers > check_config.blend_layers:
@@ -411,6 +422,14 @@ def render(world: World) -> None:
             # clip/blend/particle layers went unshaded. Grow and
             # re-render (the cap self-limits at the band pixel count).
             grow["shade_px_cap"] = _next_pow2(shade_px * 2)
+        if (check_config.opaque_px_cap or 0) and (
+            check_config.opaque_px_cap < opaque_px
+        ):
+            # Opaque/clip coverage exceeded the compacted shading worklist
+            # — overflowed pixels showed sky. Grow and re-render; past the
+            # band pixel count render_view statically falls back to the
+            # full-screen shade, so growth self-limits.
+            grow["opaque_px_cap"] = _next_pow2(opaque_px * 2)
     if grow:
         from dataclasses import replace
 

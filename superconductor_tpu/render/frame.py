@@ -62,6 +62,19 @@ class RenderConfig:
     # (fixed-capacity compaction; see _compact_px). Grown by the ECS render
     # system from the shade_px_needed stat — never silently dropped.
     shade_px_cap: int = 1 << 17
+    # Opaque-shading worklist capacity: the deferred PBR shade (gbuffer
+    # interpolation + all material texture taps + SH + BRDF) runs only on
+    # the compacted worklist of pixels the opaque/clip passes actually
+    # covered; misses keep the skybox value with no shading work spent on
+    # them. Same never-drop contract (opaque_px_needed stat, ECS growth).
+    # None/0 disables compaction (full-screen shade + where(hit, ..., sky));
+    # a cap >= the band pixel count also falls back to the full-screen
+    # path, so growth self-limits. Default None because a bare
+    # render_frame() call has no growth loop — overflow would silently
+    # shade fewer pixels. The managed paths (ECS render system, bench
+    # fit_caps, demo capacity probe) seed DEFAULT_OPAQUE_PX_CAP and grow
+    # from the opaque_px_needed stat.
+    opaque_px_cap: Optional[int] = None
     # Render each view in this many horizontal bands, sequentially (lax.map)
     # — bounds peak HBM for large resolutions (4K+) at the cost of repeated
     # geometry work per band. 1 = whole frame at once.
@@ -71,6 +84,11 @@ class RenderConfig:
         if self.raster != "auto":
             return self.raster
         return "pallas" if jax.default_backend() == "tpu" else "ref"
+
+
+# Seed value the managed (growth-capable) paths use for opaque_px_cap:
+# the ECS render system, bench.fit_caps, and the demo capacity probe.
+DEFAULT_OPAQUE_PX_CAP = 1 << 17
 
 
 class FrameState(NamedTuple):
@@ -265,11 +283,13 @@ def render_view(
     """Render one view (or one horizontal band of it) -> (bh, W, 4) f32.
 
     with_stats: also return {"pairs_needed", "layers_needed",
-    "shade_px_needed"} (i32) — the max bin-pair count any raster pass in
-    this view needed (vs config.p_cap), the max per-pixel
-    transparent-fragment count any k-buffer pass saw (vs
-    config.blend_layers), and the max transparent-covered-pixel count
-    any compacted shading worklist needed (vs config.shade_px_cap)."""
+    "shade_px_needed", "opaque_px_needed"} (i32) — the max bin-pair count
+    any raster pass in this view needed (vs config.p_cap), the max
+    per-pixel transparent-fragment count any k-buffer pass saw (vs
+    config.blend_layers), the max transparent-covered-pixel count any
+    compacted shading worklist needed (vs config.shade_px_cap), and the
+    opaque/clip covered-pixel count (vs config.opaque_px_cap; 0 when the
+    full-screen shading path is active and nothing can be dropped)."""
     band_height = band_height or config.height
     u = state.uniforms
     view_proj = u["view_proj"][view_index]
@@ -348,22 +368,9 @@ def render_view(
             b1=put(vis.b1, jnp.where(found, chosen_b1, flat(vis.b1)[safe])),
         )
 
-    # --- shade the winning opaque/clip surface ---
-    gbuf = gbuffer_of(vis.pair, vis.b0, vis.b1)
-    rgb, alpha = shade(
-        gbuf,
-        scene,
-        u,
-        view_index,
-        env=env,
-        inline_tonemapping=config.inline_tonemapping,
-        inline_srgb=config.inline_srgb,
-        aniso_taps=config.aniso_taps,
-    )
-    hit = gbuf.valid
-
     # --- skybox for misses (depth GreaterEqual at the far plane in the
-    # reference, pipelines.rs:550-554; here: the miss mask) ---
+    # reference, pipelines.rs:550-554; here: the base layer the shaded
+    # surfaces overwrite) ---
     sky = sample_skybox(
         scene,
         env,
@@ -376,7 +383,53 @@ def render_view(
         y_offset=y_offset,
         full_height=config.height,
     )
-    rgb = jnp.where(hit[..., None], rgb, sky)
+
+    # --- shade the winning opaque/clip surface ---
+    npx = band_height * config.width
+    opaque_px_needed = jnp.int32(0)
+    if 0 < (config.opaque_px_cap or 0) < npx:
+        # Compacted: gbuffer interpolation + the full material/lighting
+        # evaluation run only on the worklist of covered pixels; sky pixels
+        # never pay a texture tap. Identical per-lane math to the
+        # full-screen path (bit-exact; tests/test_render.py parity test).
+        hit_mask = (vis.pair >= 0).reshape(-1)
+        oidx, osafe, olive, need = _compact_px(hit_mask, config.opaque_px_cap)
+        opaque_px_needed = need
+        g = interpolate_gbuffer(
+            jnp.where(olive, vis.pair.reshape(-1)[osafe], -1),
+            vis.b0.reshape(-1)[osafe],
+            vis.b1.reshape(-1)[osafe],
+            px[osafe],
+            py[osafe],
+            merged_tri,
+            merged_attrs,
+        )
+        rgb_w, _ = shade(
+            g,
+            scene,
+            u,
+            view_index,
+            env=env,
+            inline_tonemapping=config.inline_tonemapping,
+            inline_srgb=config.inline_srgb,
+            aniso_taps=config.aniso_taps,
+        )
+        rgb = sky.at[oidx].set(
+            jnp.where(g.valid[..., None], rgb_w, sky[osafe]), mode="drop"
+        )
+    else:
+        gbuf = gbuffer_of(vis.pair, vis.b0, vis.b1)
+        rgb, alpha = shade(
+            gbuf,
+            scene,
+            u,
+            view_index,
+            env=env,
+            inline_tonemapping=config.inline_tonemapping,
+            inline_srgb=config.inline_srgb,
+            aniso_taps=config.aniso_taps,
+        )
+        rgb = jnp.where(gbuf.valid[..., None], rgb, sky)
 
     # --- lines (flat-color debug geometry, depth-tested against the
     # scene; line pipeline + flat_colour shader, rendering.rs:535-539) ---
@@ -520,6 +573,7 @@ def render_view(
             "pairs_needed": pairs_needed,
             "layers_needed": layers_needed,
             "shade_px_needed": shade_px_needed,
+            "opaque_px_needed": opaque_px_needed,
         }
     return img
 
@@ -534,14 +588,15 @@ def render_frame_impl(
     """Unjitted frame body (all views) -> (V, H, W, 4) uint8.
 
     with_stats: also return {"pairs_needed", "layers_needed",
-    "shade_px_needed"} (i32) aggregated (max) over all views/bands, so
-    the host can grow p_cap/blend_layers/shade_px_cap instead of
-    silently truncating."""
+    "shade_px_needed", "opaque_px_needed"} (i32) aggregated (max) over
+    all views/bands, so the host can grow p_cap/blend_layers/
+    shade_px_cap/opaque_px_cap instead of silently truncating."""
     views = []
     stats_acc = {
         "pairs_needed": jnp.int32(0),
         "layers_needed": jnp.int32(0),
         "shade_px_needed": jnp.int32(0),
+        "opaque_px_needed": jnp.int32(0),
     }
     for v in range(config.num_views):
         if config.row_chunks <= 1:

@@ -73,10 +73,11 @@ def test_delta_error_reported_not_raised():
     assert r["delta_error"].startswith("RuntimeError")
 
 
-def test_fit_caps_grows_all_three(monkeypatch):
-    """fit_caps must right-size p_cap/blend_layers/shade_px_cap from the
-    stats frame before any timing, so no bench rung measures a frame that
-    silently drops work (the never-drop contract of ecs/systems.py)."""
+def test_fit_caps_grows_all_four(monkeypatch):
+    """fit_caps must right-size p_cap/blend_layers/shade_px_cap/
+    opaque_px_cap from the stats frame before any timing, so no bench rung
+    measures a frame that silently drops work (the never-drop contract of
+    ecs/systems.py)."""
     from superconductor_tpu.render import frame as frame_mod
     from superconductor_tpu.render.frame import RenderConfig
 
@@ -85,21 +86,21 @@ def test_fit_caps_grows_all_three(monkeypatch):
     def fake_stats(dev, state, config, env):
         calls.append(config)
         # first frame: everything overflows; after growth: all within caps
-        if len(calls) == 1:
-            stats = {"pairs_needed": 100_000, "layers_needed": 6,
-                     "shade_px_needed": 200_000}
-        else:
-            stats = {"pairs_needed": 100_000, "layers_needed": 6,
-                     "shade_px_needed": 200_000}
+        stats = {"pairs_needed": 100_000, "layers_needed": 6,
+                 "shade_px_needed": 200_000, "opaque_px_needed": 150_000}
+        if len(calls) > 1:
             assert config.p_cap >= 100_000
             assert config.blend_layers >= 6
             assert config.shade_px_cap >= 200_000
+            assert config.opaque_px_cap >= 150_000
         return None, stats
 
     monkeypatch.setattr(frame_mod, "render_frame_stats", fake_stats)
-    cfg = RenderConfig(p_cap=1 << 16, blend_layers=4, shade_px_cap=1 << 17)
+    cfg = RenderConfig(p_cap=1 << 16, blend_layers=4, shade_px_cap=1 << 17,
+                       opaque_px_cap=1 << 17)
     out = bench.fit_caps("dev", "state", cfg, "env")
     assert out.p_cap == 1 << 18  # next_pow2(100000 * 2)
     assert out.blend_layers == 8  # next_pow2(6)
     assert out.shade_px_cap == 1 << 19  # next_pow2(200000 * 2)
+    assert out.opaque_px_cap == 1 << 19  # next_pow2(150000 * 2)
     assert len(calls) == 2  # grew once, then clean stats frame

@@ -320,3 +320,79 @@ def test_material_textures_use_own_lod():
     )
     assert abs(float(s_small[0, 0]) * 255 - 10) < 2, s_small
     assert abs(float(s_big[0, 0]) * 255 - 90) < 25, s_big
+
+
+def _pbr_sphere_frame_inputs(width=160, height=120):
+    from superconductor_tpu.utils.procgen import (
+        add_pbr_sphere,
+        default_ambient_sh,
+    )
+
+    scene = Scene()
+    model = add_pbr_sphere(scene, stacks=24, slices=24)
+    camera = Camera(position=np.array([0.0, 0.25, 2.3], np.float32))
+    uniforms = make_uniforms(camera, width, height)
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    env = EnvBindings(
+        ambient_sh=default_ambient_sh(), clear_color=(0.1, 0.12, 0.25)
+    )
+    return scene.device_arrays(), state, env
+
+
+def test_opaque_compact_matches_fullscreen():
+    """Compacted opaque shading (RenderConfig.opaque_px_cap worklist,
+    render_view) is pixel-exact vs the full-screen shade: the same
+    per-lane material/lighting math runs, just gathered to covered pixels
+    and scattered back over the skybox base."""
+    from superconductor_tpu.render.frame import render_frame_stats
+
+    dev, state, env = _pbr_sphere_frame_inputs()
+    base = dict(width=160, height=120, t_cap=2048, t_cap_anim=8, raster="ref")
+
+    img_full, st_full = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=0, **base), env
+    )
+    # full-screen path is also taken (statically) when cap >= band pixels,
+    # and nothing can be dropped there: the stat reports 0
+    assert int(st_full["opaque_px_needed"]) == 0
+    img_big, st_big = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=1 << 20, **base), env
+    )
+    assert int(st_big["opaque_px_needed"]) == 0
+    assert np.array_equal(np.asarray(img_full), np.asarray(img_big))
+
+    # compact path: sphere covers ~33% of 160x120 -> 8192 lanes suffice
+    img_c, st_c = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=8192, **base), env
+    )
+    covered = int(st_c["opaque_px_needed"])
+    assert 0 < covered <= 8192
+    assert np.array_equal(np.asarray(img_full), np.asarray(img_c))
+
+
+def test_opaque_compact_overflow_grows_and_recovers():
+    """When coverage exceeds opaque_px_cap the stat exceeds the cap (the
+    host's grow-and-re-render signal) and growing the cap exactly as the
+    ECS render system does restores the full image — never-drop."""
+    from superconductor_tpu.ecs.systems import _next_pow2
+    from superconductor_tpu.render.frame import render_frame_stats
+
+    dev, state, env = _pbr_sphere_frame_inputs()
+    base = dict(width=160, height=120, t_cap=2048, t_cap_anim=8, raster="ref")
+
+    img_full, _ = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=0, **base), env
+    )
+    img_of, st_of = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=2048, **base), env
+    )
+    needed = int(st_of["opaque_px_needed"])
+    assert needed > 2048  # overflow reported
+    assert not np.array_equal(np.asarray(img_full), np.asarray(img_of))
+
+    grown = _next_pow2(needed * 2)
+    img_g, st_g = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=grown, **base), env
+    )
+    assert int(st_g["opaque_px_needed"]) == needed
+    assert np.array_equal(np.asarray(img_full), np.asarray(img_g))
