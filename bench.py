@@ -271,7 +271,10 @@ def _measure(frame_fn, device_fn=None, n=10, windows=2, device_windows=2,
     return out
 
 
-def bench_headline(sc, width=1920, height=1080):
+def headline_scene(sc, width=1920, height=1080):
+    """BASELINE config 2: one PBR+IBL sphere at 1080p (the headline
+    metric's scene). Returns (dev, build, config, env) like
+    all_passes_scene; caps are NOT yet fitted."""
     from superconductor_tpu.math3d import (
         look_at,
         mat3_to_quat,
@@ -299,16 +302,24 @@ def bench_headline(sc, width=1920, height=1080):
         p_cap=1 << 17, raster="auto",
     )
     dev = scene.device_arrays()
-    state0 = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
+
+    def build(angle):
+        sim = sc.Similarity(rotation=quat_from_axis_angle([0, 1, 0], angle))
+        return build_frame_state(scene, [(model, sim)], uniforms)
+
+    return dev, build, config, env
+
+
+def bench_headline(sc, width=1920, height=1080):
+    dev, build, config, env = headline_scene(sc, width, height)
+    state0 = build(0.0)
     # Right-size the never-drop caps (opaque_px_cap matters here: the
     # sphere covers ~23% of 1080p and the compacted opaque shade must
     # hold all of it; coverage is rotation-invariant for this scene).
     config = fit_caps(dev, state0, config, env)
 
     def frame(angle):
-        sim = sc.Similarity(rotation=quat_from_axis_angle([0, 1, 0], angle))
-        state = build_frame_state(scene, [(model, sim)], uniforms)
-        return sc.render_frame(dev, state, config, env)
+        return sc.render_frame(dev, build(angle), config, env)
 
     r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
     # Headline metric: full k=1/2/4 rig (slope + linearity cross-check).

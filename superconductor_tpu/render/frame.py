@@ -288,8 +288,10 @@ def render_view(
     per-pixel transparent-fragment count any k-buffer pass saw (vs
     config.blend_layers), the max transparent-covered-pixel count any
     compacted shading worklist needed (vs config.shade_px_cap), and the
-    opaque/clip covered-pixel count (vs config.opaque_px_cap; 0 when the
-    full-screen shading path is active and nothing can be dropped)."""
+    opaque/clip covered-pixel count (vs config.opaque_px_cap; reported on
+    both the compacted and full-screen shading paths, so a host can size
+    the cap from one full-screen stats frame — nothing is droppable on
+    the full-screen path, where coverage <= npx <= cap by construction)."""
     band_height = band_height or config.height
     u = state.uniforms
     view_proj = u["view_proj"][view_index]
@@ -419,6 +421,11 @@ def render_view(
         )
     else:
         gbuf = gbuffer_of(vis.pair, vis.b0, vis.b1)
+        # Report coverage here too (one cheap reduction): nothing can be
+        # dropped on this path, but the stat lets a host size opaque_px_cap
+        # from a single full-screen stats frame (coverage <= npx <= any
+        # cap that selects this path, so growth still self-limits).
+        opaque_px_needed = jnp.sum(gbuf.valid.astype(jnp.int32))
         rgb, alpha = shade(
             gbuf,
             scene,

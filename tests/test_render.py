@@ -352,13 +352,12 @@ def test_opaque_compact_matches_fullscreen():
     img_full, st_full = render_frame_stats(
         dev, state, RenderConfig(opaque_px_cap=0, **base), env
     )
-    # full-screen path is also taken (statically) when cap >= band pixels,
-    # and nothing can be dropped there: the stat reports 0
-    assert int(st_full["opaque_px_needed"]) == 0
+    # the full-screen path (cap 0, or statically when cap >= band pixels)
+    # reports true coverage too, so a host can size the cap from one
+    # full-screen stats frame; nothing is droppable on that path
     img_big, st_big = render_frame_stats(
         dev, state, RenderConfig(opaque_px_cap=1 << 20, **base), env
     )
-    assert int(st_big["opaque_px_needed"]) == 0
     assert np.array_equal(np.asarray(img_full), np.asarray(img_big))
 
     # compact path: sphere covers ~33% of 160x120 -> 8192 lanes suffice
@@ -367,6 +366,9 @@ def test_opaque_compact_matches_fullscreen():
     )
     covered = int(st_c["opaque_px_needed"])
     assert 0 < covered <= 8192
+    # all three paths agree on the coverage count
+    assert int(st_full["opaque_px_needed"]) == covered
+    assert int(st_big["opaque_px_needed"]) == covered
     assert np.array_equal(np.asarray(img_full), np.asarray(img_c))
 
 

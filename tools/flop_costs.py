@@ -15,6 +15,14 @@ Caveats: the cost model is the *compiled* program for the chosen
 backend (default CPU; fusion differs from TPU), and "bytes accessed"
 counts HBM-level operand traffic, not cache behavior.
 
+Cap sizing: fit_caps EXECUTES a stats frame, and on CPU the ref raster
+is O(T*H*W) — infeasible at bench sizes with the dense terrain. So on
+CPU: the pair cap is computed exactly at full size from binning alone
+(O(T)); the pixel-coverage caps are fitted at a downscaled resolution
+(default 1/8 per axis) and scaled back up by the area ratio before the
+pow2 growth margin; blend_layers transfers unscaled. Pass --fit-scale 1
+on TPU for the exact fit.
+
 Usage: python tools/flop_costs.py [--size 960x540] [--backend cpu]
 Prints one JSON line per rung plus a summary.
 """
@@ -38,6 +46,14 @@ def main():
     ap.add_argument("--opaque-cap", type=int, default=None,
                     help="override opaque_px_cap (0 = full-screen shade; "
                     "A/B lever for the compacted opaque worklist)")
+    ap.add_argument("--fit-scale", type=int, default=8,
+                    help="downscale factor for the cap-fitting stats frame "
+                    "(1 = exact fit at full size; only feasible on TPU)")
+    ap.add_argument("--scene", default="all_passes",
+                    choices=["all_passes", "headline"],
+                    help="all_passes: full rung ladder; headline: the "
+                    "sphere scene (~23%% opaque coverage — where the "
+                    "compacted opaque shade engages), opaque rung only")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -55,9 +71,60 @@ def main():
 
     import bench
 
-    dev, build, full_config, env = bench.all_passes_scene(sc, width, height)
+    scene_fn = (bench.all_passes_scene if args.scene == "all_passes"
+                else bench.headline_scene)
+    dev, build, full_config, env = scene_fn(sc, width, height)
     state0 = build(0.0)
-    full_config = bench.fit_caps(dev, state0, full_config, env)
+    if args.fit_scale <= 1:
+        full_config = bench.fit_caps(dev, state0, full_config, env)
+    else:
+        # Downscaled fit: a full-size stats EXECUTION is infeasible on CPU
+        # (the ref raster is O(t_cap*H*W)), so:
+        #   - pairs: computed EXACTLY at full size from binning alone
+        #     (O(T) geometry + bbox tile counts, no raster); all-triangle
+        #     superset >= any per-pass max, safe.
+        #   - pixel coverage caps (opaque/shade): one stats frame at
+        #     (w/s, h/s), scaled by the area ratio (coverage fractions are
+        #     resolution-invariant).
+        #   - blend_layers (a per-pixel layer count): resolution-
+        #     independent, transferred as fitted.
+        from superconductor_tpu.ecs.systems import _next_pow2
+        from superconductor_tpu.ops.binning import bin_triangles
+        from superconductor_tpu.render.frame import (
+            _merged_geometry,
+            render_frame_stats,
+        )
+
+        s = args.fit_scale
+        sw, sh = width // s, height // s
+        sdev, sbuild, sconfig, senv = scene_fn(sc, sw, sh)
+        sconfig = bench.fit_caps(sdev, sbuild(0.0), sconfig, senv)
+        _, st = render_frame_stats(sdev, sbuild(0.0), sconfig, senv)
+        st = {k: int(v) for k, v in st.items()}
+        area = (width * height) / float(sw * sh)
+
+        tri, _ = _merged_geometry(
+            dev, state0, state0.uniforms["view_proj"][0], full_config
+        )
+        pairs_full = int(
+            bin_triangles(tri, width, height, full_config.p_cap).num_pairs
+        )
+        full_config = bench.replace_config(
+            full_config,
+            p_cap=_next_pow2(pairs_full * 2),
+            blend_layers=sconfig.blend_layers,
+            shade_px_cap=_next_pow2(int(st["shade_px_needed"] * area * 2)),
+            opaque_px_cap=_next_pow2(
+                int(max(st["opaque_px_needed"], 1) * area * 2)
+            ),
+        )
+        print(json.dumps({"fit": {
+            "scale": s, "small_stats": st, "pairs_full_exact": pairs_full,
+            "p_cap": full_config.p_cap,
+            "blend_layers": full_config.blend_layers,
+            "shade_px_cap": full_config.shade_px_cap,
+            "opaque_px_cap": full_config.opaque_px_cap,
+        }}), flush=True)
     if args.raster:
         full_config = replace(full_config, raster=args.raster)
     if args.opaque_cap is not None:
@@ -72,6 +139,8 @@ def main():
         ("+lines", dict(enable_particles=False)),
         ("+particles(full)", {}),
     ]
+    if args.scene == "headline":
+        rungs = rungs[:1]  # the headline scene has no transparent content
 
     results = []
     prev = None
