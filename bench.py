@@ -478,7 +478,7 @@ def all_passes_scene(sc, width=1920, height=1080, n_spheres=8):
     return dev, build, config, env
 
 
-def fit_caps(dev, state0, config, env, max_rounds=3):
+def fit_caps(dev, state0, config, env, max_rounds=4):
     """Right-size the never-drop capacities for a bench scene.
 
     Runs one stats frame (honest readback) and grows any exceeded cap
@@ -502,7 +502,12 @@ def fit_caps(dev, state0, config, env, max_rounds=3):
         )
     for _ in range(max_rounds):
         _, stats = render_frame_stats(dev, state0, config, env)
-        stats = {k: int(jax.device_get(v)) for k, v in stats.items()}
+        raw = {k: jax.device_get(v) for k, v in stats.items()}
+        stats = {
+            k: (int(v) if getattr(v, "ndim", 0) == 0 else
+                [int(x) for x in v])
+            for k, v in raw.items()
+        }
         grow = {}
         if stats["pairs_needed"] > config.p_cap:
             grow["p_cap"] = _next_pow2(stats["pairs_needed"] * 2)
@@ -514,6 +519,22 @@ def fit_caps(dev, state0, config, env, max_rounds=3):
             config.opaque_px_cap < stats.get("opaque_px_needed", 0)
         ):
             grow["opaque_px_cap"] = _next_pow2(stats["opaque_px_needed"] * 2)
+        nk = stats.get("shade_px_needed_k")
+        if nk and (config.enable_blend or config.enable_particles):
+            # Per-layer worklists for the blend/particle shading loops:
+            # tighten from the shared shade_px_cap on first sight, grow a
+            # layer whose worklist overflowed (never-drop; the next loop
+            # round's stats frame validates the new caps).
+            caps_k = config.layer_caps()
+            if config.shade_px_caps is None:
+                grow["shade_px_caps"] = tuple(
+                    max(512, _next_pow2(n * 2)) for n in nk
+                )
+            elif any(n > c for n, c in zip(nk, caps_k)):
+                grow["shade_px_caps"] = tuple(
+                    max(c, 512, _next_pow2(n * 2))
+                    for n, c in zip(nk, caps_k)
+                )
         print(f"# fit_caps: {stats} grow={grow or None}",
               file=sys.stderr, flush=True)
         if not grow:

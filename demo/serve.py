@@ -62,7 +62,7 @@ REF_ASSETS = "/root/reference/demo/web/assets"
 
 def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
               p_cap=1 << 19, blend_layers=None, shade_px_cap=None,
-              opaque_px_cap=None):
+              opaque_px_cap=None, shade_px_caps=None):
     import superconductor_tpu as sc
     from superconductor_tpu.assets.fetch import FileClient
     from superconductor_tpu.ecs.app import App
@@ -79,6 +79,8 @@ def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
         cfg_kw["shade_px_cap"] = shade_px_cap
     if opaque_px_cap is not None:
         cfg_kw["opaque_px_cap"] = opaque_px_cap
+    if shade_px_caps is not None:
+        cfg_kw["shade_px_caps"] = tuple(shade_px_caps)
     app = App()
     app.add_plugin(
         CorePlugin(
@@ -141,12 +143,14 @@ def capacity_probe(args, width, height, model_path, ibl):
         print(json.dumps({"probe": caps}), file=sys.stderr)
         return (int(caps["p_cap"]), int(caps["blend_layers"]),
                 int(caps.get("shade_px_cap", 0)) or None,
-                int(caps.get("opaque_px_cap", 0)) or None)
+                int(caps.get("opaque_px_cap", 0)) or None,
+                tuple(caps["shade_px_caps"])
+                if caps.get("shade_px_caps") else None)
     except Exception as e:  # noqa: BLE001 - probe is best-effort sizing
         print(
             json.dumps({"probe_failed": str(e)[:200]}), file=sys.stderr
         )
-        return 1 << 19, None, None, None
+        return 1 << 19, None, None, None, None
 
 
 def probe_only(args, width, height, model_path, ibl):
@@ -177,7 +181,9 @@ def probe_only(args, width, height, model_path, ibl):
     cfg = w.resource(RenderSettings).config
     print(json.dumps({"p_cap": cfg.p_cap, "blend_layers": cfg.blend_layers,
                       "shade_px_cap": cfg.shade_px_cap,
-                      "opaque_px_cap": cfg.opaque_px_cap}))
+                      "opaque_px_cap": cfg.opaque_px_cap,
+                      "shade_px_caps": list(cfg.shade_px_caps)
+                      if cfg.shade_px_caps else None}))
     return 0
 
 
@@ -262,15 +268,18 @@ def main():
     from superconductor_tpu.ecs.resources import CameraResource, FrameOutput
     from superconductor_tpu.render.rig import FlyCameraRig
 
-    p_cap, blend_layers, shade_px_cap, opaque_px_cap = 1 << 19, None, None, None
+    p_cap, blend_layers, shade_px_cap = 1 << 19, None, None
+    opaque_px_cap = shade_px_caps = None
     if args.stats_interval == 0 and args.probe == "auto":
-        p_cap, blend_layers, shade_px_cap, opaque_px_cap = capacity_probe(
+        (p_cap, blend_layers, shade_px_cap, opaque_px_cap,
+         shade_px_caps) = capacity_probe(
             args, width, height, model_path, ibl)
 
     app = build_app(width, height, args.raster, model_path, ibl,
                     stats_interval=args.stats_interval,
                     p_cap=p_cap, blend_layers=blend_layers,
-                    shade_px_cap=shade_px_cap, opaque_px_cap=opaque_px_cap)
+                    shade_px_cap=shade_px_cap, opaque_px_cap=opaque_px_cap,
+                    shade_px_caps=shade_px_caps)
     w = app.world
     cam_res = w.resource(CameraResource)
     rig = FlyCameraRig(position=(6.0, 3.0, 6.0), speed=6.0)

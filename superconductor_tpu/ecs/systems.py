@@ -403,6 +403,7 @@ def render(world: World) -> None:
     elif out.frame_index % interval == 0:
         check_stats, check_config = out.pending_stats
     grow = {}
+    tune = {}
     if check_stats is not None:
         pairs = int(check_stats["pairs_needed"])
         layers = int(check_stats["layers_needed"])
@@ -430,6 +431,28 @@ def render(world: World) -> None:
             # band pixel count render_view statically falls back to the
             # full-screen shade, so growth self-limits.
             grow["opaque_px_cap"] = _next_pow2(opaque_px * 2)
+        needed_k = check_stats.get("shade_px_needed_k")
+        if needed_k is not None and (
+            check_config.enable_blend or check_config.enable_particles
+        ):
+            needed_k = [int(n) for n in np.asarray(needed_k)]
+            caps_k = check_config.layer_caps()
+            if any(n > c for n, c in zip(needed_k, caps_k)):
+                # A deeper layer's per-layer worklist overflowed — those
+                # pixels lost that transparent layer. Grow per layer and
+                # re-render (never-drop).
+                grow["shade_px_caps"] = tuple(
+                    max(c, 512, _next_pow2(n * 2))
+                    for n, c in zip(needed_k, caps_k)
+                )
+            elif check_config.shade_px_caps is None:
+                # First stats sighting with the shared cap: tighten deeper
+                # layers' worklists to their own (monotone-decreasing)
+                # needs. Pure perf — nothing was dropped this frame, so it
+                # applies from the next frame with no re-render.
+                tune["shade_px_caps"] = tuple(
+                    max(512, _next_pow2(n * 2)) for n in needed_k
+                )
     if grow:
         from dataclasses import replace
 
@@ -444,6 +467,13 @@ def render(world: World) -> None:
         image, stats = render_frame_stats(
             scene.device_arrays(), state, config, settings.env
         )
+    elif tune:
+        from dataclasses import replace
+
+        log.info("tightening per-layer shading worklists: %s", tune)
+        # Takes effect next frame (config != last_config triggers the
+        # synchronous stats check once, right after the recompile).
+        settings.config = replace(config, **tune)
     out.pending_stats = (stats, config)
     out.last_config = config
     out.image = image

@@ -62,6 +62,17 @@ class RenderConfig:
     # (fixed-capacity compaction; see _compact_px). Grown by the ECS render
     # system from the shade_px_needed stat — never silently dropped.
     shade_px_cap: int = 1 << 17
+    # Optional PER-LAYER worklist capacities for the blend/particle shading
+    # loops. K-buffer layer occupancy is monotone decreasing (a pixel with a
+    # fragment in layer k has fragments in all layers < k), so deeper layers
+    # need far smaller worklists than layer 0; with one shared cap every
+    # layer pays layer 0's size. None = every layer uses shade_px_cap
+    # (always correct, since needed_k <= needed_0 <= shade_px_cap after
+    # growth). Managed paths set/grow this from the shade_px_needed_k stat
+    # vector (same never-drop contract). Shorter tuples repeat their last
+    # entry; the clip pass keeps the single shade_px_cap worklist (its loop
+    # resolves one winner, it does not shade every layer).
+    shade_px_caps: Optional[tuple] = None
     # Opaque-shading worklist capacity: the deferred PBR shade (gbuffer
     # interpolation + all material texture taps + SH + BRDF) runs only on
     # the compacted worklist of pixels the opaque/clip passes actually
@@ -84,6 +95,15 @@ class RenderConfig:
         if self.raster != "auto":
             return self.raster
         return "pallas" if jax.default_backend() == "tpu" else "ref"
+
+    def layer_caps(self) -> tuple:
+        """Effective per-layer shading worklist caps, length blend_layers."""
+        if self.shade_px_caps is None:
+            return (self.shade_px_cap,) * self.blend_layers
+        cs = tuple(int(c) for c in self.shade_px_caps)
+        if len(cs) < self.blend_layers:
+            cs = cs + (cs[-1],) * (self.blend_layers - len(cs))
+        return cs[: self.blend_layers]
 
 
 # Seed value the managed (growth-capable) paths use for opaque_px_cap:
@@ -283,15 +303,17 @@ def render_view(
     """Render one view (or one horizontal band of it) -> (bh, W, 4) f32.
 
     with_stats: also return {"pairs_needed", "layers_needed",
-    "shade_px_needed", "opaque_px_needed"} (i32) — the max bin-pair count
-    any raster pass in this view needed (vs config.p_cap), the max
-    per-pixel transparent-fragment count any k-buffer pass saw (vs
-    config.blend_layers), the max transparent-covered-pixel count any
-    compacted shading worklist needed (vs config.shade_px_cap), and the
-    opaque/clip covered-pixel count (vs config.opaque_px_cap; reported on
-    both the compacted and full-screen shading paths, so a host can size
-    the cap from one full-screen stats frame — nothing is droppable on
-    the full-screen path, where coverage <= npx <= cap by construction)."""
+    "shade_px_needed", "shade_px_needed_k", "opaque_px_needed"} (i32) —
+    the max bin-pair count any raster pass in this view needed (vs
+    config.p_cap), the max per-pixel transparent-fragment count any
+    k-buffer pass saw (vs config.blend_layers), the max layer-0
+    transparent-covered-pixel count (vs config.shade_px_cap), the
+    (blend_layers,) per-layer worklist needs of the blend/particle
+    shading loops (vs config.layer_caps()), and the opaque/clip
+    covered-pixel count (vs config.opaque_px_cap; reported on both the
+    compacted and full-screen shading paths, so a host can size the cap
+    from one full-screen stats frame — nothing is droppable on the
+    full-screen path, where coverage <= npx <= cap by construction)."""
     band_height = band_height or config.height
     u = state.uniforms
     view_proj = u["view_proj"][view_index]
@@ -312,6 +334,7 @@ def render_view(
     vis, pairs_needed = _rasterize(opaque_tri, config, band_height, y_offset)
     layers_needed = jnp.int32(0)
     shade_px_needed = jnp.int32(0)
+    shade_px_needed_k = jnp.zeros((config.blend_layers,), jnp.int32)
 
     # --- pass 2: alpha-clip resolve (K nearest candidates, keep the nearest
     # one whose albedo alpha passes the cutoff; the same decision the
@@ -500,12 +523,16 @@ def render_view(
             )
             return sample_spherical_harmonics(fake, scene, u, env)
 
-        # K smoke-shading layers over the compacted covered-pixel worklist
-        anyhit = (pkb.pair >= 0).any(axis=0).reshape(-1)
-        idx, safe, live, need = _compact_px(anyhit, config.shade_px_cap)
-        shade_px_needed = jnp.maximum(shade_px_needed, need)
-        acc = rgb[safe]
+        # Per-layer smoke-shading worklists (same monotone-occupancy
+        # argument as the blend pass below): each layer shades only its
+        # own covered pixels and composites back-to-front into the image.
+        caps = config.layer_caps()
         for k in range(config.blend_layers - 1, -1, -1):
+            mask_k = (pkb.pair[k] >= 0).reshape(-1)
+            idx, safe, live, need = _compact_px(mask_k, caps[k])
+            shade_px_needed_k = shade_px_needed_k.at[k].max(need)
+            if k == 0:
+                shade_px_needed = jnp.maximum(shade_px_needed, need)
             prgb, pa = shade_particles(
                 jnp.where(live, pkb.pair[k].reshape(-1)[safe], -1),
                 pkb.b0[k].reshape(-1)[safe],
@@ -520,8 +547,11 @@ def render_view(
                 inline_tonemapping=config.inline_tonemapping,
                 inline_srgb=config.inline_srgb,
             )
-            acc = prgb * pa[..., None] + acc * (1.0 - pa[..., None])
-        rgb = rgb.at[idx].set(acc, mode="drop")
+            cur = rgb[safe]
+            rgb = rgb.at[idx].set(
+                prgb * pa[..., None] + cur * (1.0 - pa[..., None]),
+                mode="drop",
+            )
 
     # --- pass 3: alpha-blend composite (K nearest blended layers, shaded
     # and blended back-to-front; drawn last like rendering.rs:550) ---
@@ -534,18 +564,22 @@ def render_view(
         )
         pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
         layers_needed = jnp.maximum(layers_needed, blend_layers_seen)
-        # K full shades over the compacted covered-pixel worklist only
-        anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
-        idx, safe, live, need = _compact_px(anyhit, config.shade_px_cap)
-        shade_px_needed = jnp.maximum(shade_px_needed, need)
-        pxc, pyc = px[safe], py[safe]
-        acc = rgb[safe]
+        # Per-layer worklists: k-buffer layer occupancy is monotone
+        # decreasing (a pixel with a layer-k fragment has fragments in all
+        # layers < k), so each layer shades only its own covered pixels and
+        # composites straight into the image back-to-front (layer_caps).
+        caps = config.layer_caps()
         for k in range(config.blend_layers - 1, -1, -1):
+            mask_k = (kb.pair[k] >= 0).reshape(-1)
+            idx, safe, live, need = _compact_px(mask_k, caps[k])
+            shade_px_needed_k = shade_px_needed_k.at[k].max(need)
+            if k == 0:
+                shade_px_needed = jnp.maximum(shade_px_needed, need)
             g = interpolate_gbuffer(
                 jnp.where(live, kb.pair[k].reshape(-1)[safe], -1),
                 kb.b0[k].reshape(-1)[safe],
                 kb.b1[k].reshape(-1)[safe],
-                pxc, pyc, merged_tri, merged_attrs,
+                px[safe], py[safe], merged_tri, merged_attrs,
             )
             lrgb, la = shade(
                 g,
@@ -558,8 +592,11 @@ def render_view(
                 aniso_taps=config.aniso_taps,
             )
             la = jnp.where(g.valid, la, 0.0)
-            acc = lrgb * la[..., None] + acc * (1.0 - la[..., None])
-        rgb = rgb.at[idx].set(acc, mode="drop")
+            cur = rgb[safe]
+            rgb = rgb.at[idx].set(
+                lrgb * la[..., None] + cur * (1.0 - la[..., None]),
+                mode="drop",
+            )
 
     # Non-inline path: the reference renders linear HDR to an intermediate
     # buffer and tonemaps in a composite pass (tonemap shader,
@@ -580,6 +617,7 @@ def render_view(
             "pairs_needed": pairs_needed,
             "layers_needed": layers_needed,
             "shade_px_needed": shade_px_needed,
+            "shade_px_needed_k": shade_px_needed_k,
             "opaque_px_needed": opaque_px_needed,
         }
     return img
@@ -603,6 +641,7 @@ def render_frame_impl(
         "pairs_needed": jnp.int32(0),
         "layers_needed": jnp.int32(0),
         "shade_px_needed": jnp.int32(0),
+        "shade_px_needed_k": jnp.zeros((config.blend_layers,), jnp.int32),
         "opaque_px_needed": jnp.int32(0),
     }
     for v in range(config.num_views):
@@ -633,7 +672,7 @@ def render_frame_impl(
         if with_stats:
             bands, band_stats = bands
             stats_acc = {
-                k: jnp.maximum(stats_acc[k], band_stats[k].max())
+                k: jnp.maximum(stats_acc[k], band_stats[k].max(axis=0))
                 for k in stats_acc
             }
         views.append(bands.reshape(config.height, config.width, 4))

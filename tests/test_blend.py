@@ -177,7 +177,8 @@ def test_blend_layers_sorted():
     assert abs(c[0] - 64) <= 6
 
 
-def _render_stacked_quads(k_init, n_quads=6, shade_px_cap=1 << 17):
+def _render_stacked_quads(k_init, n_quads=6, shade_px_cap=1 << 17,
+                          updates=1):
     """ECS render of n stacked half-transparent quads with blend_layers
     starting at k_init -> (image, final RenderConfig)."""
     from superconductor_tpu.ecs.app import App
@@ -220,7 +221,8 @@ def _render_stacked_quads(k_init, n_quads=6, shade_px_cap=1 << 17):
             Instance(Sim(translation=[0, 0, -0.5 + 0.15 * i])), InstanceOf(e)
         )
     w.resource(CameraResource).camera.position = np.array([0, 0, 2.0], np.float32)
-    app.update()
+    for _ in range(updates):
+        app.update()
     return (
         np.asarray(w.resource(FrameOutput).image)[0],
         w.resource(RenderSettings).config,
@@ -254,3 +256,91 @@ def test_shade_px_cap_grow_never_drop():
     img_manual, cfg_manual = _render_stacked_quads(k_init=8)
     assert cfg_manual.shade_px_cap == 1 << 17  # no spurious growth
     assert np.array_equal(img_auto, img_manual)
+
+
+def _two_quads_inputs():
+    """Two overlapping half-transparent quads -> (dev, state, base cfg kw)."""
+    scene = Scene()
+    m1 = scene.add_material(
+        MaterialSettings(
+            base_color_factor=(1, 0, 0, 0.5), flags=MAT_UNLIT,
+            blend_mode=BLEND_ALPHA_BLENDED,
+        )
+    )
+    m2 = scene.add_material(
+        MaterialSettings(
+            base_color_factor=(0, 1, 0, 0.5), flags=MAT_UNLIT,
+            blend_mode=BLEND_ALPHA_BLENDED,
+        )
+    )
+    q1 = make_quad_model(scene, m1)
+    q2 = make_quad_model(scene, m2)
+    camera = Camera(position=np.array([0, 0, 2.0], np.float32))
+    uniforms = make_uniforms(camera, 48, 48)
+    state = build_frame_state(
+        scene,
+        [
+            (q1, Similarity(translation=[0, 0, -0.3])),
+            (q2, Similarity(translation=[0, 0, 0.3], scale=0.5)),
+        ],
+        uniforms,
+    )
+    base = dict(width=48, height=48, t_cap=64, t_cap_anim=8, raster="ref",
+                enable_blend=True)
+    return scene.device_arrays(), state, base
+
+
+def test_shade_px_caps_per_layer_exact():
+    """Per-layer blend-shading worklists (RenderConfig.shade_px_caps) are
+    pixel-exact vs the shared shade_px_cap path; the per-layer stat vector
+    is monotone decreasing (layer occupancy is nested); and a deep-layer
+    overflow is reported and recovered by growth — never-drop."""
+    from superconductor_tpu.ecs.systems import _next_pow2
+    from superconductor_tpu.render.frame import render_frame_stats
+
+    dev, state, base = _two_quads_inputs()
+
+    img_shared, st = render_frame_stats(
+        dev, state, RenderConfig(**base), EnvBindings()
+    )
+    needed = [int(n) for n in np.asarray(st["shade_px_needed_k"])]
+    assert needed[0] >= needed[1] > 0  # overlap region has 2 layers
+    assert all(a >= b for a, b in zip(needed, needed[1:]))  # monotone
+    assert int(st["shade_px_needed"]) == needed[0]
+
+    caps = tuple(_next_pow2(n * 2) for n in needed)
+    img_layers, st2 = render_frame_stats(
+        dev, state, RenderConfig(shade_px_caps=caps, **base), EnvBindings()
+    )
+    assert np.array_equal(np.asarray(img_shared), np.asarray(img_layers))
+    assert [int(n) for n in np.asarray(st2["shade_px_needed_k"])] == needed
+
+    # overflow layer 1 (short tuple repeats its last entry): the stat still
+    # reports the TRUE need, the image loses the overlap blend, and growing
+    # exactly as the ECS does restores it bit-exactly
+    small_cap = max(4, 1 << max(0, (needed[1] - 1).bit_length() - 1))
+    assert small_cap < needed[1]
+    img_of, st_of = render_frame_stats(
+        dev, state,
+        RenderConfig(shade_px_caps=(caps[0], small_cap), **base),
+        EnvBindings(),
+    )
+    assert [int(n) for n in np.asarray(st_of["shade_px_needed_k"])] == needed
+    assert not np.array_equal(np.asarray(img_shared), np.asarray(img_of))
+    grown = tuple(_next_pow2(n * 2) for n in needed)
+    img_g, _ = render_frame_stats(
+        dev, state, RenderConfig(shade_px_caps=grown, **base), EnvBindings()
+    )
+    assert np.array_equal(np.asarray(img_shared), np.asarray(img_g))
+
+
+def test_ecs_tightens_per_layer_caps():
+    """After a clean stats frame the ECS tightens shade_px_caps from the
+    per-layer stat vector (pure perf, applied next frame); the tuned config
+    renders pixel-identically and the tuple does not flap across frames."""
+    img1, cfg1 = _render_stacked_quads(k_init=8)
+    assert cfg1.shade_px_caps is not None
+    assert list(cfg1.shade_px_caps) == sorted(cfg1.shade_px_caps, reverse=True)
+    img2, cfg2 = _render_stacked_quads(k_init=8, updates=3)
+    assert cfg2.shade_px_caps == cfg1.shade_px_caps  # stable, no flap
+    assert np.array_equal(img1, img2)

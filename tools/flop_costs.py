@@ -100,7 +100,11 @@ def main():
         sdev, sbuild, sconfig, senv = scene_fn(sc, sw, sh)
         sconfig = bench.fit_caps(sdev, sbuild(0.0), sconfig, senv)
         _, st = render_frame_stats(sdev, sbuild(0.0), sconfig, senv)
-        st = {k: int(v) for k, v in st.items()}
+        st = {
+            k: (int(v) if getattr(v, "ndim", 0) == 0 else
+                [int(x) for x in v])
+            for k, v in st.items()
+        }
         area = (width * height) / float(sw * sh)
 
         tri, _ = _merged_geometry(
@@ -114,6 +118,10 @@ def main():
             p_cap=_next_pow2(pairs_full * 2),
             blend_layers=sconfig.blend_layers,
             shade_px_cap=_next_pow2(int(st["shade_px_needed"] * area * 2)),
+            shade_px_caps=tuple(
+                max(512, _next_pow2(int(n * area * 2)))
+                for n in st["shade_px_needed_k"]
+            ) if st.get("shade_px_needed_k") else None,
             opaque_px_cap=_next_pow2(
                 int(max(st["opaque_px_needed"], 1) * area * 2)
             ),
@@ -123,6 +131,7 @@ def main():
             "p_cap": full_config.p_cap,
             "blend_layers": full_config.blend_layers,
             "shade_px_cap": full_config.shade_px_cap,
+            "shade_px_caps": list(full_config.shade_px_caps or ()),
             "opaque_px_cap": full_config.opaque_px_cap,
         }}), flush=True)
     if args.raster:
