@@ -127,8 +127,9 @@ def particle_geometry(
 
 def shade_particles(
     pair: jax.Array,  # (P,) pair id into the particle TriangleSetup, -1 miss
-    b0: jax.Array,
-    b1: jax.Array,
+    px: jax.Array,  # (P,) pixel centers (x + 0.5)
+    py: jax.Array,
+    tri: TriangleSetup,
     attrs: ParticleAttrs,
     particles: dict,
     scene: dict,
@@ -139,11 +140,18 @@ def shade_particles(
     inline_tonemapping: bool = True,
     inline_srgb: bool = True,
 ):
-    """Per-pixel particle shading -> (rgb display-encoded, alpha)."""
+    """Per-pixel particle shading -> (rgb display-encoded, alpha).
+
+    Barycentrics are recomputed from the quad-triangle setup rows (the
+    k-buffer stores only depth+pair, see raster_kbuffer.KBuffer)."""
     valid = pair >= 0
     idx = jnp.maximum(pair, 0)
-    b2 = 1.0 - b0 - b1
-    bary = jnp.stack([b0, b1, b2], axis=-1)
+    adj = tri.setup[idx, 0:9].reshape(-1, 3, 3)  # (P, 3, [a,b,c])
+    e = (
+        adj[:, :, 0] * px[:, None] + adj[:, :, 1] * py[:, None] + adj[:, :, 2]
+    )  # (P, 3)
+    d_val = jnp.sum(e, axis=-1)
+    bary = e / jnp.where(d_val == 0, 1.0, d_val)[:, None]
     uv = jnp.sum(attrs.uv[idx] * bary[..., None], axis=-2)
     world_pos = jnp.sum(attrs.world_pos[idx] * bary[..., None], axis=-2)
     pid = attrs.particle[idx]

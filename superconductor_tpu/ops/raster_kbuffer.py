@@ -26,12 +26,14 @@ from .raster_ref import _tie
 
 
 class KBuffer(NamedTuple):
-    """Per-pixel K nearest fragments, slot 0 = nearest. Shapes (K, H, W)."""
+    """Per-pixel K nearest fragments, slot 0 = nearest. Shapes (K, H, W).
+
+    Barycentrics are not stored (see raster_ref.VisibilityBuffer): the
+    shading stage recomputes them from the layer's pair id — halving the
+    k-buffer's HBM footprint and the insert chain's shift state."""
 
     depth: jax.Array
     pair: jax.Array  # -1 = empty
-    b0: jax.Array
-    b1: jax.Array
 
 
 def empty_kbuffer(k: int, height: int, width: int, reverse_z: bool = True):
@@ -39,15 +41,13 @@ def empty_kbuffer(k: int, height: int, width: int, reverse_z: bool = True):
     return KBuffer(
         depth=jnp.full((k, height, width), far, jnp.float32),
         pair=jnp.full((k, height, width), -1, jnp.int32),
-        b0=jnp.zeros((k, height, width), jnp.float32),
-        b1=jnp.zeros((k, height, width), jnp.float32),
     )
 
 
-def kbuffer_insert(kb: KBuffer, z, pair, b0, b1, accept, reverse_z: bool = True):
+def kbuffer_insert(kb: KBuffer, z, pair, accept, reverse_z: bool = True):
     """Insert one fragment candidate per pixel into the sorted k-buffer.
 
-    z, pair, b0, b1, accept: (H, W) arrays. Returns the new KBuffer.
+    z, pair, accept: (H, W) arrays. Returns the new KBuffer.
     Slot order: nearest first (descending z for reverse-z).
     """
     k = kb.depth.shape[0]
@@ -71,20 +71,12 @@ def kbuffer_insert(kb: KBuffer, z, pair, b0, b1, accept, reverse_z: bool = True)
         p = jnp.where(
             is_new, pair, jnp.where(shifted, kb.pair[prev] if prev >= 0 else pair, kb.pair[idx])
         )
-        x0 = jnp.where(
-            is_new, b0, jnp.where(shifted, kb.b0[prev] if prev >= 0 else b0, kb.b0[idx])
-        )
-        x1 = jnp.where(
-            is_new, b1, jnp.where(shifted, kb.b1[prev] if prev >= 0 else b1, kb.b1[idx])
-        )
-        return d, p, x0, x1
+        return d, p
 
     slots = [slot(i) for i in range(k)]
     return KBuffer(
         depth=jnp.stack([s[0] for s in slots]),
         pair=jnp.stack([s[1] for s in slots]),
-        b0=jnp.stack([s[2] for s in slots]),
-        b1=jnp.stack([s[3] for s in slots]),
     )
 
 
@@ -120,9 +112,7 @@ def rasterize_kbuffer_ref(
     # raster_ref.taint_with) so shard_map's check_vma accepts the scan.
     zf = jnp.asarray(y_offset, jnp.float32) * 0.0
     zi = jnp.asarray(y_offset, jnp.int32) * 0
-    kb0 = KBuffer(
-        depth=kb0.depth + zf, pair=kb0.pair + zi, b0=kb0.b0 + zf, b1=kb0.b1 + zf
-    )
+    kb0 = KBuffer(depth=kb0.depth + zf, pair=kb0.pair + zi)
     layers0 = jnp.zeros((height, width), jnp.int32) + zi
     if depth_floor is None:
         depth_floor = jnp.full((height, width), 0.0 if reverse_z else 1.0)
@@ -152,14 +142,10 @@ def rasterize_kbuffer_ref(
                 accept = inside & (z > depth_floor)
             else:
                 accept = inside & (z < depth_floor)
-            esum = e0 + e1 + e2
-            esafe = jnp.where(esum == 0, 1.0, esum)
             kb = kbuffer_insert(
                 kb,
                 z,
                 jnp.full_like(kb.pair[0], base + i),
-                e0 / esafe,
-                e1 / esafe,
                 accept,
                 reverse_z,
             )

@@ -16,8 +16,10 @@ in src/systems/rendering.rs:611-704). Design:
   * Per triangle, edge/z/w planes are evaluated over the whole (TILE_H,
     TILE_W) pixel block in one shot on the VPU — the tile shape (32, 128)
     is exactly 4 native (8, 128) vregs, so every op is full-width.
-  * The z-buffer, winning pair id and barycentrics live in VMEM for the
-    whole tile; HBM sees exactly one write per pixel per pass.
+  * The z-buffer and winning pair id live in VMEM for the whole tile;
+    HBM sees exactly one write per pixel per pass. Barycentrics are not
+    stored — the deferred stage recomputes them from the winner's setup
+    row (see raster_ref docstring).
 
 The kernel records the winner's *sorted position*; the caller converts back
 to original pair ids with one XLA gather (cheaper than a second in-kernel
@@ -67,7 +69,7 @@ def _raster_kernel(
     tile_start_ref,  # (ntiles,) SMEM
     tile_count_ref,  # (ntiles,) SMEM
     y_off_ref,  # (1,) SMEM — global pixel row of this band's first row
-    *refs,  # [depth_in, pair_in, b0_in, b1_in,] setup_hbm, outs, scratch
+    *refs,  # [depth_in, pair_in,] setup_hbm, outs, scratch
     tile_h: int,
     tile_w: int,
     ntx: int,
@@ -75,11 +77,10 @@ def _raster_kernel(
     has_init: bool,
 ):
     if has_init:
-        (depth_in, pair_in, b0_in, b1_in, setup_hbm,
-         depth_out, pair_out, b0_out, b1_out, setup_smem, dma_sem) = refs
+        (depth_in, pair_in, setup_hbm,
+         depth_out, pair_out, setup_smem, dma_sem) = refs
     else:
-        (setup_hbm, depth_out, pair_out, b0_out, b1_out,
-         setup_smem, dma_sem) = refs
+        (setup_hbm, depth_out, pair_out, setup_smem, dma_sem) = refs
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * ntx + tx
@@ -100,14 +101,10 @@ def _raster_kernel(
     if has_init:
         depth = depth_in[:, :]
         pair = pair_in[:, :]
-        b0 = b0_in[:, :]
-        b1 = b1_in[:, :]
     else:
         far = 0.0 if reverse_z else 1.0
         depth = jnp.full((tile_h, tile_w), far, jnp.float32)
         pair = jnp.full((tile_h, tile_w), -1, jnp.int32)
-        b0 = jnp.zeros((tile_h, tile_w), jnp.float32)
-        b1 = jnp.zeros((tile_h, tile_w), jnp.float32)
 
     num_chunks = pl.cdiv(count, CHUNK)
 
@@ -125,7 +122,7 @@ def _raster_kernel(
         get_dma(0, 0).start()
 
     def chunk_body(c, carry):
-        depth, pair, b0, b1 = carry
+        depth, pair = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < num_chunks)
@@ -136,7 +133,7 @@ def _raster_kernel(
         rem = count - c * CHUNK
 
         def tri_body(r, carry):
-            depth, pair, b0, b1 = carry
+            depth, pair = carry
             idx = r + offset
             srow = jax.lax.div(idx, 8)
             scol = jax.lax.rem(idx, 8) * 16
@@ -164,26 +161,18 @@ def _raster_kernel(
                 win = inside & (z > depth)
             else:
                 win = inside & (z < depth)
-            esum = e0 + e1 + e2
-            esafe = jnp.where(esum == 0.0, 1.0, esum)
             sorted_pos = start + c * CHUNK + r
             new_depth = jnp.where(win, z, depth)
             new_pair = jnp.where(win, sorted_pos, pair)
-            new_b0 = jnp.where(win, e0 / esafe, b0)
-            new_b1 = jnp.where(win, e1 / esafe, b1)
-            return new_depth, new_pair, new_b0, new_b1
+            return new_depth, new_pair
 
         n = jnp.minimum(rem, CHUNK)
-        return jax.lax.fori_loop(0, n, tri_body, (depth, pair, b0, b1))
+        return jax.lax.fori_loop(0, n, tri_body, (depth, pair))
 
-    depth, pair, b0, b1 = jax.lax.fori_loop(
-        0, num_chunks, chunk_body, (depth, pair, b0, b1)
-    )
+    depth, pair = jax.lax.fori_loop(0, num_chunks, chunk_body, (depth, pair))
 
     depth_out[:, :] = depth
     pair_out[:, :] = pair
-    b0_out[:, :] = b0
-    b1_out[:, :] = b1
 
 
 @functools.partial(
@@ -233,10 +222,8 @@ def rasterize_pallas_sorted(
         inputs += [
             padto(init.depth, 0.0 if reverse_z else 1.0),
             padto(init.pair, -1),
-            padto(init.b0, 0.0),
-            padto(init.b1, 0.0),
         ]
-        in_specs += [blocked, blocked, blocked, blocked]
+        in_specs += [blocked, blocked]
 
     packed = pack_setup_rows(sorted_setup)
     inputs.append(packed)
@@ -251,16 +238,14 @@ def rasterize_pallas_sorted(
         has_init=has_init,
     )
 
-    depth, pair, b0, b1 = pl.pallas_call(
+    depth, pair = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
         in_specs=in_specs,
-        out_specs=(blocked, blocked, blocked, blocked),
+        out_specs=(blocked, blocked),
         out_shape=(
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
-            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
-            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.SMEM((2, ROWS_PER_CHUNK + 1, 128), jnp.float32),
@@ -271,8 +256,6 @@ def rasterize_pallas_sorted(
     return VisibilityBuffer(
         depth=depth[:height, :width],
         pair=pair[:height, :width],
-        b0=b0[:height, :width],
-        b1=b1[:height, :width],
     )
 
 
@@ -323,13 +306,9 @@ def _kbuffer_kernel(
     setup_hbm,
     depth_out,  # (K, tile_h, tile_w)
     pair_out,
-    b0_out,
-    b1_out,
     layers_out,  # (tile_h, tile_w) i32 accepted-fragment count (may exceed K)
     depth_s,  # VMEM scratch (K, tile_h, tile_w)
     pair_s,
-    b0_s,
-    b1_s,
     layers_s,  # VMEM scratch (tile_h, tile_w) i32
     setup_smem,
     dma_sem,
@@ -357,8 +336,6 @@ def _kbuffer_kernel(
     for i in range(k):
         depth_s[i] = jnp.full((tile_h, tile_w), far, jnp.float32)
         pair_s[i] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-        b0_s[i] = jnp.zeros((tile_h, tile_w), jnp.float32)
-        b1_s[i] = jnp.zeros((tile_h, tile_w), jnp.float32)
     layers_s[:, :] = jnp.zeros((tile_h, tile_w), jnp.int32)
 
     floor = floor_in[:, :]
@@ -414,18 +391,12 @@ def _kbuffer_kernel(
                 accept = inside & (z > floor)
             else:
                 accept = inside & (z < floor)
-            esum = e0 + e1 + e2
-            esafe = jnp.where(esum == 0.0, 1.0, esum)
-            nb0 = e0 / esafe
-            nb1 = e1 / esafe
             sorted_pos = start + c * CHUNK + r
             layers_s[:, :] = layers_s[:, :] + accept.astype(jnp.int32)
 
             # Sorted insert (slot 0 = nearest). rank = #slots nearer.
             old_d = [depth_s[i] for i in range(k)]
             old_p = [pair_s[i] for i in range(k)]
-            old_0 = [b0_s[i] for i in range(k)]
-            old_1 = [b1_s[i] for i in range(k)]
             if reverse_z:
                 nearer = [(od > z) & (op >= 0) for od, op in zip(old_d, old_p)]
             else:
@@ -444,12 +415,6 @@ def _kbuffer_kernel(
                 pair_s[i] = jnp.where(
                     is_new, sorted_pos, jnp.where(shifted, old_p[prev], old_p[i])
                 )
-                b0_s[i] = jnp.where(
-                    is_new, nb0, jnp.where(shifted, old_0[prev], old_0[i])
-                )
-                b1_s[i] = jnp.where(
-                    is_new, nb1, jnp.where(shifted, old_1[prev], old_1[i])
-                )
             return 0
 
         n = jnp.minimum(rem, CHUNK)
@@ -461,8 +426,6 @@ def _kbuffer_kernel(
     for i in range(k):
         depth_out[i] = depth_s[i]
         pair_out[i] = pair_s[i]
-        b0_out[i] = b0_s[i]
-        b1_out[i] = b1_s[i]
     layers_out[:, :] = layers_s[:, :]
 
 
@@ -521,7 +484,7 @@ def kbuffer_pallas_sorted(
     )
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    depth, pair, b0, b1, layers = pl.pallas_call(
+    depth, pair, layers = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
         in_specs=[
@@ -531,19 +494,15 @@ def kbuffer_pallas_sorted(
             blocked,  # floor
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=(blocked_k, blocked_k, blocked_k, blocked_k, blocked),
+        out_specs=(blocked_k, blocked_k, blocked),
         out_shape=(
             jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.int32),
-            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
-            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
             pltpu.VMEM((k, tile_h, tile_w), jnp.int32),
-            pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
-            pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
             pltpu.SMEM((2, ROWS_PER_CHUNK + 1, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -560,8 +519,6 @@ def kbuffer_pallas_sorted(
         KBuffer(
             depth=depth[:, :height, :width],
             pair=pair[:, :height, :width],
-            b0=b0[:, :height, :width],
-            b1=b1[:, :height, :width],
         ),
         layers[:height, :width],
     )

@@ -9,7 +9,13 @@ path.
 Output is the same visibility buffer the tile kernel produces:
   depth (H, W) f32 — reverse-z by default (0 = far, larger = nearer)
   pair  (H, W) i32 — index into the TriangleSetup arrays, -1 = miss
-  b0,b1 (H, W) f32 — perspective-correct barycentric weights of v0, v1
+
+Barycentrics are NOT stored: the deferred stage recomputes them from the
+winner's setup row (which interpolate_gbuffer gathers anyway for the
+analytic derivatives) — e_i(px, py) / sum(e), bit-identical arithmetic to
+what the raster kernel would have produced. Dropping the two f32 planes
+saves 8 bytes/px of HBM write+read per pass (x K layers in the k-buffer
+kernels) and two divides per winning pixel in the raster inner loop.
 """
 
 from __future__ import annotations
@@ -25,8 +31,6 @@ from .geometry import TriangleSetup
 class VisibilityBuffer(NamedTuple):
     depth: jax.Array
     pair: jax.Array
-    b0: jax.Array
-    b1: jax.Array
 
 
 def empty_visibility(height: int, width: int, reverse_z: bool = True):
@@ -34,8 +38,6 @@ def empty_visibility(height: int, width: int, reverse_z: bool = True):
     return VisibilityBuffer(
         depth=jnp.full((height, width), far, jnp.float32),
         pair=jnp.full((height, width), -1, jnp.int32),
-        b0=jnp.zeros((height, width), jnp.float32),
-        b1=jnp.zeros((height, width), jnp.float32),
     )
 
 
@@ -53,9 +55,7 @@ def taint_with(vis: VisibilityBuffer, y_offset) -> VisibilityBuffer:
     y_offset is a plain 0 and this folds away."""
     zf = jnp.asarray(y_offset, jnp.float32) * 0.0
     zi = jnp.asarray(y_offset, jnp.int32) * 0
-    return VisibilityBuffer(
-        depth=vis.depth + zf, pair=vis.pair + zi, b0=vis.b0 + zf, b1=vis.b1 + zf
-    )
+    return VisibilityBuffer(depth=vis.depth + zf, pair=vis.pair + zi)
 
 
 def rasterize_ref(
@@ -86,11 +86,11 @@ def rasterize_ref(
     )
 
     def body(carry, inp):
-        depth, pair, b0, b1 = carry
+        depth, pair = carry
         s, v, base = inp  # s: (chunk, 16)
 
         def one(i, carry):
-            depth, pair, b0, b1 = carry
+            depth, pair = carry
             row = s[i]
             e0 = row[0] * px + row[1] * py + row[2]
             e1 = row[3] * px + row[4] * py + row[5]
@@ -114,15 +114,11 @@ def rasterize_ref(
                 win = inside & zin & (z > depth)
             else:
                 win = inside & zin & (z < depth)
-            esum = e0 + e1 + e2
-            esafe = jnp.where(esum == 0, 1.0, esum)
             new_depth = jnp.where(win, z, depth)
             new_pair = jnp.where(win, base + i, pair)
-            new_b0 = jnp.where(win, e0 / esafe, b0)
-            new_b1 = jnp.where(win, e1 / esafe, b1)
-            return new_depth, new_pair, new_b0, new_b1
+            return new_depth, new_pair
 
-        carry = jax.lax.fori_loop(0, chunk, one, (depth, pair, b0, b1))
+        carry = jax.lax.fori_loop(0, chunk, one, (depth, pair))
         return carry, None
 
     n_chunks = setup.shape[0] // chunk
@@ -130,7 +126,7 @@ def rasterize_ref(
     v_chunks = valid.reshape(n_chunks, chunk)
     bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
 
-    (depth, pair, b0, b1), _ = jax.lax.scan(
-        body, (vis.depth, vis.pair, vis.b0, vis.b1), (s_chunks, v_chunks, bases)
+    (depth, pair), _ = jax.lax.scan(
+        body, (vis.depth, vis.pair), (s_chunks, v_chunks, bases)
     )
-    return VisibilityBuffer(depth=depth, pair=pair, b0=b0, b1=b1)
+    return VisibilityBuffer(depth=depth, pair=pair)

@@ -61,31 +61,25 @@ class GBuffer(NamedTuple):
 
 def interpolate_gbuffer(
     pair: jax.Array,  # (P,) i32 pair id, -1 = miss
-    b0: jax.Array,
-    b1: jax.Array,
     px: jax.Array,  # (P,) pixel centers (x + 0.5)
     py: jax.Array,
     tri: TriangleSetup,
     attrs: TriangleAttrs,
 ) -> GBuffer:
+    """Gather the winner's setup row and interpolate attributes.
+
+    Barycentrics are recomputed here from the edge functions — the raster
+    kernels store only (depth, pair) (see raster_ref.VisibilityBuffer);
+    the setup gather and e/d evaluation were already needed for the
+    analytic derivatives, so reconstruction is free of extra HBM traffic.
+    """
     valid = pair >= 0
     p = jnp.maximum(pair, 0)
-    b2 = 1.0 - b0 - b1
-    bary = jnp.stack([b0, b1, b2], axis=-1)  # (P, 3)
-
-    def interp(a):  # a: (T, 3, C) -> (P, C)
-        return jnp.sum(a[p] * bary[..., None], axis=-2)
-
-    world_pos = interp(attrs.world_pos)
-    normal = interp(attrs.normal)
-    uv = interp(attrs.uv)
-    lm_uv = interp(attrs.lm_uv)
-    material = attrs.material[p]
-    lightmapped = attrs.lightmapped[p]
     setup = tri.setup[p]  # (P, 16)
     front_facing = setup[:, 15] == 0.0
 
-    # Analytic screen-space derivatives of perspective-correct attributes.
+    # Edge functions at the pixel center; also the denominators/derivative
+    # terms for perspective-correct attribute interpolation below.
     # attr(p) = N(p)/D(p), N affine with coeffs sum_i a_i*adj_i, D affine
     # with coeffs sum_i adj_i. d(attr)/dx = (Nx*D - N*Dx) / D^2.
     adj = setup[:, 0:9].reshape(-1, 3, 3)  # (P, 3, [a,b,c])
@@ -98,6 +92,18 @@ def interpolate_gbuffer(
     d_dx = jnp.sum(dx, axis=-1)
     d_dy = jnp.sum(dy, axis=-1)
     inv_d = 1.0 / jnp.where(d_val == 0, 1.0, d_val)
+
+    bary = e * inv_d[:, None]  # (P, 3) screen barycentrics
+
+    def interp(a):  # a: (T, 3, C) -> (P, C)
+        return jnp.sum(a[p] * bary[..., None], axis=-2)
+
+    world_pos = interp(attrs.world_pos)
+    normal = interp(attrs.normal)
+    uv = interp(attrs.uv)
+    lm_uv = interp(attrs.lm_uv)
+    material = attrs.material[p]
+    lightmapped = attrs.lightmapped[p]
 
     def deriv(a):  # a: (T, 3, C) -> d/dx, d/dy each (P, C)
         av = a[p]  # (P, 3, C)

@@ -323,10 +323,9 @@ def render_view(
     mats = scene["materials"]
     blend_mode = mats["blend_mode"][merged_attrs.material]
 
-    def gbuffer_of(pair, b0, b1):
+    def gbuffer_of(pair):
         return interpolate_gbuffer(
-            pair.reshape(-1), b0.reshape(-1), b1.reshape(-1), px, py,
-            merged_tri, merged_attrs,
+            pair.reshape(-1), px, py, merged_tri, merged_attrs,
         )
 
     # --- pass 1: opaque visibility ---
@@ -360,23 +359,17 @@ def render_view(
         vshape = vis.pair.shape
         chosen_pair = jnp.full(idx.shape, -1, jnp.int32)
         chosen_depth = vis.depth.reshape(-1)[safe]
-        chosen_b0 = jnp.zeros(idx.shape, jnp.float32)
-        chosen_b1 = jnp.zeros(idx.shape, jnp.float32)
         found = jnp.zeros(idx.shape, bool)
         for k in range(config.blend_layers):
             pair_k = jnp.where(live, kb.pair[k].reshape(-1)[safe], -1)
             g = interpolate_gbuffer(
-                pair_k, kb.b0[k].reshape(-1)[safe],
-                kb.b1[k].reshape(-1)[safe], pxc, pyc,
-                merged_tri, merged_attrs,
+                pair_k, pxc, pyc, merged_tri, merged_attrs,
             )
             a = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
             cutoff = mats["alpha_cutoff"][g.material]
             ok = g.valid & (a >= cutoff) & ~found
             chosen_pair = jnp.where(ok, pair_k, chosen_pair)
             chosen_depth = jnp.where(ok, kb.depth[k].reshape(-1)[safe], chosen_depth)
-            chosen_b0 = jnp.where(ok, kb.b0[k].reshape(-1)[safe], chosen_b0)
-            chosen_b1 = jnp.where(ok, kb.b1[k].reshape(-1)[safe], chosen_b1)
             found = found | ok
         # scatter the winning clip surfaces back into the visibility buffer
         # (unfound worklist lanes rewrite their original values; dead lanes
@@ -389,8 +382,6 @@ def render_view(
         vis = VisibilityBuffer(
             depth=put(vis.depth, chosen_depth),
             pair=put(vis.pair, jnp.where(found, chosen_pair, flat(vis.pair)[safe])),
-            b0=put(vis.b0, jnp.where(found, chosen_b0, flat(vis.b0)[safe])),
-            b1=put(vis.b1, jnp.where(found, chosen_b1, flat(vis.b1)[safe])),
         )
 
     # --- skybox for misses (depth GreaterEqual at the far plane in the
@@ -422,8 +413,6 @@ def render_view(
         opaque_px_needed = need
         g = interpolate_gbuffer(
             jnp.where(olive, vis.pair.reshape(-1)[osafe], -1),
-            vis.b0.reshape(-1)[osafe],
-            vis.b1.reshape(-1)[osafe],
             px[osafe],
             py[osafe],
             merged_tri,
@@ -443,7 +432,7 @@ def render_view(
             jnp.where(g.valid[..., None], rgb_w, sky[osafe]), mode="drop"
         )
     else:
-        gbuf = gbuffer_of(vis.pair, vis.b0, vis.b1)
+        gbuf = gbuffer_of(vis.pair)
         # Report coverage here too (one cheap reduction): nothing can be
         # dropped on this path, but the stat lets a host size opaque_px_cap
         # from a single full-screen stats frame (coverage <= npx <= any
@@ -480,8 +469,6 @@ def render_view(
         line_init = VisibilityBuffer(
             depth=vis.depth,
             pair=jnp.full_like(vis.pair, -1),
-            b0=jnp.zeros_like(vis.b0),
-            b1=jnp.zeros_like(vis.b1),
         )
         lvis, line_pairs = _rasterize(
             line_tri, config, band_height, y_offset, init=line_init
@@ -535,8 +522,9 @@ def render_view(
                 shade_px_needed = jnp.maximum(shade_px_needed, need)
             prgb, pa = shade_particles(
                 jnp.where(live, pkb.pair[k].reshape(-1)[safe], -1),
-                pkb.b0[k].reshape(-1)[safe],
-                pkb.b1[k].reshape(-1)[safe],
+                px[safe],
+                py[safe],
+                p_tri,
                 p_attrs,
                 state.particles,
                 scene,
@@ -577,8 +565,6 @@ def render_view(
                 shade_px_needed = jnp.maximum(shade_px_needed, need)
             g = interpolate_gbuffer(
                 jnp.where(live, kb.pair[k].reshape(-1)[safe], -1),
-                kb.b0[k].reshape(-1)[safe],
-                kb.b1[k].reshape(-1)[safe],
                 px[safe], py[safe], merged_tri, merged_attrs,
             )
             lrgb, la = shade(

@@ -69,12 +69,6 @@ def test_pallas_matches_ref(box_glb, size):
     np.testing.assert_allclose(
         np.asarray(vis_ref.depth), np.asarray(vis_pal.depth), atol=1e-6
     )
-    np.testing.assert_allclose(
-        np.asarray(vis_ref.b0), np.asarray(vis_pal.b0), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(vis_ref.b1), np.asarray(vis_pal.b1), atol=1e-5
-    )
     # sanity: box actually covered some pixels
     assert (ref_pair >= 0).mean() > 0.05
 
