@@ -32,7 +32,7 @@ class KBuffer(NamedTuple):
     shading stage recomputes them from the layer's pair id — halving the
     k-buffer's HBM footprint and the insert chain's shift state."""
 
-    depth: jax.Array
+    depth: jax.Array  # None when produced with want_depth=False (Pallas)
     pair: jax.Array  # -1 = empty
 
 

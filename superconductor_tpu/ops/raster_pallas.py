@@ -304,21 +304,24 @@ def _kbuffer_kernel(
     y_off_ref,
     floor_in,  # (tile_h, tile_w) opaque depth floor
     setup_hbm,
-    depth_out,  # (K, tile_h, tile_w)
-    pair_out,
-    layers_out,  # (tile_h, tile_w) i32 accepted-fragment count (may exceed K)
-    depth_s,  # VMEM scratch (K, tile_h, tile_w)
-    pair_s,
-    layers_s,  # VMEM scratch (tile_h, tile_w) i32
-    setup_smem,
-    dma_sem,
-    *,
+    *refs,  # [depth_out,] pair_out, layers_out, scratch...
     k: int,
     tile_h: int,
     tile_w: int,
     ntx: int,
     reverse_z: bool,
+    want_depth: bool,
 ):
+    # Sorting always needs per-layer depth in VMEM scratch, but the HBM
+    # depth planes are written only when a consumer exists (the clip pass
+    # resolves a winning depth; the blend/particle passes read only .pair)
+    # — K x 4 bytes/px of write traffic skipped per pass when not.
+    if want_depth:
+        (depth_out, pair_out, layers_out,
+         depth_s, pair_s, layers_s, setup_smem, dma_sem) = refs
+    else:
+        (pair_out, layers_out,
+         depth_s, pair_s, layers_s, setup_smem, dma_sem) = refs
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * ntx + tx
@@ -424,14 +427,18 @@ def _kbuffer_kernel(
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
     for i in range(k):
-        depth_out[i] = depth_s[i]
+        if want_depth:
+            depth_out[i] = depth_s[i]
         pair_out[i] = pair_s[i]
     layers_out[:, :] = layers_s[:, :]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "k", "tile_h", "tile_w", "reverse_z", "interpret"),
+    static_argnames=(
+        "height", "width", "k", "tile_h", "tile_w", "reverse_z",
+        "interpret", "want_depth",
+    ),
 )
 def kbuffer_pallas_sorted(
     sorted_setup: jax.Array,
@@ -446,10 +453,13 @@ def kbuffer_pallas_sorted(
     depth_floor: jax.Array | None = None,
     interpret: bool = False,
     y_offset=0,
+    want_depth: bool = True,
 ):
     """K-layer raster -> (KBuffer with SORTED positions in .pair,
     layers (H, W) i32 accepted-fragment count, which may exceed k — the
-    caller's signal to grow blend_layers rather than drop surfaces)."""
+    caller's signal to grow blend_layers rather than drop surfaces).
+    want_depth=False skips the HBM depth-plane outputs (KBuffer.depth is
+    None) for consumers that only read .pair (blend/particle shading)."""
     from .raster_kbuffer import KBuffer
 
     ntx = -(-width // tile_w)
@@ -475,6 +485,7 @@ def kbuffer_pallas_sorted(
         tile_w=tile_w,
         ntx=ntx,
         reverse_z=reverse_z,
+        want_depth=want_depth,
     )
     blocked = pl.BlockSpec(
         (tile_h, tile_w), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM
@@ -484,7 +495,18 @@ def kbuffer_pallas_sorted(
     )
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    depth, pair, layers = pl.pallas_call(
+    out_specs = (blocked_k, blocked) if not want_depth else (
+        blocked_k, blocked_k, blocked
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.int32),
+        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+    )
+    if want_depth:
+        out_shape = (
+            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
+        ) + out_shape
+    outs = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
         in_specs=[
@@ -494,12 +516,8 @@ def kbuffer_pallas_sorted(
             blocked,  # floor
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=(blocked_k, blocked_k, blocked),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
-            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.int32),
-            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((k, tile_h, tile_w), jnp.float32),
             pltpu.VMEM((k, tile_h, tile_w), jnp.int32),
@@ -515,11 +533,14 @@ def kbuffer_pallas_sorted(
         floor0,
         packed,
     )
+    if want_depth:
+        depth, pair, layers = outs
+        depth = depth[:, :height, :width]
+    else:
+        pair, layers = outs
+        depth = None
     return (
-        KBuffer(
-            depth=depth[:, :height, :width],
-            pair=pair[:, :height, :width],
-        ),
+        KBuffer(depth=depth, pair=pair[:, :height, :width]),
         layers[:height, :width],
     )
 
@@ -536,6 +557,7 @@ def kbuffer_pallas(
     tile_w: int = 128,
     interpret: bool | None = None,
     y_offset=0,
+    want_depth: bool = True,
 ):
     """K-layer raster of binned triangles with original pair ids.
     -> (KBuffer, layers (H, W) i32); see kbuffer_pallas_sorted."""
@@ -554,6 +576,7 @@ def kbuffer_pallas(
         depth_floor=depth_floor,
         interpret=interpret,
         y_offset=y_offset,
+        want_depth=want_depth,
     )
     hit = kb.pair >= 0
     pair = jnp.where(hit, bins.order[jnp.maximum(kb.pair, 0)], -1)

@@ -167,12 +167,18 @@ def _rasterize_kbuffer(
     band_height: int,
     y_offset,
     depth_floor,
+    want_depth: bool = True,
 ):
     """-> (KBuffer, pairs_needed i32, layers_needed i32); see _rasterize.
     layers_needed is the max accepted-fragment count any pixel saw — when it
     exceeds config.blend_layers the k-buffer dropped a surface and the host
     must grow blend_layers and re-render (never-drop policy; the reference
-    draws every blended fragment, rendering.rs:550)."""
+    draws every blended fragment, rendering.rs:550).
+
+    want_depth=False skips the Pallas kernel's K HBM depth planes for
+    callers that only consume .pair (the blend/particle shading loops; the
+    clip resolve needs depths). The ref path always returns depth — XLA
+    dead-code-eliminates the unused output there."""
     from ..ops.raster_kbuffer import rasterize_kbuffer_ref
 
     method = config.resolve_raster()
@@ -202,6 +208,7 @@ def _rasterize_kbuffer(
         reverse_z=config.reverse_z,
         depth_floor=depth_floor,
         y_offset=y_offset,
+        want_depth=want_depth,
     )
     return kb, bins.num_pairs, layers.max()
 
@@ -495,7 +502,8 @@ def render_view(
             flip_viewport=config.flip_viewport,
         )
         pkb, p_pairs, p_layers = _rasterize_kbuffer(
-            p_tri, config, band_height, y_offset, depth_floor
+            p_tri, config, band_height, y_offset, depth_floor,
+            want_depth=False,
         )
         pairs_needed = jnp.maximum(pairs_needed, p_pairs)
         layers_needed = jnp.maximum(layers_needed, p_layers)
@@ -548,7 +556,8 @@ def render_view(
             valid=merged_tri.valid & (blend_mode == 2)
         )
         kb, blend_pairs, blend_layers_seen = _rasterize_kbuffer(
-            blend_tri, config, band_height, y_offset, depth_floor
+            blend_tri, config, band_height, y_offset, depth_floor,
+            want_depth=False,
         )
         pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
         layers_needed = jnp.maximum(layers_needed, blend_layers_seen)
