@@ -500,14 +500,11 @@ def fit_caps(dev, state0, config, env, max_rounds=4):
         config = replace_config(
             config, opaque_px_cap=frame_mod.DEFAULT_OPAQUE_PX_CAP
         )
+    from superconductor_tpu.render.frame import stats_to_host
+
     for _ in range(max_rounds):
         _, stats = render_frame_stats(dev, state0, config, env)
-        raw = {k: jax.device_get(v) for k, v in stats.items()}
-        stats = {
-            k: (int(v) if getattr(v, "ndim", 0) == 0 else
-                [int(x) for x in v])
-            for k, v in raw.items()
-        }
+        stats = stats_to_host(stats)
         grow = {}
         if stats["pairs_needed"] > config.p_cap:
             grow["p_cap"] = _next_pow2(stats["pairs_needed"] * 2)

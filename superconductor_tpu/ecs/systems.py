@@ -405,10 +405,13 @@ def render(world: World) -> None:
     grow = {}
     tune = {}
     if check_stats is not None:
-        pairs = int(check_stats["pairs_needed"])
-        layers = int(check_stats["layers_needed"])
-        shade_px = int(check_stats.get("shade_px_needed", 0))
-        opaque_px = int(check_stats.get("opaque_px_needed", 0))
+        from ..render.frame import stats_to_host
+
+        check_stats = stats_to_host(check_stats)
+        pairs = check_stats["pairs_needed"]
+        layers = check_stats["layers_needed"]
+        shade_px = check_stats.get("shade_px_needed", 0)
+        opaque_px = check_stats.get("opaque_px_needed", 0)
         if pairs > check_config.p_cap:
             grow["p_cap"] = _next_pow2(pairs * 2)
         if layers > check_config.blend_layers:
@@ -435,24 +438,32 @@ def render(world: World) -> None:
         if needed_k is not None and (
             check_config.enable_blend or check_config.enable_particles
         ):
-            needed_k = [int(n) for n in np.asarray(needed_k)]
             caps_k = check_config.layer_caps()
+            sized = tuple(max(512, _next_pow2(n * 2)) for n in needed_k)
             if any(n > c for n, c in zip(needed_k, caps_k)):
-                # A deeper layer's per-layer worklist overflowed — those
-                # pixels lost that transparent layer. Grow per layer and
-                # re-render (never-drop).
-                grow["shade_px_caps"] = tuple(
-                    max(c, 512, _next_pow2(n * 2))
-                    for n, c in zip(needed_k, caps_k)
-                )
+                # A layer's worklist overflowed — those pixels lost that
+                # transparent layer. Grow and re-render (never-drop).
+                if check_config.shade_px_caps is None:
+                    # First sighting, shared cap still in place: size every
+                    # layer from its own need. Flooring at the old shared
+                    # cap here would lock ALL K layers at >= the shared
+                    # size and permanently skip the tighten branch —
+                    # defeating the per-layer worklists exactly on the big
+                    # scenes that overflow the default.
+                    grow["shade_px_caps"] = sized
+                else:
+                    # Per-layer caps already set: grow only the overflowed
+                    # layers, keep the rest.
+                    grow["shade_px_caps"] = tuple(
+                        max(s, c) for s, c in zip(sized, caps_k)
+                    )
             elif check_config.shade_px_caps is None:
-                # First stats sighting with the shared cap: tighten deeper
-                # layers' worklists to their own (monotone-decreasing)
-                # needs. Pure perf — nothing was dropped this frame, so it
-                # applies from the next frame with no re-render.
-                tune["shade_px_caps"] = tuple(
-                    max(512, _next_pow2(n * 2)) for n in needed_k
-                )
+                # First stats sighting with the shared cap and no
+                # overflow: tighten every layer's worklist to its own
+                # (monotone-decreasing) need. Pure perf — nothing was
+                # dropped this frame, so it applies from the next frame
+                # with no re-render.
+                tune["shade_px_caps"] = sized
     if grow:
         from dataclasses import replace
 

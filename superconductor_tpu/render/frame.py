@@ -98,9 +98,9 @@ class RenderConfig:
 
     def layer_caps(self) -> tuple:
         """Effective per-layer shading worklist caps, length blend_layers."""
-        if self.shade_px_caps is None:
+        cs = tuple(int(c) for c in self.shade_px_caps or ())
+        if not cs:  # None or empty tuple: every layer at the shared cap
             return (self.shade_px_cap,) * self.blend_layers
-        cs = tuple(int(c) for c in self.shade_px_caps)
         if len(cs) < self.blend_layers:
             cs = cs + (cs[-1],) * (self.blend_layers - len(cs))
         return cs[: self.blend_layers]
@@ -240,6 +240,33 @@ def _compact_px(mask: jax.Array, cap: int):
     return idx, safe, live, jnp.sum(mask.astype(jnp.int32))
 
 
+def _composite_layers(rgb, pair_planes, caps, needed_k, shade_fn):
+    """Back-to-front per-layer compact -> shade -> composite-scatter.
+
+    The shared worklist/composite contract of the particle and blend
+    passes: each k-buffer layer compacts its own covered pixels (k-buffer
+    occupancy is monotone decreasing, so deep layers get small worklists
+    — RenderConfig.shade_px_caps), shades only the worklist via
+    shade_fn(pair_worklist, safe, live) -> (rgb, alpha), and alpha-blends
+    straight into the image. needed_k accumulates (max) the per-layer
+    true coverage for the never-drop growth loop.
+
+    rgb: (npx, 3); pair_planes: (K, ...) layer pair ids, -1 = empty.
+    Returns (rgb, needed_k)."""
+    for k in range(len(caps) - 1, -1, -1):
+        mask_k = (pair_planes[k] >= 0).reshape(-1)
+        idx, safe, live, need = _compact_px(mask_k, caps[k])
+        needed_k = needed_k.at[k].max(need)
+        srgb, sa = shade_fn(
+            jnp.where(live, pair_planes[k].reshape(-1)[safe], -1), safe, live
+        )
+        cur = rgb[safe]
+        rgb = rgb.at[idx].set(
+            srgb * sa[..., None] + cur * (1.0 - sa[..., None]), mode="drop"
+        )
+    return rgb, needed_k
+
+
 def _pixel_centers(config: RenderConfig, band_height: int, y_offset):
     ys = jnp.arange(band_height, dtype=jnp.float32) + 0.5 + y_offset
     xs = jnp.arange(config.width, dtype=jnp.float32) + 0.5
@@ -313,8 +340,9 @@ def render_view(
     "shade_px_needed", "shade_px_needed_k", "opaque_px_needed"} (i32) —
     the max bin-pair count any raster pass in this view needed (vs
     config.p_cap), the max per-pixel transparent-fragment count any
-    k-buffer pass saw (vs config.blend_layers), the max layer-0
-    transparent-covered-pixel count (vs config.shade_px_cap), the
+    k-buffer pass saw (vs config.blend_layers), the max need of the
+    worklists bounded by config.shade_px_cap (the clip resolve, plus the
+    blend/particle layer-0 worklists while shade_px_caps is unset), the
     (blend_layers,) per-layer worklist needs of the blend/particle
     shading loops (vs config.layer_caps()), and the opaque/clip
     covered-pixel count (vs config.opaque_px_cap; reported on both the
@@ -518,18 +546,9 @@ def render_view(
             )
             return sample_spherical_harmonics(fake, scene, u, env)
 
-        # Per-layer smoke-shading worklists (same monotone-occupancy
-        # argument as the blend pass below): each layer shades only its
-        # own covered pixels and composites back-to-front into the image.
-        caps = config.layer_caps()
-        for k in range(config.blend_layers - 1, -1, -1):
-            mask_k = (pkb.pair[k] >= 0).reshape(-1)
-            idx, safe, live, need = _compact_px(mask_k, caps[k])
-            shade_px_needed_k = shade_px_needed_k.at[k].max(need)
-            if k == 0:
-                shade_px_needed = jnp.maximum(shade_px_needed, need)
-            prgb, pa = shade_particles(
-                jnp.where(live, pkb.pair[k].reshape(-1)[safe], -1),
+        def shade_particle_layer(pair_w, safe, live):
+            return shade_particles(
+                pair_w,
                 px[safe],
                 py[safe],
                 p_tri,
@@ -543,11 +562,11 @@ def render_view(
                 inline_tonemapping=config.inline_tonemapping,
                 inline_srgb=config.inline_srgb,
             )
-            cur = rgb[safe]
-            rgb = rgb.at[idx].set(
-                prgb * pa[..., None] + cur * (1.0 - pa[..., None]),
-                mode="drop",
-            )
+
+        rgb, shade_px_needed_k = _composite_layers(
+            rgb, pkb.pair, config.layer_caps(), shade_px_needed_k,
+            shade_particle_layer,
+        )
 
     # --- pass 3: alpha-blend composite (K nearest blended layers, shaded
     # and blended back-to-front; drawn last like rendering.rs:550) ---
@@ -561,20 +580,9 @@ def render_view(
         )
         pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
         layers_needed = jnp.maximum(layers_needed, blend_layers_seen)
-        # Per-layer worklists: k-buffer layer occupancy is monotone
-        # decreasing (a pixel with a layer-k fragment has fragments in all
-        # layers < k), so each layer shades only its own covered pixels and
-        # composites straight into the image back-to-front (layer_caps).
-        caps = config.layer_caps()
-        for k in range(config.blend_layers - 1, -1, -1):
-            mask_k = (kb.pair[k] >= 0).reshape(-1)
-            idx, safe, live, need = _compact_px(mask_k, caps[k])
-            shade_px_needed_k = shade_px_needed_k.at[k].max(need)
-            if k == 0:
-                shade_px_needed = jnp.maximum(shade_px_needed, need)
+        def shade_blend_layer(pair_w, safe, live):
             g = interpolate_gbuffer(
-                jnp.where(live, kb.pair[k].reshape(-1)[safe], -1),
-                px[safe], py[safe], merged_tri, merged_attrs,
+                pair_w, px[safe], py[safe], merged_tri, merged_attrs,
             )
             lrgb, la = shade(
                 g,
@@ -586,12 +594,12 @@ def render_view(
                 inline_srgb=config.inline_srgb,
                 aniso_taps=config.aniso_taps,
             )
-            la = jnp.where(g.valid, la, 0.0)
-            cur = rgb[safe]
-            rgb = rgb.at[idx].set(
-                lrgb * la[..., None] + cur * (1.0 - la[..., None]),
-                mode="drop",
-            )
+            return lrgb, jnp.where(g.valid, la, 0.0)
+
+        rgb, shade_px_needed_k = _composite_layers(
+            rgb, kb.pair, config.layer_caps(), shade_px_needed_k,
+            shade_blend_layer,
+        )
 
     # Non-inline path: the reference renders linear HDR to an intermediate
     # buffer and tonemaps in a composite pass (tonemap shader,
@@ -603,6 +611,16 @@ def render_view(
         rgb = aces_filmic(rgb)
     if not config.inline_srgb:
         rgb = linear_to_srgb_approx(rgb)
+
+    # shade_px_needed tracks only worklists BOUNDED by shade_px_cap: the
+    # clip resolve (above), plus the blend/particle layer-0 worklists while
+    # shade_px_caps is unset (layer_caps() falls back to the shared cap).
+    # Once per-layer caps are set, those loops are bounded by caps[k] and
+    # reported via shade_px_needed_k — including them here would trigger
+    # spurious shade_px_cap growth (recompile + re-render) with nothing
+    # dropped.
+    if config.shade_px_caps is None:
+        shade_px_needed = jnp.maximum(shade_px_needed, shade_px_needed_k[0])
 
     img = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1).reshape(
         band_height, config.width, 4
@@ -691,6 +709,24 @@ def _render_frame_stats_impl(scene, state, config, env=EnvBindings()):
 render_frame_stats = partial(jax.jit, static_argnames=("config", "env"))(
     _render_frame_stats_impl
 )
+
+
+def stats_to_host(stats: dict) -> dict:
+    """Device stats dict -> plain ints / lists of ints (one device_get).
+
+    The single conversion point for render_frame_stats outputs — scalars
+    become int, the per-layer vector becomes a list — so every consumer
+    (ECS render system, bench.fit_caps, tools/flop_costs) reads the same
+    shapes."""
+    raw = jax.device_get(stats)
+    return {
+        k: (
+            [int(x) for x in v]
+            if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0)
+            else int(v)
+        )
+        for k, v in raw.items()
+    }
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -334,6 +334,22 @@ def test_shade_px_caps_per_layer_exact():
     assert np.array_equal(np.asarray(img_shared), np.asarray(img_g))
 
 
+def test_first_sighting_overflow_sizes_layers_from_needs():
+    """When the FIRST stats sighting already overflows the shared
+    shade_px_cap, the grow must size every layer from its own need —
+    not floor at the old shared cap, which would lock all K layers at
+    >= the shared size and permanently disable the tighten branch."""
+    img, cfg = _render_stacked_quads(k_init=8, shade_px_cap=64)
+    assert cfg.shade_px_caps is not None
+    assert cfg.shade_px_caps[0] > 64  # layer 0 grew past the tiny cap
+    # deep layers sized from their own (zero) needs, NOT >= layer 0's cap
+    assert cfg.shade_px_caps[-1] == 512
+    assert cfg.shade_px_caps[-1] < cfg.shade_px_caps[0]
+    # never-drop: the recovered image matches an ample manual config
+    img_manual, _ = _render_stacked_quads(k_init=8)
+    assert np.array_equal(img, img_manual)
+
+
 def test_ecs_tightens_per_layer_caps():
     """After a clean stats frame the ECS tightens shade_px_caps from the
     per-layer stat vector (pure perf, applied next frame); the tuned config

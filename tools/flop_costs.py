@@ -97,14 +97,12 @@ def main():
 
         s = args.fit_scale
         sw, sh = width // s, height // s
+        from superconductor_tpu.render.frame import stats_to_host
+
         sdev, sbuild, sconfig, senv = scene_fn(sc, sw, sh)
         sconfig = bench.fit_caps(sdev, sbuild(0.0), sconfig, senv)
         _, st = render_frame_stats(sdev, sbuild(0.0), sconfig, senv)
-        st = {
-            k: (int(v) if getattr(v, "ndim", 0) == 0 else
-                [int(x) for x in v])
-            for k, v in st.items()
-        }
+        st = stats_to_host(st)
         area = (width * height) / float(sw * sh)
 
         tri, _ = _merged_geometry(
