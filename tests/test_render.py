@@ -398,3 +398,33 @@ def test_opaque_compact_overflow_grows_and_recovers():
     )
     assert int(st_g["opaque_px_needed"]) == needed
     assert np.array_equal(np.asarray(img_full), np.asarray(img_g))
+
+
+def test_layer_caps_variants():
+    """RenderConfig.layer_caps(): None and empty fall back to the shared
+    cap; short tuples repeat their last entry; long tuples truncate."""
+    base = dict(blend_layers=4, shade_px_cap=1 << 10)
+    assert RenderConfig(**base).layer_caps() == (1 << 10,) * 4
+    assert RenderConfig(shade_px_caps=(), **base).layer_caps() == (1 << 10,) * 4
+    assert RenderConfig(shade_px_caps=(64, 16), **base).layer_caps() == (
+        64, 16, 16, 16,
+    )
+    assert RenderConfig(
+        shade_px_caps=(64, 32, 16, 8, 4), **base
+    ).layer_caps() == (64, 32, 16, 8)
+
+
+def test_stats_to_host_shapes():
+    """stats_to_host: scalars -> int, vectors/lists -> list of int, and it
+    is idempotent on already-converted dicts."""
+    import jax.numpy as jnp
+
+    from superconductor_tpu.render.frame import stats_to_host
+
+    dev_stats = {
+        "pairs_needed": jnp.int32(7),
+        "shade_px_needed_k": jnp.array([4, 2, 0], jnp.int32),
+    }
+    host = stats_to_host(dev_stats)
+    assert host == {"pairs_needed": 7, "shade_px_needed_k": [4, 2, 0]}
+    assert stats_to_host(host) == host
