@@ -478,7 +478,7 @@ def all_passes_scene(sc, width=1920, height=1080, n_spheres=8):
     return dev, build, config, env
 
 
-def fit_caps(dev, state0, config, env, max_rounds=4):
+def fit_caps(dev, state0, config, env, max_rounds=8):
     """Right-size the never-drop capacities for a bench scene.
 
     Runs one stats frame (honest readback) and grows any exceeded cap
@@ -492,7 +492,10 @@ def fit_caps(dev, state0, config, env, max_rounds=4):
 
     from superconductor_tpu.ecs.systems import _next_pow2
     from superconductor_tpu.render import frame as frame_mod
-    from superconductor_tpu.render.frame import render_frame_stats
+    from superconductor_tpu.render.frame import (
+        render_frame_stats,
+        size_worklist_cap,
+    )
 
     if config.opaque_px_cap is None:
         # Seed the compacted opaque shade (growth below right-sizes it;
@@ -508,14 +511,53 @@ def fit_caps(dev, state0, config, env, max_rounds=4):
         grow = {}
         if stats["pairs_needed"] > config.p_cap:
             grow["p_cap"] = _next_pow2(stats["pairs_needed"] * 2)
-        if stats["layers_needed"] > config.blend_layers:
-            grow["blend_layers"] = _next_pow2(stats["layers_needed"])
+        layers = stats["layers_needed"]
+        blend_l = stats.get("blend_layers_needed", layers)
+        clip_l = stats.get("clip_layers_needed", layers)
+        part_l = stats.get("particle_layers_needed", layers)
+        if blend_l > config.blend_layers:
+            grow["blend_layers"] = _next_pow2(blend_l)
+        if config.enable_clip and clip_l > config.resolve_clip_layers():
+            grow["clip_layers"] = _next_pow2(clip_l)
+        if config.enable_particles and part_l > config.resolve_particle_layers():
+            grow["particle_layers"] = _next_pow2(part_l)
+        # First clean sighting: pin each pass's K to its own need (pure
+        # perf — a deep smoke stack must not make the clip/blend kernels
+        # pay K=8; mirrors the ECS render system's tighten). blend_layers
+        # itself tightens only once clip/particles no longer inherit it.
+        if not grow:
+            new_blend = (
+                _next_pow2(max(blend_l, 1))
+                if config.enable_blend
+                else config.blend_layers
+            )
+            tighten_blend = new_blend < config.blend_layers
+            if config.enable_clip and config.clip_layers is None:
+                k = _next_pow2(max(clip_l, 1))
+                if tighten_blend or k != config.blend_layers:
+                    grow["clip_layers"] = k
+            if config.enable_particles and config.particle_layers is None:
+                k = _next_pow2(max(part_l, 1))
+                if tighten_blend or k != config.blend_layers:
+                    grow["particle_layers"] = k
+            if tighten_blend and (
+                not config.enable_clip
+                or config.clip_layers is not None
+                or "clip_layers" in grow
+            ) and (
+                not config.enable_particles
+                or config.particle_layers is not None
+                or "particle_layers" in grow
+            ):
+                grow["blend_layers"] = new_blend
         if stats.get("shade_px_needed", 0) > config.shade_px_cap:
-            grow["shade_px_cap"] = _next_pow2(stats["shade_px_needed"] * 2)
+            grow["shade_px_cap"] = size_worklist_cap(stats["shade_px_needed"])
         if (config.opaque_px_cap or 0) and (
             config.opaque_px_cap < stats.get("opaque_px_needed", 0)
         ):
-            grow["opaque_px_cap"] = _next_pow2(stats["opaque_px_needed"] * 2)
+            grow["opaque_px_cap"] = size_worklist_cap(
+                stats["opaque_px_needed"]
+            )
         nk = stats.get("shade_px_needed_k")
         if nk and (config.enable_blend or config.enable_particles):
             # Per-layer worklists for the blend/particle shading loops:
@@ -524,12 +566,10 @@ def fit_caps(dev, state0, config, env, max_rounds=4):
             # round's stats frame validates the new caps).
             caps_k = config.layer_caps()
             if config.shade_px_caps is None:
-                grow["shade_px_caps"] = tuple(
-                    max(512, _next_pow2(n * 2)) for n in nk
-                )
+                grow["shade_px_caps"] = tuple(size_worklist_cap(n) for n in nk)
             elif any(n > c for n, c in zip(nk, caps_k)):
                 grow["shade_px_caps"] = tuple(
-                    max(c, 512, _next_pow2(n * 2))
+                    max(c, size_worklist_cap(n))
                     for n, c in zip(nk, caps_k)
                 )
         print(f"# fit_caps: {stats} grow={grow or None}",

@@ -62,7 +62,8 @@ REF_ASSETS = "/root/reference/demo/web/assets"
 
 def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
               p_cap=1 << 19, blend_layers=None, shade_px_cap=None,
-              opaque_px_cap=None, shade_px_caps=None):
+              opaque_px_cap=None, shade_px_caps=None, clip_layers=None,
+              particle_layers=None):
     import superconductor_tpu as sc
     from superconductor_tpu.assets.fetch import FileClient
     from superconductor_tpu.ecs.app import App
@@ -81,6 +82,10 @@ def build_app(width, height, raster, model_path, ibl_path, stats_interval=0,
         cfg_kw["opaque_px_cap"] = opaque_px_cap
     if shade_px_caps is not None:
         cfg_kw["shade_px_caps"] = tuple(shade_px_caps)
+    if clip_layers is not None:
+        cfg_kw["clip_layers"] = clip_layers
+    if particle_layers is not None:
+        cfg_kw["particle_layers"] = particle_layers
     app = App()
     app.add_plugin(
         CorePlugin(
@@ -141,16 +146,21 @@ def capacity_probe(args, width, height, model_path, ibl):
         line = res.stdout.strip().splitlines()[-1]
         caps = json.loads(line)
         print(json.dumps({"probe": caps}), file=sys.stderr)
-        return (int(caps["p_cap"]), int(caps["blend_layers"]),
-                int(caps.get("shade_px_cap", 0)) or None,
-                int(caps.get("opaque_px_cap", 0)) or None,
-                tuple(caps["shade_px_caps"])
-                if caps.get("shade_px_caps") else None)
+        return {
+            "p_cap": int(caps["p_cap"]),
+            "blend_layers": int(caps["blend_layers"]),
+            "shade_px_cap": int(caps.get("shade_px_cap", 0)) or None,
+            "opaque_px_cap": int(caps.get("opaque_px_cap", 0)) or None,
+            "shade_px_caps": tuple(caps["shade_px_caps"])
+            if caps.get("shade_px_caps") else None,
+            "clip_layers": caps.get("clip_layers"),
+            "particle_layers": caps.get("particle_layers"),
+        }
     except Exception as e:  # noqa: BLE001 - probe is best-effort sizing
         print(
             json.dumps({"probe_failed": str(e)[:200]}), file=sys.stderr
         )
-        return 1 << 19, None, None, None, None
+        return {"p_cap": 1 << 19}
 
 
 def probe_only(args, width, height, model_path, ibl):
@@ -183,7 +193,9 @@ def probe_only(args, width, height, model_path, ibl):
                       "shade_px_cap": cfg.shade_px_cap,
                       "opaque_px_cap": cfg.opaque_px_cap,
                       "shade_px_caps": list(cfg.shade_px_caps)
-                      if cfg.shade_px_caps else None}))
+                      if cfg.shade_px_caps else None,
+                      "clip_layers": cfg.clip_layers,
+                      "particle_layers": cfg.particle_layers}))
     return 0
 
 
@@ -268,18 +280,12 @@ def main():
     from superconductor_tpu.ecs.resources import CameraResource, FrameOutput
     from superconductor_tpu.render.rig import FlyCameraRig
 
-    p_cap, blend_layers, shade_px_cap = 1 << 19, None, None
-    opaque_px_cap = shade_px_caps = None
+    probed = {"p_cap": 1 << 19}
     if args.stats_interval == 0 and args.probe == "auto":
-        (p_cap, blend_layers, shade_px_cap, opaque_px_cap,
-         shade_px_caps) = capacity_probe(
-            args, width, height, model_path, ibl)
+        probed = capacity_probe(args, width, height, model_path, ibl)
 
     app = build_app(width, height, args.raster, model_path, ibl,
-                    stats_interval=args.stats_interval,
-                    p_cap=p_cap, blend_layers=blend_layers,
-                    shade_px_cap=shade_px_cap, opaque_px_cap=opaque_px_cap,
-                    shade_px_caps=shade_px_caps)
+                    stats_interval=args.stats_interval, **probed)
     w = app.world
     cam_res = w.resource(CameraResource)
     rig = FlyCameraRig(position=(6.0, 3.0, 6.0), speed=6.0)

@@ -28,7 +28,7 @@ from ..render.draws import (
     pack_particles,
 )
 from ..render.env import EnvBindings
-from ..render.frame import render_frame_stats
+from ..render.frame import render_frame_stats, size_worklist_cap
 from .app import App, Stage, World
 from .components import (
     AnimatedModelUrl,
@@ -414,18 +414,64 @@ def render(world: World) -> None:
         opaque_px = check_stats.get("opaque_px_needed", 0)
         if pairs > check_config.p_cap:
             grow["p_cap"] = _next_pow2(pairs * 2)
-        if layers > check_config.blend_layers:
-            # A pixel needed more transparent layers than the k-buffer
-            # holds — a surface was dropped. Grow K (pow2) and re-render,
-            # restoring the reference's draw-every-blended-fragment
-            # semantics (rendering.rs:550).
-            grow["blend_layers"] = _next_pow2(layers)
+        # Per-pass k-buffer depths: a pixel needed more transparent layers
+        # than that pass's k-buffer holds — a surface was dropped. Grow
+        # that K (pow2) and re-render, restoring the reference's
+        # draw-every-blended-fragment semantics (rendering.rs:550). Each
+        # pass grows its own K so a deep particle stack doesn't make the
+        # clip/blend kernels pay for it (and vice versa).
+        blend_l = check_stats.get("blend_layers_needed", layers)
+        clip_l = check_stats.get("clip_layers_needed", layers)
+        part_l = check_stats.get("particle_layers_needed", layers)
+        if blend_l > check_config.blend_layers:
+            grow["blend_layers"] = _next_pow2(blend_l)
+        if check_config.enable_clip and clip_l > check_config.resolve_clip_layers():
+            grow["clip_layers"] = _next_pow2(clip_l)
+        if (
+            check_config.enable_particles
+            and part_l > check_config.resolve_particle_layers()
+        ):
+            grow["particle_layers"] = _next_pow2(part_l)
+        # First clean sighting: pin each transparent pass's K to its own
+        # (often much shallower) need instead of the shared blend_layers —
+        # pure perf, nothing dropped, applied next frame without a
+        # re-render (same contract as the shade_px_caps tighten below).
+        # blend_layers itself tightens only once clip/particles no longer
+        # inherit it (pinned this round or already explicit).
+        if not grow:
+            new_blend = (
+                _next_pow2(max(blend_l, 1))
+                if check_config.enable_blend
+                else check_config.blend_layers
+            )
+            tighten_blend = new_blend < check_config.blend_layers
+            if check_config.enable_clip and check_config.clip_layers is None:
+                k = _next_pow2(max(clip_l, 1))
+                if tighten_blend or k != check_config.blend_layers:
+                    tune["clip_layers"] = k
+            if (
+                check_config.enable_particles
+                and check_config.particle_layers is None
+            ):
+                k = _next_pow2(max(part_l, 1))
+                if tighten_blend or k != check_config.blend_layers:
+                    tune["particle_layers"] = k
+            if tighten_blend and (
+                not check_config.enable_clip
+                or check_config.clip_layers is not None
+                or "clip_layers" in tune
+            ) and (
+                not check_config.enable_particles
+                or check_config.particle_layers is not None
+                or "particle_layers" in tune
+            ):
+                tune["blend_layers"] = new_blend
         if shade_px > check_config.shade_px_cap:
             # More pixels carried transparent fragments than the shading
             # worklist holds (render_view._compact_px) — some pixels'
             # clip/blend/particle layers went unshaded. Grow and
             # re-render (the cap self-limits at the band pixel count).
-            grow["shade_px_cap"] = _next_pow2(shade_px * 2)
+            grow["shade_px_cap"] = size_worklist_cap(shade_px)
         if (check_config.opaque_px_cap or 0) and (
             check_config.opaque_px_cap < opaque_px
         ):
@@ -433,13 +479,13 @@ def render(world: World) -> None:
             # — overflowed pixels showed sky. Grow and re-render; past the
             # band pixel count render_view statically falls back to the
             # full-screen shade, so growth self-limits.
-            grow["opaque_px_cap"] = _next_pow2(opaque_px * 2)
+            grow["opaque_px_cap"] = size_worklist_cap(opaque_px)
         needed_k = check_stats.get("shade_px_needed_k")
         if needed_k is not None and (
             check_config.enable_blend or check_config.enable_particles
         ):
             caps_k = check_config.layer_caps()
-            sized = tuple(max(512, _next_pow2(n * 2)) for n in needed_k)
+            sized = tuple(size_worklist_cap(n) for n in needed_k)
             if any(n > c for n, c in zip(needed_k, caps_k)):
                 # A layer's worklist overflowed — those pixels lost that
                 # transparent layer. Grow and re-render (never-drop).

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from .geometry import TriangleSetup, _setup_from_clip
 from .shade import _normalize, sh_channel_vectors
-from .texture import sample_bilinear_level
+from .texture import ldr_pool, sample_bilinear_level
 from .tonemap import aces_filmic, linear_to_srgb_approx
 
 
@@ -165,7 +165,7 @@ def shade_particles(
     if env.smoke_tex_ids is not None:
         # smoke maps live in the LDR u8 pool (environment.py); the sampler
         # normalizes to [0,1]
-        texels = scene["texels"]
+        texels = ldr_pool(scene)
         tex = scene["tex"]
         lvl = jnp.zeros(n, jnp.int32)
         smoke_a = sample_bilinear_level(
@@ -236,7 +236,7 @@ def shade_particles(
     if env.smoke_tex_ids is not None:
         lut_uv = jnp.stack([emissive_s, particles["lut_y"][pid]], axis=-1)
         lut = sample_bilinear_level(
-            scene["texels"],
+            ldr_pool(scene),
             scene["tex"],
             jnp.full((n,), env.smoke_tex_ids[2], jnp.int32),
             lut_uv,

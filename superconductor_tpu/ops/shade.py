@@ -32,6 +32,8 @@ import jax.numpy as jnp
 
 from .geometry import TriangleAttrs, TriangleSetup
 from .texture import (
+    hdr_pool,
+    ldr_pool,
     mip_level_from_derivatives,
     sample_3d_from_layers,
     sample_anisotropic,
@@ -260,7 +262,7 @@ def sample_spherical_harmonics(gbuf: GBuffer, scene: dict, uniforms: dict, env):
         ]
         z_layers = env.lightvol_z_layers
         tex = scene["tex_hdr"]
-        texels = scene["texels_hdr"]
+        texels = hdr_pool(scene)
         ids = env.lightvol_tex_ids
         taps = [
             sample_3d_from_layers(
@@ -274,7 +276,7 @@ def sample_spherical_harmonics(gbuf: GBuffer, scene: dict, uniforms: dict, env):
         )
     if env.lightmap_tex_ids is not None:
         tex = scene["tex_hdr"]
-        texels = scene["texels_hdr"]
+        texels = hdr_pool(scene)
         lvl = jnp.zeros((p,), jnp.int32)
         taps = [
             sample_bilinear_level(
@@ -314,7 +316,7 @@ def shade(
     Follows fragment() then calculate_lighting_and_tonemap()
     (lib.rs:254-537). Misses are returned black with alpha 0.
     """
-    texels = scene["texels"]
+    texels = ldr_pool(scene)
     tex = scene["tex"]
     m = scene["materials"]
     mat = gbuf.material
@@ -396,7 +398,7 @@ def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
     """Alpha channel of the albedo sample (for the alpha-clip test), using
     the same trilinear lod as full shading — matches sampling all textures
     before the discard in fragment_alpha_clipped (lib.rs:405-407)."""
-    texels = scene["texels"]
+    texels = ldr_pool(scene)
     tex = scene["tex"]
     m = scene["materials"]
     mat = gbuf.material

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..math3d import quat_rotate
-from .texture import sample_cubemap
+from .texture import hdr_pool, sample_cubemap
 from .tonemap import aces_filmic, linear_to_srgb_approx
 
 
@@ -59,7 +59,7 @@ def sample_skybox(
         )
     else:
         rgb = sample_cubemap(
-            scene["texels_hdr"], scene["tex_hdr"], base, rays
+            hdr_pool(scene), scene["tex_hdr"], base, rays
         )[..., :3]
     if inline_tonemapping:
         rgb = aces_filmic(rgb)

@@ -21,6 +21,18 @@ WRAP_CLAMP = 1
 TEXFLAG_SRGB = 1
 
 
+def ldr_pool(scene):
+    """The LDR texel pool to sample: the quad-packed (N, 16) pool when the
+    scene publishes one (Scene.quad_pools — one gather per bilinear tap),
+    else the flat (N, 4) pool. Both paths are bit-exact equals."""
+    return scene.get("texels_q", scene["texels"])
+
+
+def hdr_pool(scene):
+    """HDR counterpart of ldr_pool."""
+    return scene.get("texels_hdr_q", scene["texels_hdr"])
+
+
 def _wrap(coord, size, wrap_mode):
     rep = jnp.remainder(coord, size)
     clmp = jnp.clip(coord, 0, size - 1)
@@ -34,11 +46,17 @@ def _fetch(texels, index):
 def sample_bilinear_level(texels, tex_desc, tex_id, uv, level, decode_srgb=True):
     """Bilinear sample of `tex_id` at mip `level` (integer, clamped).
 
-    texels: (N, 4) u8 or f32 pool
+    texels: (N, 4) u8 or f32 pool, OR the (N, 16) quad-packed pool
+            (TexturePool.device_quad): row i carries texel i's full 2x2
+            bilinear footprint [self, right, down, diag] with wrap baked
+            in, so the 4 taps collapse to ONE gather — the deferred shade
+            is gather-issue-bound (docs/KERNELS.md), and this quarters its
+            dominant cost for 4x pool memory.
     tex_desc: dict of descriptor arrays (mip_offset/w/h, tex_mip_base/count,
               tex_wrap, tex_flags)
     tex_id: (P,) i32; uv: (P, 2) f32; level: (P,) i32
-    Returns (P, 4) f32 (linear color space if decode_srgb).
+    Returns (P, 4) f32 (linear color space if decode_srgb). The quad and
+    4-tap paths are bit-exact equals (same texel values, same lerp).
     """
     base = tex_desc["tex_mip_base"][tex_id]
     count = tex_desc["tex_mip_count"][tex_id]
@@ -58,15 +76,31 @@ def sample_bilinear_level(texels, tex_desc, tex_id, uv, level, decode_srgb=True)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
 
-    def tap(xi, yi):
-        xi = _wrap(xi, w, wrap_mode)
-        yi = _wrap(yi, h, wrap_mode)
-        return _fetch(texels, off + yi * w + xi)
+    if texels.shape[-1] == 16:  # quad-packed pool: one gather, 4 texels
+        xi = _wrap(x0, w, wrap_mode)
+        yi = _wrap(y0, h, wrap_mode)
+        # CLAMP_TO_EDGE with a negative base texel: the classic path taps
+        # the edge texel twice (full weight), but the baked neighbor of
+        # texel 0 is texel 1 — zero the fraction instead, which weights
+        # the edge texel fully (same value, associativity-only ulp diff).
+        clamped = wrap_mode == WRAP_CLAMP
+        fx = jnp.where((clamped & (x0 < 0))[..., None], 0.0, fx)
+        fy = jnp.where((clamped & (y0 < 0))[..., None], 0.0, fy)
+        q = _fetch(texels, off + yi * w + xi).astype(jnp.float32)
+        t00, t10, t01, t11 = (
+            q[..., 0:4], q[..., 4:8], q[..., 8:12], q[..., 12:16]
+        )
+    else:
 
-    t00 = tap(x0, y0).astype(jnp.float32)
-    t10 = tap(x0 + 1, y0).astype(jnp.float32)
-    t01 = tap(x0, y0 + 1).astype(jnp.float32)
-    t11 = tap(x0 + 1, y0 + 1).astype(jnp.float32)
+        def tap(xi, yi):
+            xi = _wrap(xi, w, wrap_mode)
+            yi = _wrap(yi, h, wrap_mode)
+            return _fetch(texels, off + yi * w + xi)
+
+        t00 = tap(x0, y0).astype(jnp.float32)
+        t10 = tap(x0 + 1, y0).astype(jnp.float32)
+        t01 = tap(x0, y0 + 1).astype(jnp.float32)
+        t11 = tap(x0 + 1, y0 + 1).astype(jnp.float32)
 
     out = (
         t00 * (1 - fx) * (1 - fy)

@@ -50,7 +50,16 @@ class RenderConfig:
     inline_tonemapping: bool = True
     inline_srgb: bool = True
     num_views: int = 1
-    blend_layers: int = 4  # K-buffer depth for alpha-clip/blend layers
+    blend_layers: int = 4  # K-buffer depth for the alpha-blend pass
+    # Per-pass k-buffer depths: the clip resolve and the particle pass each
+    # see different worst-case overlap (e.g. 2 stacked clip surfaces vs 6
+    # overlapping smoke puffs), and a shared K makes every pass pay the
+    # deepest pass's kernel (K VMEM planes, K-step insert chain, K resolve
+    # iterations). None = blend_layers (the shared-K behavior). The managed
+    # paths size each from its own per-pass layers_needed stat — same
+    # grow-never-drop contract as blend_layers.
+    clip_layers: Optional[int] = None
+    particle_layers: Optional[int] = None
     enable_clip: bool = False  # alpha-clipped materials present
     enable_blend: bool = False  # alpha-blended materials present
     enable_lines: bool = False
@@ -96,19 +105,55 @@ class RenderConfig:
             return self.raster
         return "pallas" if jax.default_backend() == "tpu" else "ref"
 
-    def layer_caps(self) -> tuple:
-        """Effective per-layer shading worklist caps, length blend_layers."""
+    def resolve_clip_layers(self) -> int:
+        return self.clip_layers or self.blend_layers
+
+    def resolve_particle_layers(self) -> int:
+        return self.particle_layers or self.blend_layers
+
+    def layer_caps(self, k: Optional[int] = None) -> tuple:
+        """Effective per-layer shading worklist caps, length k (default
+        blend_layers — the blend pass; the particle pass passes its own
+        K)."""
+        k = k or self.blend_layers
         cs = tuple(int(c) for c in self.shade_px_caps or ())
         if not cs:  # None or empty tuple: every layer at the shared cap
-            return (self.shade_px_cap,) * self.blend_layers
-        if len(cs) < self.blend_layers:
-            cs = cs + (cs[-1],) * (self.blend_layers - len(cs))
-        return cs[: self.blend_layers]
+            return (self.shade_px_cap,) * k
+        if len(cs) < k:
+            cs = cs + (cs[-1],) * (k - len(cs))
+        return cs[:k]
+
+    def needed_k_len(self) -> int:
+        """Length of the shade_px_needed_k stat vector: the deepest
+        per-layer shading loop (blend and particles share it by index)."""
+        return max(self.blend_layers, self.resolve_particle_layers())
 
 
 # Seed value the managed (growth-capable) paths use for opaque_px_cap:
 # the ECS render system, bench.fit_caps, and the demo capacity probe.
 DEFAULT_OPAQUE_PX_CAP = 1 << 17
+
+
+def size_worklist_cap(need: int, floor: int = 512) -> int:
+    """Size a pixel-worklist capacity (shade_px_cap / shade_px_caps /
+    opaque_px_cap) from a measured need.
+
+    Worklist caps multiply per-frame shading cost directly — every lane
+    is paid whether live or not — so sizing matters more here than for
+    the geometry capacities: ``next_pow2(2 * need)`` can overshoot the
+    true need by 4x, and past the band pixel count it silently abandons
+    compaction for the full-screen path (the headline sphere's 563k-px
+    coverage sized to 2^21 > 1080p's 2,073,600 px that way). This uses a
+    1.5x headroom margin rounded up to a quarter-pow2 boundary
+    (m * 2^e, m in {5,6,7,8}) — worst-case ~1.9x the need — while still
+    bucketing shapes coarsely enough that growth converges in O(1)
+    recompiles and repeated frames reuse the jit cache."""
+    n = int(need) + (int(need) >> 1)  # 1.5x margin
+    if n <= floor:
+        return floor
+    e = max((n - 1).bit_length() - 3, 0)
+    m = -(-n >> e)  # ceil(n / 2^e), in (4..8]
+    return m << e
 
 
 class FrameState(NamedTuple):
@@ -168,12 +213,14 @@ def _rasterize_kbuffer(
     y_offset,
     depth_floor,
     want_depth: bool = True,
+    k: Optional[int] = None,
 ):
     """-> (KBuffer, pairs_needed i32, layers_needed i32); see _rasterize.
-    layers_needed is the max accepted-fragment count any pixel saw — when it
-    exceeds config.blend_layers the k-buffer dropped a surface and the host
-    must grow blend_layers and re-render (never-drop policy; the reference
-    draws every blended fragment, rendering.rs:550).
+    layers_needed is the max accepted-fragment count any pixel saw — when
+    it exceeds k (this pass's k-buffer depth: blend_layers, clip_layers or
+    particle_layers) the k-buffer dropped a surface and the host must grow
+    that pass's K and re-render (never-drop policy; the reference draws
+    every blended fragment, rendering.rs:550).
 
     want_depth=False skips the Pallas kernel's K HBM depth planes for
     callers that only consume .pair (the blend/particle shading loops; the
@@ -181,13 +228,14 @@ def _rasterize_kbuffer(
     dead-code-eliminates the unused output there."""
     from ..ops.raster_kbuffer import rasterize_kbuffer_ref
 
+    k = k or config.blend_layers
     method = config.resolve_raster()
     if method == "ref":
         kb, layers = rasterize_kbuffer_ref(
             tri,
             band_height,
             config.width,
-            k=config.blend_layers,
+            k=k,
             reverse_z=config.reverse_z,
             depth_floor=depth_floor,
             y_offset=y_offset,
@@ -204,7 +252,7 @@ def _rasterize_kbuffer(
         bins,
         band_height,
         config.width,
-        k=config.blend_layers,
+        k=k,
         reverse_z=config.reverse_z,
         depth_floor=depth_floor,
         y_offset=y_offset,
@@ -366,9 +414,11 @@ def render_view(
     # --- pass 1: opaque visibility ---
     opaque_tri = merged_tri._replace(valid=merged_tri.valid & (blend_mode == 0))
     vis, pairs_needed = _rasterize(opaque_tri, config, band_height, y_offset)
-    layers_needed = jnp.int32(0)
+    clip_layers_needed = jnp.int32(0)
+    blend_layers_needed = jnp.int32(0)
+    particle_layers_needed = jnp.int32(0)
     shade_px_needed = jnp.int32(0)
-    shade_px_needed_k = jnp.zeros((config.blend_layers,), jnp.int32)
+    shade_px_needed_k = jnp.zeros((config.needed_k_len(),), jnp.int32)
 
     # --- pass 2: alpha-clip resolve (K nearest candidates, keep the nearest
     # one whose albedo alpha passes the cutoff; the same decision the
@@ -383,10 +433,11 @@ def render_view(
             valid=merged_tri.valid & (blend_mode == 1)
         )
         kb, clip_pairs, clip_layers = _rasterize_kbuffer(
-            clip_tri, config, band_height, y_offset, vis.depth
+            clip_tri, config, band_height, y_offset, vis.depth,
+            k=config.resolve_clip_layers(),
         )
         pairs_needed = jnp.maximum(pairs_needed, clip_pairs)
-        layers_needed = jnp.maximum(layers_needed, clip_layers)
+        clip_layers_needed = jnp.maximum(clip_layers_needed, clip_layers)
         anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
         idx, safe, live, need = _compact_px(anyhit, config.shade_px_cap)
         shade_px_needed = jnp.maximum(shade_px_needed, need)
@@ -395,7 +446,7 @@ def render_view(
         chosen_pair = jnp.full(idx.shape, -1, jnp.int32)
         chosen_depth = vis.depth.reshape(-1)[safe]
         found = jnp.zeros(idx.shape, bool)
-        for k in range(config.blend_layers):
+        for k in range(config.resolve_clip_layers()):
             pair_k = jnp.where(live, kb.pair[k].reshape(-1)[safe], -1)
             g = interpolate_gbuffer(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
@@ -531,10 +582,10 @@ def render_view(
         )
         pkb, p_pairs, p_layers = _rasterize_kbuffer(
             p_tri, config, band_height, y_offset, depth_floor,
-            want_depth=False,
+            want_depth=False, k=config.resolve_particle_layers(),
         )
         pairs_needed = jnp.maximum(pairs_needed, p_pairs)
-        layers_needed = jnp.maximum(layers_needed, p_layers)
+        particle_layers_needed = jnp.maximum(particle_layers_needed, p_layers)
 
         def sh_sampler(world_pos):
             fake = _GB(
@@ -564,8 +615,9 @@ def render_view(
             )
 
         rgb, shade_px_needed_k = _composite_layers(
-            rgb, pkb.pair, config.layer_caps(), shade_px_needed_k,
-            shade_particle_layer,
+            rgb, pkb.pair,
+            config.layer_caps(config.resolve_particle_layers()),
+            shade_px_needed_k, shade_particle_layer,
         )
 
     # --- pass 3: alpha-blend composite (K nearest blended layers, shaded
@@ -579,7 +631,7 @@ def render_view(
             want_depth=False,
         )
         pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
-        layers_needed = jnp.maximum(layers_needed, blend_layers_seen)
+        blend_layers_needed = jnp.maximum(blend_layers_needed, blend_layers_seen)
         def shade_blend_layer(pair_w, safe, live):
             g = interpolate_gbuffer(
                 pair_w, px[safe], py[safe], merged_tri, merged_attrs,
@@ -628,7 +680,15 @@ def render_view(
     if with_stats:
         return img, {
             "pairs_needed": pairs_needed,
-            "layers_needed": layers_needed,
+            # max over the k-buffer passes (back-compat aggregate; the
+            # per-pass keys below drive per-pass K growth)
+            "layers_needed": jnp.maximum(
+                jnp.maximum(clip_layers_needed, blend_layers_needed),
+                particle_layers_needed,
+            ),
+            "clip_layers_needed": clip_layers_needed,
+            "blend_layers_needed": blend_layers_needed,
+            "particle_layers_needed": particle_layers_needed,
             "shade_px_needed": shade_px_needed,
             "shade_px_needed_k": shade_px_needed_k,
             "opaque_px_needed": opaque_px_needed,
@@ -653,8 +713,11 @@ def render_frame_impl(
     stats_acc = {
         "pairs_needed": jnp.int32(0),
         "layers_needed": jnp.int32(0),
+        "clip_layers_needed": jnp.int32(0),
+        "blend_layers_needed": jnp.int32(0),
+        "particle_layers_needed": jnp.int32(0),
         "shade_px_needed": jnp.int32(0),
-        "shade_px_needed_k": jnp.zeros((config.blend_layers,), jnp.int32),
+        "shade_px_needed_k": jnp.zeros((config.needed_k_len(),), jnp.int32),
         "opaque_px_needed": jnp.int32(0),
     }
     for v in range(config.num_views):

@@ -37,6 +37,9 @@ import numpy as np
 
 from .buffers import AllocatedArray, GrowableArray
 
+# Jitted quad-pool builder, shared across pools (see TexturePool.device_quad).
+_BUILD_QUAD_JIT = None
+
 
 def _identity_similarity():
     from ..math3d import Similarity
@@ -81,6 +84,15 @@ class TexturePool:
         # Range-allocated so freed textures return their texels to the pool
         # (the reference range-allocs its mega-buffers the same way).
         self.texels = AllocatedArray((4,), dtype, initial_capacity=4096)
+        # Per-texel [right, down, diag] neighbor indices (wrap baked in at
+        # allocate time) — feeds device_quad(), the quad-packed (N, 16)
+        # pool that makes a bilinear tap ONE gather instead of four
+        # (ops/texture.py sample_bilinear_level). Stale rows of freed
+        # ranges are harmless: they keep indexing in-bounds pool texels,
+        # and reallocation rewrites them.
+        self.nbr = GrowableArray((3,), np.int32, initial_capacity=4096)
+        self._quad_cache = None
+        self._quad_key = None
         # Compressed source bytes behind this pool's content (loaders add
         # the wire size of each texture they decode) — feeds
         # Scene.texture_memory_report()'s expansion factor.
@@ -138,8 +150,58 @@ class TexturePool:
             self.mip_offset.append(offset)
             self.mip_w.append(w)
             self.mip_h.append(h)
+            self._write_nbr_level(offset, h, w, wrap)
         self._desc_dirty = True
         return tex_id
+
+    def _write_nbr_level(self, offset: int, h: int, w: int, wrap: int) -> None:
+        """Bake one level's [right, down, diag] neighbor indices (with the
+        texture's wrap mode applied) into the nbr table."""
+        x = np.arange(w, dtype=np.int32)
+        y = np.arange(h, dtype=np.int32)
+        if wrap == WRAP_REPEAT:
+            xr = (x + 1) % w
+            yd = (y + 1) % h
+        else:
+            xr = np.minimum(x + 1, w - 1)
+            yd = np.minimum(y + 1, h - 1)
+        row = offset + y[:, None] * w  # (h, 1)
+        row_d = offset + yd[:, None] * w
+        nbr = np.empty((h, w, 3), np.int32)
+        nbr[:, :, 0] = row + xr[None, :]  # right
+        nbr[:, :, 1] = row_d + x[None, :]  # down
+        nbr[:, :, 2] = row_d + xr[None, :]  # diag
+        self.nbr.write(offset, nbr.reshape(-1, 3))
+        # keep index-alignment with the texel pool across its pow2 growth
+        if self.nbr.capacity < self.texels.capacity:
+            self.nbr._ensure(self.texels.capacity)
+
+    def device_quad(self):
+        """(N, 16) quad-packed device pool: row i = texel i's 2x2 bilinear
+        footprint [self, right, down, diag], wrap baked in. Rebuilt (three
+        device gathers + concat, no host traffic) whenever the base pool or
+        the neighbor table changed; the deferred shade samples this pool so
+        a bilinear tap costs one gather instead of four (docs/KERNELS.md:
+        the shade stage is gather-issue-bound)."""
+        import jax
+        import jax.numpy as jnp
+
+        t = self.texels.device()
+        if self.nbr.capacity < self.texels.capacity:
+            self.nbr._ensure(self.texels.capacity)
+        n = self.nbr.device()
+        key = (id(t), id(n))
+        if self._quad_cache is None or self._quad_key != key:
+            global _BUILD_QUAD_JIT
+            if _BUILD_QUAD_JIT is None:
+                _BUILD_QUAD_JIT = jax.jit(
+                    lambda t, n: jnp.concatenate(
+                        [t, t[n[:, 0]], t[n[:, 1]], t[n[:, 2]]], axis=1
+                    )
+                )
+            self._quad_cache = _BUILD_QUAD_JIT(t, n)
+            self._quad_key = key
+        return self._quad_cache
 
     def write_level(self, tex_id: int, level: int, image: np.ndarray) -> None:
         """Write one mip level's texels ((h, w, 4), dims must match)."""
@@ -389,6 +451,11 @@ class Scene:
         # volumes) has <= f16 precision to begin with.
         self.textures = TexturePool(np.uint8)
         self.textures_hdr = TexturePool(np.float16)
+        # Publish quad-packed (N, 16) pools alongside the flat ones so a
+        # bilinear tap is one gather instead of four (device_quad). Costs
+        # 4x pool HBM (+ the i32 neighbor table); disable to trade the
+        # shade speed back for memory (texture_memory_report shows both).
+        self.quad_pools: bool = True
         self._add_dummy_textures()
 
         # Materials.
@@ -519,9 +586,15 @@ class Scene:
             arr = p.texels.array
             itemsize = arr.host.dtype.itemsize * 4  # RGBA
             used = p.texels.alloc.used()
+            quad_bytes = 0
+            if self.quad_pools:
+                # quad pool (4x texels) + i32 neighbor table (12 B/texel),
+                # both at pool capacity (device-resident derived arrays)
+                quad_bytes = arr.capacity * (itemsize * 4 + 12)
             return {
                 "texel_bytes_used": used * itemsize,
                 "texel_bytes_capacity": arr.capacity * itemsize,
+                "quad_pool_bytes": quad_bytes,
                 "source_bytes": p.source_bytes,
                 "expansion": (used * itemsize / p.source_bytes)
                 if p.source_bytes
@@ -554,4 +627,7 @@ class Scene:
         }
         d["tex"] = self.textures.device_descriptors()
         d["tex_hdr"] = self.textures_hdr.device_descriptors()
+        if self.quad_pools:
+            d["texels_q"] = self.textures.device_quad()
+            d["texels_hdr_q"] = self.textures_hdr.device_quad()
         return d

@@ -101,6 +101,27 @@ def test_fit_caps_grows_all_four(monkeypatch):
     out = bench.fit_caps("dev", "state", cfg, "env")
     assert out.p_cap == 1 << 18  # next_pow2(100000 * 2)
     assert out.blend_layers == 8  # next_pow2(6)
-    assert out.shade_px_cap == 1 << 19  # next_pow2(200000 * 2)
-    assert out.opaque_px_cap == 1 << 19  # next_pow2(150000 * 2)
+    assert out.shade_px_cap == 327680  # size_worklist_cap(200000): 5*2^16
+    assert out.opaque_px_cap == 229376  # size_worklist_cap(150000): 7*2^15
     assert len(calls) == 2  # grew once, then clean stats frame
+
+
+def test_size_worklist_cap():
+    """Quarter-pow2 sizing with 1.5x margin: covers the need, never
+    overshoots it by more than ~1.9x (pow2-of-2x could hit 4x and blow
+    past the band pixel count — the full-screen fallback the compacted
+    shade exists to avoid)."""
+    from superconductor_tpu.render.frame import size_worklist_cap
+
+    assert size_worklist_cap(0) == 512
+    assert size_worklist_cap(300) == 512  # floor
+    for need in (1000, 4096, 563_874, 1_047_557, 123_456_789):
+        cap = size_worklist_cap(need)
+        assert cap >= need * 1.5 - 1
+        assert cap <= need * 1.9
+        # quarter-pow2 boundary: at most 3 significant bits
+        assert cap % (1 << max(cap.bit_length() - 3, 0)) == 0, (need, cap)
+    # the motivating case: the 1080p headline sphere's 563,874-px coverage
+    # must size BELOW the 2,073,600-px screen (pow2-of-2x gave 2^21 above
+    # it, silently reverting to the full-screen shade)
+    assert size_worklist_cap(563_874) < 1920 * 1080

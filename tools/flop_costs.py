@@ -93,6 +93,7 @@ def main():
         from superconductor_tpu.render.frame import (
             _merged_geometry,
             render_frame_stats,
+            size_worklist_cap,
         )
 
         s = args.fit_scale
@@ -115,13 +116,15 @@ def main():
             full_config,
             p_cap=_next_pow2(pairs_full * 2),
             blend_layers=sconfig.blend_layers,
-            shade_px_cap=_next_pow2(int(st["shade_px_needed"] * area * 2)),
+            clip_layers=sconfig.clip_layers,
+            particle_layers=sconfig.particle_layers,
+            shade_px_cap=size_worklist_cap(int(st["shade_px_needed"] * area)),
             shade_px_caps=tuple(
-                max(512, _next_pow2(int(n * area * 2)))
+                size_worklist_cap(int(n * area))
                 for n in st["shade_px_needed_k"]
             ) if st.get("shade_px_needed_k") else None,
-            opaque_px_cap=_next_pow2(
-                int(max(st["opaque_px_needed"], 1) * area * 2)
+            opaque_px_cap=size_worklist_cap(
+                int(max(st["opaque_px_needed"], 1) * area)
             ),
         )
         print(json.dumps({"fit": {
