@@ -83,6 +83,13 @@ class TriangleAttrs(NamedTuple):
     lm_uv: jax.Array  # (T, 3, 2)
     material: jax.Array  # (T,) i32
     lightmapped: jax.Array  # (T,) bool
+    # One (T, 32) f32 row carrying ALL of the above — the deferred stage's
+    # per-pixel attribute fetch is ONE gather instead of six (gather lanes
+    # dominate the shade stage, docs/KERNELS.md). Layout: world_pos(9),
+    # normal(9), uv(6), lm_uv(6), material (i32 bitcast), lightmapped.
+    # Built by pack_attrs(); the unpacked fields remain for the raster
+    # ref path and tests (XLA dead-code-eliminates whichever goes unused).
+    packed: Optional[jax.Array] = None
 
 
 def expand_draws(draws: DrawList, t_cap: int):
@@ -248,15 +255,36 @@ def geometry_pass(
         valid=setup[1],
         num_valid=total.astype(jnp.int32),
     )
-    attrs = TriangleAttrs(
-        world_pos=world_v[row3],
-        normal=nrm_v[row3],
-        uv=uv_v[row3],
-        lm_uv=lm[row3],
-        material=mat,
-        lightmapped=draws.lightmapped[pair_inst],
+    attrs = pack_attrs(
+        TriangleAttrs(
+            world_pos=world_v[row3],
+            normal=nrm_v[row3],
+            uv=uv_v[row3],
+            lm_uv=lm[row3],
+            material=mat,
+            lightmapped=draws.lightmapped[pair_inst],
+        )
     )
     return setup, attrs
+
+
+def pack_attrs(attrs: TriangleAttrs) -> TriangleAttrs:
+    """Fill TriangleAttrs.packed (see the field comment for the layout)."""
+    t = attrs.material.shape[0]
+    packed = jnp.concatenate(
+        [
+            attrs.world_pos.reshape(t, 9),
+            attrs.normal.reshape(t, 9),
+            attrs.uv.reshape(t, 6),
+            attrs.lm_uv.reshape(t, 6),
+            jax.lax.bitcast_convert_type(
+                attrs.material.astype(jnp.int32), jnp.float32
+            ).reshape(t, 1),
+            attrs.lightmapped.astype(jnp.float32).reshape(t, 1),
+        ],
+        axis=-1,
+    )
+    return attrs._replace(packed=packed)
 
 
 def _setup_from_clip(clip, pair_valid, double_sided, width, height,

@@ -97,18 +97,33 @@ def interpolate_gbuffer(
 
     bary = e * inv_d[:, None]  # (P, 3) screen barycentrics
 
-    def interp(a):  # a: (T, 3, C) -> (P, C)
-        return jnp.sum(a[p] * bary[..., None], axis=-2)
+    # ONE gather fetches every vertex attribute of the winning triangle
+    # (TriangleAttrs.packed layout) — gather lanes dominate this stage.
+    if attrs.packed is not None:
+        av32 = attrs.packed[p]  # (P, 32)
+        wp_v = av32[:, 0:9].reshape(-1, 3, 3)
+        n_v = av32[:, 9:18].reshape(-1, 3, 3)
+        uv_v = av32[:, 18:24].reshape(-1, 3, 2)
+        lm_v = av32[:, 24:30].reshape(-1, 3, 2)
+        material = jax.lax.bitcast_convert_type(av32[:, 30], jnp.int32)
+        lightmapped = av32[:, 31] != 0
+    else:  # hand-built attrs (tests) without the packed row
+        wp_v = attrs.world_pos[p]
+        n_v = attrs.normal[p]
+        uv_v = attrs.uv[p]
+        lm_v = attrs.lm_uv[p]
+        material = attrs.material[p]
+        lightmapped = attrs.lightmapped[p]
 
-    world_pos = interp(attrs.world_pos)
-    normal = interp(attrs.normal)
-    uv = interp(attrs.uv)
-    lm_uv = interp(attrs.lm_uv)
-    material = attrs.material[p]
-    lightmapped = attrs.lightmapped[p]
+    def interp(av):  # av: (P, 3, C) -> (P, C)
+        return jnp.sum(av * bary[..., None], axis=-2)
 
-    def deriv(a):  # a: (T, 3, C) -> d/dx, d/dy each (P, C)
-        av = a[p]  # (P, 3, C)
+    world_pos = interp(wp_v)
+    normal = interp(n_v)
+    uv = interp(uv_v)
+    lm_uv = interp(lm_v)
+
+    def deriv(av):  # av: (P, 3, C) -> d/dx, d/dy each (P, C)
         n_val = jnp.sum(e[..., None] * av, axis=-2)
         n_dx = jnp.sum(dx[..., None] * av, axis=-2)
         n_dy = jnp.sum(dy[..., None] * av, axis=-2)
@@ -116,8 +131,8 @@ def interpolate_gbuffer(
         ddy = (n_dy - n_val * (d_dy * inv_d)[..., None]) * inv_d[..., None]
         return ddx, ddy
 
-    dpdx, dpdy = deriv(attrs.world_pos)
-    duvdx, duvdy = deriv(attrs.uv)
+    dpdx, dpdy = deriv(wp_v)
+    duvdx, duvdy = deriv(uv_v)
 
     return GBuffer(
         valid=valid,
@@ -321,25 +336,31 @@ def shade(
     m = scene["materials"]
     mat = gbuf.material
 
+    # One packed f32 row + one packed i32 row per pixel (scene.py
+    # material_arrays layout) instead of ~12 scalar-field gathers —
+    # per-lane descriptor fetches cost like texel taps on the TPU.
+    pf = m["packed_f"][mat]
+    pi = m["packed_i"][mat]
+
     # Every material texture samples with aniso/trilinear LOD derived from
     # its OWN mip-0 dimensions (sample_anisotropic computes it from the
     # analytic uv derivatives) — matching the reference, where one GL
     # sampler with anisotropy_clamp serves all four bindings
     # (texture_loading.rs:140-158) and LOD is per-texture by construction.
-    def material_sample(tex_id_field):
+    def material_sample(tex_id):
         return sample_anisotropic(
-            texels, tex, m[tex_id_field][mat], gbuf.uv,
+            texels, tex, tex_id, gbuf.uv,
             gbuf.duvdx, gbuf.duvdy, aniso_taps,
         )
 
-    albedo = material_sample("albedo_tex") * m["base_color_factor"][mat]
-    mr = material_sample("mr_tex")
-    emissive_tex = material_sample("emissive_tex")
-    normal_tex = material_sample("normal_tex")
+    albedo = material_sample(pi[..., 0]) * pf[..., 0:4]
+    mr = material_sample(pi[..., 2])
+    emissive_tex = material_sample(pi[..., 3])
+    normal_tex = material_sample(pi[..., 1])
 
-    metallic = mr[..., 2] * m["metallic_factor"][mat]
-    roughness = mr[..., 1] * m["roughness_factor"][mat]
-    emissive = emissive_tex[..., :3] * m["emissive_factor"][mat]
+    metallic = mr[..., 2] * pf[..., 7]
+    roughness = mr[..., 1] * pf[..., 8]
+    emissive = emissive_tex[..., :3] * pf[..., 4:7]
     alpha = albedo[..., 3]
     albedo_rgb = albedo[..., :3]
 
@@ -350,7 +371,7 @@ def shade(
     # Normal map (lib.rs:558-568): decode, scale xy, renormalize, rotate into
     # the cotangent frame.
     map_n = normal_tex[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
-    scale = m["normal_map_scale"][mat][..., None]
+    scale = pf[..., 9][..., None]
     map_n = map_n * jnp.concatenate(
         [scale, scale, jnp.ones_like(scale)], axis=-1
     )
@@ -386,7 +407,7 @@ def shade(
     # Unlit: raw albedo (srgb-encoded if inline_srgb), no tonemap
     # (lib.rs:310-318).
     unlit_rgb = linear_to_srgb_approx(albedo_rgb) if inline_srgb else albedo_rgb
-    unlit = (m["flags"][mat] & MAT_UNLIT) != 0
+    unlit = (pi[..., 4] & MAT_UNLIT) != 0
     rgb = jnp.where(unlit[..., None], unlit_rgb, lit)
 
     rgb = jnp.where(gbuf.valid[..., None], rgb, 0.0)
@@ -402,8 +423,9 @@ def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
     tex = scene["tex"]
     m = scene["materials"]
     mat = gbuf.material
-    alb = m["albedo_tex"][mat]
+    pf = m["packed_f"][mat]
+    pi = m["packed_i"][mat]
     albedo = sample_anisotropic(
-        texels, tex, alb, gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps
-    ) * m["base_color_factor"][mat]
+        texels, tex, pi[..., 0], gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps
+    ) * pf[..., 0:4]
     return albedo[..., 3]

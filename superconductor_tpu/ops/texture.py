@@ -58,14 +58,23 @@ def sample_bilinear_level(texels, tex_desc, tex_id, uv, level, decode_srgb=True)
     Returns (P, 4) f32 (linear color space if decode_srgb). The quad and
     4-tap paths are bit-exact equals (same texel values, same lerp).
     """
-    base = tex_desc["tex_mip_base"][tex_id]
-    count = tex_desc["tex_mip_count"][tex_id]
-    wrap_mode = tex_desc["tex_wrap"][tex_id]
-    lvl = jnp.clip(level, 0, count - 1)
-    entry = base + lvl
-    off = tex_desc["mip_offset"][entry]
-    w = tex_desc["mip_w"][entry]
-    h = tex_desc["mip_h"][entry]
+    if "tex_meta" in tex_desc:  # packed: 2 descriptor gathers, not 7
+        meta = tex_desc["tex_meta"][tex_id]
+        base, count, wrap_mode = meta[..., 0], meta[..., 1], meta[..., 2]
+        flags = meta[..., 3]
+        lvl = jnp.clip(level, 0, count - 1)
+        owh = tex_desc["mip_owh"][base + lvl]
+        off, w, h = owh[..., 0], owh[..., 1], owh[..., 2]
+    else:
+        base = tex_desc["tex_mip_base"][tex_id]
+        count = tex_desc["tex_mip_count"][tex_id]
+        wrap_mode = tex_desc["tex_wrap"][tex_id]
+        flags = None
+        lvl = jnp.clip(level, 0, count - 1)
+        entry = base + lvl
+        off = tex_desc["mip_offset"][entry]
+        w = tex_desc["mip_w"][entry]
+        h = tex_desc["mip_h"][entry]
 
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
@@ -111,7 +120,9 @@ def sample_bilinear_level(texels, tex_desc, tex_id, uv, level, decode_srgb=True)
     if texels.dtype == jnp.uint8:
         out = out * (1.0 / 255.0)
         if decode_srgb:
-            srgb = (tex_desc["tex_flags"][tex_id] & TEXFLAG_SRGB) != 0
+            if flags is None:
+                flags = tex_desc["tex_flags"][tex_id]
+            srgb = (flags & TEXFLAG_SRGB) != 0
             rgb = jnp.where(
                 srgb[..., None], srgb_to_linear_exact(out[..., :3]), out[..., :3]
             )
@@ -173,7 +184,14 @@ def sample_cubemap(texels_hdr, tex_desc, base_tex_id, direction, lod=None):
     uv = jnp.stack([u, v], axis=-1)
     tex_id = base_tex_id + face
     if lod is None:
-        lod = jnp.zeros(d.shape[:-1], jnp.float32)
+        # No lod requested: one bilinear tap at the base level. Trilinear
+        # with lod=0 would gather BOTH of the two finest levels and lerp
+        # by 0 — a full extra descriptor+texel fetch chain per pixel on
+        # the (full-screen) skybox pass, for nothing.
+        lvl = jnp.zeros(d.shape[:-1], jnp.int32)
+        return sample_bilinear_level(
+            texels_hdr, tex_desc, tex_id, uv, lvl, decode_srgb=False
+        )
     return sample_trilinear(texels_hdr, tex_desc, tex_id, uv, lod, decode_srgb=False)
 
 
@@ -209,9 +227,15 @@ def sample_anisotropic(
     anisotropy_clamp (texture_loading.rs:140-158). taps=1 degrades to plain
     trilinear with isotropic (major-axis) lod.
     """
-    base = tex_desc["tex_mip_base"][tex_id]
-    w = tex_desc["mip_w"][base].astype(jnp.float32)
-    h = tex_desc["mip_h"][base].astype(jnp.float32)
+    if "tex_meta" in tex_desc:
+        base = tex_desc["tex_meta"][tex_id][..., 0]
+        owh = tex_desc["mip_owh"][base]
+        w = owh[..., 1].astype(jnp.float32)
+        h = owh[..., 2].astype(jnp.float32)
+    else:
+        base = tex_desc["tex_mip_base"][tex_id]
+        w = tex_desc["mip_w"][base].astype(jnp.float32)
+        h = tex_desc["mip_h"][base].astype(jnp.float32)
     dx2 = (duvdx[..., 0] * w) ** 2 + (duvdx[..., 1] * h) ** 2
     dy2 = (duvdy[..., 0] * w) ** 2 + (duvdy[..., 1] * h) ** 2
     if taps <= 1:

@@ -323,6 +323,15 @@ def _pixel_centers(config: RenderConfig, band_height: int, y_offset):
     return px, py
 
 
+def _px_py_at(idx, width: int, y_offset):
+    """Pixel centers of flat band indices, computed arithmetically — the
+    worklist paths used to gather px[idx]/py[idx], two gather lanes per
+    worklist entry for what is a div/mod away."""
+    x = (idx % width).astype(jnp.float32) + 0.5
+    y = (idx // width).astype(jnp.float32) + 0.5 + y_offset
+    return x, y
+
+
 def _merged_geometry(scene, state, view_proj, config):
     """Static + animated geometry as one pair list."""
     tri, attrs = geometry_pass(
@@ -441,7 +450,7 @@ def render_view(
         anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
         idx, safe, live, need = _compact_px(anyhit, config.shade_px_cap)
         shade_px_needed = jnp.maximum(shade_px_needed, need)
-        pxc, pyc = px[safe], py[safe]
+        pxc, pyc = _px_py_at(safe, config.width, y_offset)
         vshape = vis.pair.shape
         chosen_pair = jnp.full(idx.shape, -1, jnp.int32)
         chosen_depth = vis.depth.reshape(-1)[safe]
@@ -452,7 +461,7 @@ def render_view(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
             )
             a = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
-            cutoff = mats["alpha_cutoff"][g.material]
+            cutoff = mats["packed_f"][g.material][..., 10]
             ok = g.valid & (a >= cutoff) & ~found
             chosen_pair = jnp.where(ok, pair_k, chosen_pair)
             chosen_depth = jnp.where(ok, kb.depth[k].reshape(-1)[safe], chosen_depth)
@@ -497,10 +506,11 @@ def render_view(
         hit_mask = (vis.pair >= 0).reshape(-1)
         oidx, osafe, olive, need = _compact_px(hit_mask, config.opaque_px_cap)
         opaque_px_needed = need
+        opx, opy = _px_py_at(osafe, config.width, y_offset)
         g = interpolate_gbuffer(
             jnp.where(olive, vis.pair.reshape(-1)[osafe], -1),
-            px[osafe],
-            py[osafe],
+            opx,
+            opy,
             merged_tri,
             merged_attrs,
         )
@@ -598,10 +608,11 @@ def render_view(
             return sample_spherical_harmonics(fake, scene, u, env)
 
         def shade_particle_layer(pair_w, safe, live):
+            spx, spy = _px_py_at(safe, config.width, y_offset)
             return shade_particles(
                 pair_w,
-                px[safe],
-                py[safe],
+                spx,
+                spy,
                 p_tri,
                 p_attrs,
                 state.particles,
@@ -633,8 +644,9 @@ def render_view(
         pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
         blend_layers_needed = jnp.maximum(blend_layers_needed, blend_layers_seen)
         def shade_blend_layer(pair_w, safe, live):
+            bpx, bpy = _px_py_at(safe, config.width, y_offset)
             g = interpolate_gbuffer(
-                pair_w, px[safe], py[safe], merged_tri, merged_attrs,
+                pair_w, bpx, bpy, merged_tri, merged_attrs,
             )
             lrgb, la = shade(
                 g,

@@ -273,7 +273,7 @@ class TexturePool:
     def descriptor_arrays(self) -> Dict[str, np.ndarray]:
         n = max(1, len(self.mip_offset))
         t = max(1, self.num_textures)
-        return {
+        d = {
             "mip_offset": np.asarray(self.mip_offset + [0] * (n - len(self.mip_offset)), np.int32),
             "mip_w": np.asarray(self.mip_w + [1] * (n - len(self.mip_w)), np.int32),
             "mip_h": np.asarray(self.mip_h + [1] * (n - len(self.mip_h)), np.int32),
@@ -282,6 +282,19 @@ class TexturePool:
             "tex_wrap": np.asarray(self.tex_wrap + [0] * (t - self.num_textures), np.int32),
             "tex_flags": np.asarray(self.tex_flags + [0] * (t - self.num_textures), np.int32),
         }
+        # Packed rows: per-SAMPLE descriptor fetches are gather-lane-bound
+        # like the texel taps themselves (a trilinear sample was 7 scalar
+        # descriptor gathers vs 2 texel gathers on the quad path) — one
+        # (T, 4) row and one (L, 4) row replace them (ops/texture.py).
+        d["tex_meta"] = np.stack(
+            [d["tex_mip_base"], d["tex_mip_count"], d["tex_wrap"],
+             d["tex_flags"]], axis=-1,
+        )
+        d["mip_owh"] = np.stack(
+            [d["mip_offset"], d["mip_w"], d["mip_h"],
+             np.zeros_like(d["mip_offset"])], axis=-1,
+        )
+        return d
 
     def device_descriptors(self):
         if self._desc_device is None or self._desc_dirty:
@@ -507,6 +520,49 @@ class Scene:
             "normal_tex": np.array([m.normal_tex for m in mats], np.int32),
             "mr_tex": np.array([m.metallic_roughness_tex for m in mats], np.int32),
             "emissive_tex": np.array([m.emissive_tex for m in mats], np.int32),
+            # Packed per-pixel shading rows (ops/shade.py): one f32 gather
+            # + one i32 gather replace ~12 scalar-field gathers per pixel —
+            # per-lane descriptor fetches cost like texel taps on the TPU.
+            # Layout: packed_f = [base_color_factor(4), emissive_factor(3),
+            # metallic_factor, roughness_factor, normal_map_scale,
+            # alpha_cutoff, pad]; packed_i = [albedo_tex, normal_tex,
+            # mr_tex, emissive_tex, flags, blend_mode, pad, pad].
+            "packed_f": np.concatenate(
+                [
+                    np.array([m.base_color_factor for m in mats], np.float32),
+                    np.array([m.emissive_factor for m in mats], np.float32),
+                    np.array(
+                        [
+                            (
+                                m.metallic_factor,
+                                m.roughness_factor,
+                                m.normal_map_scale,
+                                m.alpha_cutoff,
+                                0.0,
+                            )
+                            for m in mats
+                        ],
+                        np.float32,
+                    ),
+                ],
+                axis=-1,
+            ),
+            "packed_i": np.array(
+                [
+                    (
+                        m.albedo_tex,
+                        m.normal_tex,
+                        m.metallic_roughness_tex,
+                        m.emissive_tex,
+                        m.flags,
+                        m.blend_mode,
+                        0,
+                        0,
+                    )
+                    for m in mats
+                ],
+                np.int32,
+            ),
         }
 
     def device_materials(self):
