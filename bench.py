@@ -526,6 +526,15 @@ def fit_caps(dev, state0, config, env, max_rounds=8):
         # pay K=8; mirrors the ECS render system's tighten). blend_layers
         # itself tightens only once clip/particles no longer inherit it.
         if not grow:
+            # Tighten the bin-pair capacity too: every raster pass sorts
+            # and gathers p_cap rows whether live or not, so a static
+            # seed far above the scene's need taxes each pass's binning.
+            # The grow branch above still protects never-drop if a later
+            # angle needs more.
+            tight_p = size_worklist_cap(stats["pairs_needed"])
+            if tight_p < config.p_cap:
+                grow["p_cap"] = tight_p
+        if not grow:
             new_blend = (
                 _next_pow2(max(blend_l, 1))
                 if config.enable_blend

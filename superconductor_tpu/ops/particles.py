@@ -29,6 +29,14 @@ class ParticleAttrs(NamedTuple):
     uv: jax.Array  # (T, 3, 2) corner uvs
     world_pos: jax.Array  # (T, 3, 3) corner world positions
     particle: jax.Array  # (T,) particle id (pair -> particle via this)
+    # One (T, 32) f32 row carrying everything shade_particles needs — the
+    # per-pixel fetch is ONE gather instead of ~9 (setup adj + uv corners
+    # + world corners + 5 per-particle fields; gather lanes dominate the
+    # shade stages, docs/KERNELS.md). Layout: adj(9), uv(6), world_pos(9),
+    # colour(3), emissive_colour(3), lut_y-or-neg (use_emissive_lut folded
+    # into the sign), center-partner-corner selector (0 -> corner 2 of
+    # this triangle is diagonal to corner 0, 1 -> corner 1 is).
+    packed: jax.Array = None
 
 
 def particle_geometry(
@@ -122,7 +130,37 @@ def particle_geometry(
         valid=tvalid,
         num_valid=jnp.sum(tvalid).astype(jnp.int32),
     )
-    return tri_setup, ParticleAttrs(uv=uv_t, world_pos=world_t, particle=pid)
+    # Packed per-pair shading row (see ParticleAttrs.packed). The quad
+    # center is recovered from the diagonal corner pair: triangle A's rows
+    # are quad corners (0,1,2) -> diagonal is rows (0,2), B's are (0,2,3)
+    # -> diagonal is rows (0,1); csel records which.
+    lut_packed = jnp.where(
+        particles["use_emissive_lut"] != 0, particles["lut_y"], -1.0
+    )
+    per_particle = jnp.concatenate(
+        [
+            particles["colour"],
+            particles["emissive_colour"],
+            lut_packed[:, None],
+        ],
+        axis=1,
+    )  # (P, 7)
+    csel = jnp.concatenate(
+        [jnp.zeros((p, 1), jnp.float32), jnp.ones((p, 1), jnp.float32)]
+    )
+    packed = jnp.concatenate(
+        [
+            setup[:, 0:9],
+            uv_t.reshape(t, 6),
+            world_t.reshape(t, 9),
+            per_particle[pid],
+            csel,
+        ],
+        axis=1,
+    )  # (T, 32)
+    return tri_setup, ParticleAttrs(
+        uv=uv_t, world_pos=world_t, particle=pid, packed=packed
+    )
 
 
 def shade_particles(
@@ -146,18 +184,40 @@ def shade_particles(
     k-buffer stores only depth+pair, see raster_kbuffer.KBuffer)."""
     valid = pair >= 0
     idx = jnp.maximum(pair, 0)
-    adj = tri.setup[idx, 0:9].reshape(-1, 3, 3)  # (P, 3, [a,b,c])
+    if attrs.packed is not None:
+        # ONE gather row carries the setup edges, corner attributes and
+        # per-particle shading fields (ParticleAttrs.packed layout).
+        row = attrs.packed[idx]  # (P, 32)
+        adj = row[:, 0:9].reshape(-1, 3, 3)
+        uv_v = row[:, 9:15].reshape(-1, 3, 2)
+        wp_v = row[:, 15:24].reshape(-1, 3, 3)
+        p_colour = row[:, 24:27]
+        p_emissive = row[:, 27:30]
+        lut_packed = row[:, 30]
+        p_use_lut = lut_packed >= 0.0
+        p_lut_y = jnp.maximum(lut_packed, 0.0)
+        partner = jnp.where(row[:, 31:32] > 0.5, wp_v[:, 1], wp_v[:, 2])
+        p_center = 0.5 * (wp_v[:, 0] + partner)
+    else:
+        adj = tri.setup[idx, 0:9].reshape(-1, 3, 3)  # (P, 3, [a,b,c])
+        uv_v = attrs.uv[idx]
+        wp_v = attrs.world_pos[idx]
+        pid = attrs.particle[idx]
+        p_colour = particles["colour"][pid]
+        p_emissive = particles["emissive_colour"][pid]
+        p_use_lut = particles["use_emissive_lut"][pid] != 0
+        p_lut_y = particles["lut_y"][pid]
+        p_center = particles["center"][pid]
     e = (
         adj[:, :, 0] * px[:, None] + adj[:, :, 1] * py[:, None] + adj[:, :, 2]
     )  # (P, 3)
     d_val = jnp.sum(e, axis=-1)
     bary = e / jnp.where(d_val == 0, 1.0, d_val)[:, None]
-    uv = jnp.sum(attrs.uv[idx] * bary[..., None], axis=-2)
-    world_pos = jnp.sum(attrs.world_pos[idx] * bary[..., None], axis=-2)
-    pid = attrs.particle[idx]
+    uv = jnp.sum(uv_v * bary[..., None], axis=-2)
+    world_pos = jnp.sum(wp_v * bary[..., None], axis=-2)
 
     eye = uniforms["eye"][view_index]
-    normal = _normalize(eye[None, :] - particles["center"][pid])
+    normal = _normalize(eye[None, :] - p_center)
 
     sh = sh_sampler(world_pos)
 
@@ -234,7 +294,7 @@ def shade_particles(
     ambient = sh[:, 0, :] * ambient_factor * (1.0 - rgb_len)
 
     if env.smoke_tex_ids is not None:
-        lut_uv = jnp.stack([emissive_s, particles["lut_y"][pid]], axis=-1)
+        lut_uv = jnp.stack([emissive_s, p_lut_y], axis=-1)
         lut = sample_bilinear_level(
             ldr_pool(scene),
             scene["tex"],
@@ -245,14 +305,13 @@ def shade_particles(
         )[..., :3]
     else:
         lut = jnp.zeros((n, 3), jnp.float32)
-    use_lut = particles["use_emissive_lut"][pid][..., None]
-    emission = jnp.where(use_lut != 0, lut, emissive_s[..., None]) * particles[
-        "emissive_colour"
-    ][pid]
+    emission = jnp.where(
+        p_use_lut[..., None], lut, emissive_s[..., None]
+    ) * p_emissive
 
     out = (
         directional * light_map[..., None] + ambient
-    ) * particles["colour"][pid] + emission
+    ) * p_colour + emission
 
     if inline_tonemapping:
         out = aces_filmic(out)

@@ -25,7 +25,7 @@ Lighting model (identical math to the reference):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ from .texture import (
     sample_3d_from_layers,
     sample_anisotropic,
     sample_bilinear_level,
+    sample_lightvol_sh,
 )
 from .tonemap import aces_filmic, linear_to_srgb_approx
 
@@ -67,6 +68,7 @@ def interpolate_gbuffer(
     py: jax.Array,
     tri: TriangleSetup,
     attrs: TriangleAttrs,
+    shade_row: Optional[jax.Array] = None,  # (T, 48) concat(setup, packed)
 ) -> GBuffer:
     """Gather the winner's setup row and interpolate attributes.
 
@@ -74,10 +76,23 @@ def interpolate_gbuffer(
     kernels store only (depth, pair) (see raster_ref.VisibilityBuffer);
     the setup gather and e/d evaluation were already needed for the
     analytic derivatives, so reconstruction is free of extra HBM traffic.
+
+    shade_row, when given, is the per-pair concat of tri.setup (16) and
+    attrs.packed (32): the per-pixel fetch collapses from two gathers to
+    ONE 48-float row gather (gather lanes dominate the deferred stage,
+    docs/KERNELS.md). Built once per view in render_view.
     """
     valid = pair >= 0
     p = jnp.maximum(pair, 0)
-    setup = tri.setup[p]  # (P, 16)
+    av32 = None
+    if shade_row is not None:
+        row = shade_row[p]  # (P, 48) — one gather for setup AND attrs
+        setup = row[:, 0:16]
+        av32 = row[:, 16:48]
+    else:
+        setup = tri.setup[p]  # (P, 16)
+        if attrs.packed is not None:
+            av32 = attrs.packed[p]  # (P, 32)
     front_facing = setup[:, 15] == 0.0
 
     # Edge functions at the pixel center; also the denominators/derivative
@@ -97,10 +112,10 @@ def interpolate_gbuffer(
 
     bary = e * inv_d[:, None]  # (P, 3) screen barycentrics
 
-    # ONE gather fetches every vertex attribute of the winning triangle
-    # (TriangleAttrs.packed layout) — gather lanes dominate this stage.
-    if attrs.packed is not None:
-        av32 = attrs.packed[p]  # (P, 32)
+    # ONE gather fetched every vertex attribute of the winning triangle
+    # (TriangleAttrs.packed layout; already done above when shade_row
+    # folds it into the setup gather).
+    if av32 is not None:
         wp_v = av32[:, 0:9].reshape(-1, 3, 3)
         n_v = av32[:, 9:18].reshape(-1, 3, 3)
         uv_v = av32[:, 18:24].reshape(-1, 3, 2)
@@ -276,15 +291,22 @@ def sample_spherical_harmonics(gbuf: GBuffer, scene: dict, uniforms: dict, env):
             "probes_scale"
         ]
         z_layers = env.lightvol_z_layers
-        tex = scene["tex_hdr"]
-        texels = hdr_pool(scene)
-        ids = env.lightvol_tex_ids
-        taps = [
-            sample_3d_from_layers(
-                texels, tex, jnp.full((p,), i, jnp.int32), rescaled, z_layers
-            )[..., :3]
-            for i in ids
-        ]
+        if "lv_sh" in scene and env.lightvol_wh is not None:
+            # SH-interleaved pool: the four volumes' trilinear fetch is
+            # TWO gathers total with static addressing (vs 8 quad-gathers
+            # + descriptor chains below) — see Scene.device_lightvol_sh.
+            w, h = env.lightvol_wh
+            t12 = sample_lightvol_sh(scene["lv_sh"], w, h, z_layers, rescaled)
+            taps = [t12[..., 3 * i : 3 * i + 3] for i in range(4)]
+        else:
+            tex = scene["tex_hdr"]
+            texels = hdr_pool(scene)
+            taps = [
+                sample_3d_from_layers(
+                    texels, tex, jnp.full((p,), i, jnp.int32), rescaled, z_layers
+                )[..., :3]
+                for i in env.lightvol_tex_ids
+            ]
         sh = unpack(
             taps[0], taps[1] * scale + bias, taps[2] * scale + bias,
             taps[3] * scale + bias,

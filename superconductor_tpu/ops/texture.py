@@ -218,6 +218,54 @@ def sample_3d_from_layers(
     return a * (1 - fz) + b * fz
 
 
+def sample_lightvol_sh(lv_sh, w: int, h: int, z_layers: int, point):
+    """Trilinear sample of the SH-interleaved lightvol pool -> (P, 12).
+
+    lv_sh: (w*h*z_layers, 48) pool from Scene.device_lightvol_sh — row
+    (z*h*w + y*w + x) holds the 2x2 footprint of all four SH volumes
+    (corner-major, 12 channels each, clamp wrap baked in). w/h/z_layers
+    are static, so the whole fetch is TWO gathers (one per z layer) with
+    in-register addressing — no descriptor reads. Same math as
+    sample_3d_from_layers over four textures (xy bilinear per layer,
+    z lerp, clamp semantics), returning the four volumes' rgb
+    concatenated [L0, Lx, Ly, Lz]."""
+    x = point[..., 0] * w - 0.5
+    y = point[..., 1] * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    xi = jnp.clip(x0, 0, w - 1)
+    yi = jnp.clip(y0, 0, h - 1)
+    # CLAMP edge semantics with baked neighbors (see the quad-pool path in
+    # sample_bilinear_level): zero the fraction at the negative edge.
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+
+    z = point[..., 2] * z_layers - 0.5
+    z0 = jnp.floor(z)
+    fz = (z - z0)[..., None]
+    zi = jnp.clip(z0.astype(jnp.int32), 0, z_layers - 1)
+    zi1 = jnp.clip(zi + 1, 0, z_layers - 1)
+    plane = yi * w + xi
+
+    def tap(zl):
+        q = lv_sh[zl * (w * h) + plane].astype(jnp.float32)  # (P, 48)
+        t00, t10, t01, t11 = (
+            q[..., 0:12], q[..., 12:24], q[..., 24:36], q[..., 36:48]
+        )
+        return (
+            t00 * (1 - fx) * (1 - fy)
+            + t10 * fx * (1 - fy)
+            + t01 * (1 - fx) * fy
+            + t11 * fx * fy
+        )
+
+    return tap(zi) * (1 - fz) + tap(zi1) * fz
+
+
 def sample_anisotropic(
     texels, tex_desc, tex_id, uv, duvdx, duvdy, taps: int, decode_srgb=True
 ):

@@ -19,6 +19,10 @@ class EnvBindings:
     ibl_cubemap_base: int = -1  # first of 6 consecutive HDR pool textures
     lightvol_tex_ids: Optional[Tuple[int, int, int, int]] = None
     lightvol_z_layers: int = 0
+    # (w, h) of the lightvol layers. When set (and the scene publishes its
+    # SH-interleaved "lv_sh" pool), sample_spherical_harmonics uses the
+    # packed 2-gather path with fully static addressing.
+    lightvol_wh: Optional[Tuple[int, int]] = None
     lightmap_tex_ids: Optional[Tuple[int, int, int, int]] = None
     smoke_tex_ids: Optional[Tuple[int, int, int]] = None  # (a, b, lut)
     clear_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -34,6 +38,8 @@ class EnvBindings:
         if scene.lightvol is not None:
             kwargs["lightvol_tex_ids"] = tuple(scene.lightvol["tex_ids"])
             kwargs["lightvol_z_layers"] = scene.lightvol["z_layers"]
+            w, h, _ = scene.lightvol_dims()
+            kwargs["lightvol_wh"] = (w, h)
         if scene.lightmap_tex is not None:
             kwargs["lightmap_tex_ids"] = tuple(scene.lightmap_tex)
         if scene.smoke_tex[0] >= 0:

@@ -414,10 +414,18 @@ def render_view(
     px, py = _pixel_centers(config, band_height, y_offset)
     mats = scene["materials"]
     blend_mode = mats["blend_mode"][merged_attrs.material]
+    # One (T, 48) row per pair: the deferred stages' setup + attrs fetch
+    # becomes a single per-pixel gather (see interpolate_gbuffer).
+    shade_row = (
+        jnp.concatenate([merged_tri.setup, merged_attrs.packed], axis=1)
+        if merged_attrs.packed is not None
+        else None
+    )
 
     def gbuffer_of(pair):
         return interpolate_gbuffer(
             pair.reshape(-1), px, py, merged_tri, merged_attrs,
+            shade_row=shade_row,
         )
 
     # --- pass 1: opaque visibility ---
@@ -459,6 +467,7 @@ def render_view(
             pair_k = jnp.where(live, kb.pair[k].reshape(-1)[safe], -1)
             g = interpolate_gbuffer(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
+                shade_row=shade_row,
             )
             a = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
             cutoff = mats["packed_f"][g.material][..., 10]
@@ -513,6 +522,7 @@ def render_view(
             opy,
             merged_tri,
             merged_attrs,
+            shade_row=shade_row,
         )
         rgb_w, _ = shade(
             g,
@@ -647,6 +657,7 @@ def render_view(
             bpx, bpy = _px_py_at(safe, config.width, y_offset)
             g = interpolate_gbuffer(
                 pair_w, bpx, bpy, merged_tri, merged_attrs,
+                shade_row=shade_row,
             )
             lrgb, la = shade(
                 g,

@@ -39,6 +39,8 @@ from .buffers import AllocatedArray, GrowableArray
 
 # Jitted quad-pool builder, shared across pools (see TexturePool.device_quad).
 _BUILD_QUAD_JIT = None
+# Jitted SH-interleaved lightvol builder (see Scene.device_lightvol_sh).
+_BUILD_LV_SH_JIT = None
 
 
 def _identity_similarity():
@@ -486,6 +488,9 @@ class Scene:
         self.lightvol: Optional[dict] = None  # {tex_ids: [4], z_layers, bottom_left, scale}
         self.lightmap_tex: Optional[List[int]] = None  # [l0, lx, ly, lz]
         self.smoke_tex: Tuple[int, int, int] = (-1, -1, -1)  # smoke_a, smoke_b, lut
+        # Cache for the SH-interleaved lightvol pool (device_lightvol_sh).
+        self._lv_sh_cache = None
+        self._lv_sh_key = None
 
     # ------------------------------------------------------------------
     def _add_dummy_textures(self):
@@ -660,6 +665,63 @@ class Scene:
 
         return {"ldr": pool(self.textures), "hdr": pool(self.textures_hdr)}
 
+    def lightvol_dims(self):
+        """(w, h, z_layers) of the SH lightvol, or None. All four volumes
+        share the dims (load_lightvol loads them from one matched set)."""
+        if self.lightvol is None:
+            return None
+        pool = self.textures_hdr
+        base = pool.tex_mip_base[self.lightvol["tex_ids"][0]]
+        return (pool.mip_w[base], pool.mip_h[base], self.lightvol["z_layers"])
+
+    def device_lightvol_sh(self):
+        """(w*h*z, 48) f16 SH-interleaved lightvol pool.
+
+        Row (z*h*w + y*w + x) carries the full 2x2 bilinear footprint of
+        all four SH volumes at that texel — 4 corners x 4 volumes x rgb,
+        corner-major ([t00: L0 Lx Ly Lz][t10][t01][t11]), clamp wrap
+        baked in. One gather per xy tap (x2 z layers) replaces the 8
+        quad-gathers + descriptor chains of sampling the four volumes
+        separately; addressing is fully static (w/h/z travel in
+        EnvBindings), so the sampler needs no descriptor gathers at all
+        (ops/texture.py sample_lightvol_sh). Rebuilt on device (one
+        16-way gather) whenever the HDR pool buffer changes."""
+        import jax
+        import jax.numpy as jnp
+
+        pool = self.textures_hdr
+        texels = pool.texels.device()
+        key = (id(texels), tuple(self.lightvol["tex_ids"]))
+        if self._lv_sh_cache is not None and self._lv_sh_key == key:
+            return self._lv_sh_cache
+        w, h, z = self.lightvol_dims()
+        x = np.arange(w, dtype=np.int32)
+        y = np.arange(h, dtype=np.int32)
+        xc = np.minimum(x + 1, w - 1)
+        yc = np.minimum(y + 1, h - 1)
+        cols = []
+        for cx, cy in ((x, y), (xc, y), (x, yc), (xc, yc)):
+            grid = cy[:, None] * w + cx[None, :]  # (h, w)
+            for t in self.lightvol["tex_ids"]:
+                base = pool.tex_mip_base[t]
+                assert pool.tex_mip_count[t] == z, "lightvol layers mismatch"
+                assert (pool.mip_w[base], pool.mip_h[base]) == (w, h)
+                offs = np.asarray(pool.mip_offset[base : base + z], np.int32)
+                cols.append((offs[:, None, None] + grid[None]).reshape(-1))
+        idx = jax.device_put(np.stack(cols, axis=0))  # (16, w*h*z)
+        global _BUILD_LV_SH_JIT
+        if _BUILD_LV_SH_JIT is None:
+            import jax.numpy as jnp
+
+            _BUILD_LV_SH_JIT = jax.jit(
+                lambda t, i: jnp.concatenate(
+                    [t[i[k]][:, :3] for k in range(16)], axis=1
+                )
+            )
+        self._lv_sh_cache = _BUILD_LV_SH_JIT(texels, idx)
+        self._lv_sh_key = key
+        return self._lv_sh_cache
+
     def device_arrays(self) -> dict:
         """All device-resident arrays the frame function needs, as a dict
         pytree. Cached per-buffer; cheap to call every frame."""
@@ -686,4 +748,6 @@ class Scene:
         if self.quad_pools:
             d["texels_q"] = self.textures.device_quad()
             d["texels_hdr_q"] = self.textures_hdr.device_quad()
+            if self.lightvol is not None:
+                d["lv_sh"] = self.device_lightvol_sh()
         return d

@@ -99,11 +99,14 @@ def test_fit_caps_grows_all_four(monkeypatch):
     cfg = RenderConfig(p_cap=1 << 16, blend_layers=4, shade_px_cap=1 << 17,
                        opaque_px_cap=1 << 17)
     out = bench.fit_caps("dev", "state", cfg, "env")
-    assert out.p_cap == 1 << 18  # next_pow2(100000 * 2)
+    # grown to next_pow2(100000 * 2) = 2^18, then tightened on the first
+    # clean frame to size_worklist_cap(100000) = 5*2^15 (binning sorts
+    # p_cap rows live or not, so the overshoot taxes every raster pass)
+    assert out.p_cap == 163840
     assert out.blend_layers == 8  # next_pow2(6)
     assert out.shade_px_cap == 327680  # size_worklist_cap(200000): 5*2^16
     assert out.opaque_px_cap == 229376  # size_worklist_cap(150000): 7*2^15
-    assert len(calls) == 2  # grew once, then clean stats frame
+    assert len(calls) == 3  # grew, tightened p_cap, then clean stats frame
 
 
 def test_size_worklist_cap():

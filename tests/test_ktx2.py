@@ -149,3 +149,54 @@ def test_astc_lightvol_matches_uncompressed():
     )[..., :3]
     corr = np.corrcoef(astc.ravel(), un.ravel())[0, 1]
     assert corr > 0.99
+
+
+def test_lightvol_sh_packed_matches_layered():
+    """The SH-interleaved lightvol path (Scene.device_lightvol_sh +
+    sample_lightvol_sh: 2 gathers, static addressing) must reproduce the
+    four-volume layered sampling path exactly — same texels, same lerp
+    order (ops/shade.py sample_spherical_harmonics picks the packed path
+    whenever the scene publishes "lv_sh")."""
+    import jax.numpy as jnp
+
+    from superconductor_tpu.assets.environment import load_lightvol
+    from superconductor_tpu.ops.shade import GBuffer, sample_spherical_harmonics
+    from superconductor_tpu.render.env import EnvBindings
+    from superconductor_tpu.scene.scene import Scene
+
+    scene = Scene()
+    load_lightvol(
+        scene,
+        _read(f"{LIGHTING}/lightvol.ktx2"),
+        _read(f"{LIGHTING}/lightvol_x.ktx2"),
+        _read(f"{LIGHTING}/lightvol_y.ktx2"),
+        _read(f"{LIGHTING}/lightvol_z.ktx2"),
+    )
+    env = EnvBindings.from_scene(scene)
+    assert env.lightvol_wh is not None
+    d = scene.device_arrays()
+    assert "lv_sh" in d
+    assert d["lv_sh"].shape == (96 * 48 * 48, 48)
+    d_layered = {k: v for k, v in d.items() if k != "lv_sh"}
+
+    rng = np.random.default_rng(7)
+    # points inside, at the edges of, and outside the probe box (clamp)
+    pts = rng.uniform(-0.3, 1.3, size=(512, 3)).astype(np.float32)
+    uniforms = {
+        "probes_bottom_left": jnp.zeros((3,), jnp.float32),
+        "probes_scale": jnp.ones((3,), jnp.float32),
+    }
+    gbuf = GBuffer(
+        valid=None, world_pos=jnp.asarray(pts), normal=None, uv=None,
+        lm_uv=jnp.zeros((512, 2), jnp.float32), material=None,
+        front_facing=None, lightmapped=jnp.zeros((512,), bool),
+        dpdx=None, dpdy=None, duvdx=None, duvdy=None,
+    )
+    sh_packed = np.asarray(
+        sample_spherical_harmonics(gbuf, d, uniforms, env)
+    )
+    sh_layered = np.asarray(
+        sample_spherical_harmonics(gbuf, d_layered, uniforms, env)
+    )
+    assert sh_packed.shape == (512, 4, 3)
+    np.testing.assert_allclose(sh_packed, sh_layered, rtol=0, atol=2e-6)
