@@ -38,6 +38,7 @@ from .texture import (
     sample_3d_from_layers,
     sample_anisotropic,
     sample_bilinear_level,
+    sample_lightmap_sh,
     sample_lightvol_sh,
 )
 from .tonemap import aces_filmic, linear_to_srgb_approx
@@ -312,15 +313,22 @@ def sample_spherical_harmonics(gbuf: GBuffer, scene: dict, uniforms: dict, env):
             taps[3] * scale + bias,
         )
     if env.lightmap_tex_ids is not None:
-        tex = scene["tex_hdr"]
-        texels = hdr_pool(scene)
-        lvl = jnp.zeros((p,), jnp.int32)
-        taps = [
-            sample_bilinear_level(
-                texels, tex, jnp.full((p,), i, jnp.int32), gbuf.lm_uv, lvl, False
-            )[..., :3]
-            for i in env.lightmap_tex_ids
-        ]
+        if "lm_sh" in scene and env.lightmap_wh is not None:
+            # SH-interleaved lightmaps: one gather for all four textures
+            # (see Scene.device_lightmap_sh).
+            w, h = env.lightmap_wh
+            t12 = sample_lightmap_sh(scene["lm_sh"], w, h, gbuf.lm_uv)
+            taps = [t12[..., 3 * i : 3 * i + 3] for i in range(4)]
+        else:
+            tex = scene["tex_hdr"]
+            texels = hdr_pool(scene)
+            lvl = jnp.zeros((p,), jnp.int32)
+            taps = [
+                sample_bilinear_level(
+                    texels, tex, jnp.full((p,), i, jnp.int32), gbuf.lm_uv, lvl, False
+                )[..., :3]
+                for i in env.lightmap_tex_ids
+            ]
         sh_lm = unpack(
             taps[0], taps[1] * scale + bias, taps[2] * scale + bias,
             taps[3] * scale + bias,

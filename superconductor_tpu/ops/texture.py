@@ -229,8 +229,35 @@ def sample_lightvol_sh(lv_sh, w: int, h: int, z_layers: int, point):
     sample_3d_from_layers over four textures (xy bilinear per layer,
     z lerp, clamp semantics), returning the four volumes' rgb
     concatenated [L0, Lx, Ly, Lz]."""
-    x = point[..., 0] * w - 0.5
-    y = point[..., 1] * h - 0.5
+    plane, fx, fy = _sh_plane_index(w, h, point[..., 0], point[..., 1])
+
+    z = point[..., 2] * z_layers - 0.5
+    z0 = jnp.floor(z)
+    fz = (z - z0)[..., None]
+    zi = jnp.clip(z0.astype(jnp.int32), 0, z_layers - 1)
+    zi1 = jnp.clip(zi + 1, 0, z_layers - 1)
+
+    def tap(zl):
+        return _sh_bilinear(lv_sh[zl * (w * h) + plane], fx, fy)
+
+    return tap(zi) * (1 - fz) + tap(zi1) * fz
+
+
+def sample_lightmap_sh(lm_sh, w: int, h: int, uv):
+    """Bilinear sample of the SH-interleaved lightmap pool -> (P, 12).
+
+    2D twin of sample_lightvol_sh: ONE gather fetches all four SH
+    lightmaps' footprints (lm_sh from Scene.device_lightmap_sh)."""
+    plane, fx, fy = _sh_plane_index(w, h, uv[..., 0], uv[..., 1])
+    return _sh_bilinear(lm_sh[plane], fx, fy)
+
+
+def _sh_plane_index(w: int, h: int, u, v):
+    """Texel index + bilinear fractions for the SH-interleaved pools
+    (static dims, CLAMP wrap with baked neighbors: zero the fraction at
+    the negative edge, same as the quad-pool path above)."""
+    x = u * w - 0.5
+    y = v * h - 0.5
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     fx = (x - x0f)[..., None]
@@ -239,31 +266,22 @@ def sample_lightvol_sh(lv_sh, w: int, h: int, z_layers: int, point):
     y0 = y0f.astype(jnp.int32)
     xi = jnp.clip(x0, 0, w - 1)
     yi = jnp.clip(y0, 0, h - 1)
-    # CLAMP edge semantics with baked neighbors (see the quad-pool path in
-    # sample_bilinear_level): zero the fraction at the negative edge.
     fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
     fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    return yi * w + xi, fx, fy
 
-    z = point[..., 2] * z_layers - 0.5
-    z0 = jnp.floor(z)
-    fz = (z - z0)[..., None]
-    zi = jnp.clip(z0.astype(jnp.int32), 0, z_layers - 1)
-    zi1 = jnp.clip(zi + 1, 0, z_layers - 1)
-    plane = yi * w + xi
 
-    def tap(zl):
-        q = lv_sh[zl * (w * h) + plane].astype(jnp.float32)  # (P, 48)
-        t00, t10, t01, t11 = (
-            q[..., 0:12], q[..., 12:24], q[..., 24:36], q[..., 36:48]
-        )
-        return (
-            t00 * (1 - fx) * (1 - fy)
-            + t10 * fx * (1 - fy)
-            + t01 * (1 - fx) * fy
-            + t11 * fx * fy
-        )
-
-    return tap(zi) * (1 - fz) + tap(zi1) * fz
+def _sh_bilinear(q, fx, fy):
+    q = q.astype(jnp.float32)  # (P, 48)
+    t00, t10, t01, t11 = (
+        q[..., 0:12], q[..., 12:24], q[..., 24:36], q[..., 36:48]
+    )
+    return (
+        t00 * (1 - fx) * (1 - fy)
+        + t10 * fx * (1 - fy)
+        + t01 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
 
 
 def sample_anisotropic(

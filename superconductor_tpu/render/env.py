@@ -24,6 +24,8 @@ class EnvBindings:
     # packed 2-gather path with fully static addressing.
     lightvol_wh: Optional[Tuple[int, int]] = None
     lightmap_tex_ids: Optional[Tuple[int, int, int, int]] = None
+    # (w, h) of the SH lightmaps — same contract as lightvol_wh.
+    lightmap_wh: Optional[Tuple[int, int]] = None
     smoke_tex_ids: Optional[Tuple[int, int, int]] = None  # (a, b, lut)
     clear_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Constant-ambient SH fallback when no lightvol/lightmap is configured
@@ -42,6 +44,7 @@ class EnvBindings:
             kwargs["lightvol_wh"] = (w, h)
         if scene.lightmap_tex is not None:
             kwargs["lightmap_tex_ids"] = tuple(scene.lightmap_tex)
+            kwargs["lightmap_wh"] = scene.lightmap_dims()
         if scene.smoke_tex[0] >= 0:
             kwargs["smoke_tex_ids"] = tuple(scene.smoke_tex)
         return EnvBindings(**kwargs)

@@ -488,9 +488,12 @@ class Scene:
         self.lightvol: Optional[dict] = None  # {tex_ids: [4], z_layers, bottom_left, scale}
         self.lightmap_tex: Optional[List[int]] = None  # [l0, lx, ly, lz]
         self.smoke_tex: Tuple[int, int, int] = (-1, -1, -1)  # smoke_a, smoke_b, lut
-        # Cache for the SH-interleaved lightvol pool (device_lightvol_sh).
+        # Caches for the SH-interleaved lightvol/lightmap pools
+        # (device_lightvol_sh / device_lightmap_sh).
         self._lv_sh_cache = None
         self._lv_sh_key = None
+        self._lm_sh_cache = None
+        self._lm_sh_key = None
 
     # ------------------------------------------------------------------
     def _add_dummy_textures(self):
@@ -674,27 +677,27 @@ class Scene:
         base = pool.tex_mip_base[self.lightvol["tex_ids"][0]]
         return (pool.mip_w[base], pool.mip_h[base], self.lightvol["z_layers"])
 
-    def device_lightvol_sh(self):
-        """(w*h*z, 48) f16 SH-interleaved lightvol pool.
+    def _device_sh_pool(self, tex_ids, z: int):
+        """(w*h*z, 48) f16 SH-interleaved pool for four same-sized HDR
+        textures (layers stored as z consecutive "mips").
 
         Row (z*h*w + y*w + x) carries the full 2x2 bilinear footprint of
-        all four SH volumes at that texel — 4 corners x 4 volumes x rgb,
-        corner-major ([t00: L0 Lx Ly Lz][t10][t01][t11]), clamp wrap
-        baked in. One gather per xy tap (x2 z layers) replaces the 8
-        quad-gathers + descriptor chains of sampling the four volumes
+        all four SH textures at that texel — 4 corners x 4 textures x
+        rgb, corner-major ([t00: L0 Lx Ly Lz][t10][t01][t11]), clamp
+        wrap baked in. One gather per xy tap replaces the 4
+        quad-gathers + descriptor chains of sampling the four textures
         separately; addressing is fully static (w/h/z travel in
         EnvBindings), so the sampler needs no descriptor gathers at all
-        (ops/texture.py sample_lightvol_sh). Rebuilt on device (one
-        16-way gather) whenever the HDR pool buffer changes."""
+        (ops/texture.py sample_lightvol_sh / sample_lightmap_sh).
+        Rebuilt on device (one 16-way gather) whenever the HDR pool
+        buffer changes."""
         import jax
         import jax.numpy as jnp
 
         pool = self.textures_hdr
         texels = pool.texels.device()
-        key = (id(texels), tuple(self.lightvol["tex_ids"]))
-        if self._lv_sh_cache is not None and self._lv_sh_key == key:
-            return self._lv_sh_cache
-        w, h, z = self.lightvol_dims()
+        base0 = pool.tex_mip_base[tex_ids[0]]
+        w, h = pool.mip_w[base0], pool.mip_h[base0]
         x = np.arange(w, dtype=np.int32)
         y = np.arange(h, dtype=np.int32)
         xc = np.minimum(x + 1, w - 1)
@@ -702,25 +705,53 @@ class Scene:
         cols = []
         for cx, cy in ((x, y), (xc, y), (x, yc), (xc, yc)):
             grid = cy[:, None] * w + cx[None, :]  # (h, w)
-            for t in self.lightvol["tex_ids"]:
+            for t in tex_ids:
                 base = pool.tex_mip_base[t]
-                assert pool.tex_mip_count[t] == z, "lightvol layers mismatch"
+                assert pool.tex_mip_count[t] == z, "SH texture layers mismatch"
                 assert (pool.mip_w[base], pool.mip_h[base]) == (w, h)
                 offs = np.asarray(pool.mip_offset[base : base + z], np.int32)
                 cols.append((offs[:, None, None] + grid[None]).reshape(-1))
         idx = jax.device_put(np.stack(cols, axis=0))  # (16, w*h*z)
         global _BUILD_LV_SH_JIT
         if _BUILD_LV_SH_JIT is None:
-            import jax.numpy as jnp
-
             _BUILD_LV_SH_JIT = jax.jit(
                 lambda t, i: jnp.concatenate(
                     [t[i[k]][:, :3] for k in range(16)], axis=1
                 )
             )
-        self._lv_sh_cache = _BUILD_LV_SH_JIT(texels, idx)
-        self._lv_sh_key = key
+        return _BUILD_LV_SH_JIT(texels, idx)
+
+    def device_lightvol_sh(self):
+        """SH-interleaved lightvol pool (see _device_sh_pool)."""
+        key = (
+            id(self.textures_hdr.texels.device()),
+            tuple(self.lightvol["tex_ids"]),
+        )
+        if self._lv_sh_cache is None or self._lv_sh_key != key:
+            self._lv_sh_cache = self._device_sh_pool(
+                self.lightvol["tex_ids"], self.lightvol["z_layers"]
+            )
+            self._lv_sh_key = key
         return self._lv_sh_cache
+
+    def lightmap_dims(self):
+        """(w, h) of the SH lightmaps, or None."""
+        if self.lightmap_tex is None:
+            return None
+        pool = self.textures_hdr
+        base = pool.tex_mip_base[self.lightmap_tex[0]]
+        return (pool.mip_w[base], pool.mip_h[base])
+
+    def device_lightmap_sh(self):
+        """SH-interleaved lightmap pool, z=1 (see _device_sh_pool)."""
+        key = (
+            id(self.textures_hdr.texels.device()),
+            tuple(self.lightmap_tex),
+        )
+        if self._lm_sh_cache is None or self._lm_sh_key != key:
+            self._lm_sh_cache = self._device_sh_pool(self.lightmap_tex, 1)
+            self._lm_sh_key = key
+        return self._lm_sh_cache
 
     def device_arrays(self) -> dict:
         """All device-resident arrays the frame function needs, as a dict
@@ -750,4 +781,6 @@ class Scene:
             d["texels_hdr_q"] = self.textures_hdr.device_quad()
             if self.lightvol is not None:
                 d["lv_sh"] = self.device_lightvol_sh()
+            if self.lightmap_tex is not None:
+                d["lm_sh"] = self.device_lightmap_sh()
         return d

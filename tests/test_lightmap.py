@@ -103,3 +103,50 @@ def test_lightmap_lighting_renders():
     # The quad is lit by lightmap content (non-black, non-uniform).
     inner = img[16:32, 16:32, :3]
     assert inner.mean() > 8
+
+
+def test_lightmap_sh_packed_matches_layered():
+    """The SH-interleaved lightmap path (Scene.device_lightmap_sh +
+    sample_lightmap_sh: ONE gather) must reproduce the four-texture
+    bilinear path exactly (sample_spherical_harmonics picks the packed
+    path whenever the scene publishes "lm_sh")."""
+    if not os.path.exists(f"{BCN}/lightmap.ktx2"):
+        pytest.skip("reference assets unavailable")
+    import jax.numpy as jnp
+
+    from superconductor_tpu.assets.environment import load_lightmaps
+    from superconductor_tpu.ops.shade import GBuffer, sample_spherical_harmonics
+
+    scene = Scene()
+    load_lightmaps(
+        scene,
+        open(f"{BCN}/lightmap.ktx2", "rb").read(),
+        open(f"{BCN}/lightmap_x.ktx2", "rb").read(),
+        open(f"{BCN}/lightmap_y.ktx2", "rb").read(),
+        open(f"{BCN}/lightmap_z.ktx2", "rb").read(),
+    )
+    env = EnvBindings.from_scene(scene)
+    assert env.lightmap_wh is not None
+    d = scene.device_arrays()
+    assert "lm_sh" in d
+    d_layered = {k: v for k, v in d.items() if k != "lm_sh"}
+
+    rng = np.random.default_rng(11)
+    n = 512
+    uv = rng.uniform(-0.2, 1.2, size=(n, 2)).astype(np.float32)  # incl. clamp
+    gbuf = GBuffer(
+        valid=None, world_pos=jnp.zeros((n, 3), jnp.float32), normal=None,
+        uv=None, lm_uv=jnp.asarray(uv), material=None, front_facing=None,
+        lightmapped=jnp.ones((n,), bool),
+        dpdx=None, dpdy=None, duvdx=None, duvdy=None,
+    )
+    uniforms = {
+        "probes_bottom_left": jnp.zeros((3,), jnp.float32),
+        "probes_scale": jnp.ones((3,), jnp.float32),
+    }
+    sh_packed = np.asarray(sample_spherical_harmonics(gbuf, d, uniforms, env))
+    sh_layered = np.asarray(
+        sample_spherical_harmonics(gbuf, d_layered, uniforms, env)
+    )
+    assert sh_packed.shape == (n, 4, 3)
+    np.testing.assert_allclose(sh_packed, sh_layered, rtol=0, atol=2e-6)
