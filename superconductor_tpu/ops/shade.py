@@ -371,22 +371,27 @@ def shade(
     # per-lane descriptor fetches cost like texel taps on the TPU.
     pf = m["packed_f"][mat]
     pi = m["packed_i"][mat]
+    # Material-packed sampling descriptors: ONE (P, 24) gather carries
+    # tex_meta + mip-0 dims for all four material textures (scene.py
+    # device_materials), replacing 4 tex_meta gathers per pixel.
+    mtm = m["mat_tex_meta"][mat] if "mat_tex_meta" in m else None
 
     # Every material texture samples with aniso/trilinear LOD derived from
     # its OWN mip-0 dimensions (sample_anisotropic computes it from the
     # analytic uv derivatives) — matching the reference, where one GL
     # sampler with anisotropy_clamp serves all four bindings
     # (texture_loading.rs:140-158) and LOD is per-texture by construction.
-    def material_sample(tex_id):
+    def material_sample(slot):
+        meta = mtm[..., 6 * slot : 6 * slot + 6] if mtm is not None else None
         return sample_anisotropic(
-            texels, tex, tex_id, gbuf.uv,
-            gbuf.duvdx, gbuf.duvdy, aniso_taps,
+            texels, tex, pi[..., slot], gbuf.uv,
+            gbuf.duvdx, gbuf.duvdy, aniso_taps, meta=meta,
         )
 
-    albedo = material_sample(pi[..., 0]) * pf[..., 0:4]
-    mr = material_sample(pi[..., 2])
-    emissive_tex = material_sample(pi[..., 3])
-    normal_tex = material_sample(pi[..., 1])
+    albedo = material_sample(0) * pf[..., 0:4]
+    mr = material_sample(2)
+    emissive_tex = material_sample(3)
+    normal_tex = material_sample(1)
 
     metallic = mr[..., 2] * pf[..., 7]
     roughness = mr[..., 1] * pf[..., 8]
@@ -455,7 +460,11 @@ def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
     mat = gbuf.material
     pf = m["packed_f"][mat]
     pi = m["packed_i"][mat]
+    meta = (
+        m["mat_tex_meta"][mat][..., 0:6] if "mat_tex_meta" in m else None
+    )
     albedo = sample_anisotropic(
-        texels, tex, pi[..., 0], gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps
+        texels, tex, pi[..., 0], gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps,
+        meta=meta,
     ) * pf[..., 0:4]
     return albedo[..., 3]

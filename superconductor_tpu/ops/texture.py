@@ -76,6 +76,19 @@ def sample_bilinear_level(texels, tex_desc, tex_id, uv, level, decode_srgb=True)
         w = tex_desc["mip_w"][entry]
         h = tex_desc["mip_h"][entry]
 
+    out = _bilinear_core(texels, off, w, h, wrap_mode, uv)
+    if texels.dtype == jnp.uint8:
+        out = out * (1.0 / 255.0)
+        if decode_srgb:
+            if flags is None:
+                flags = tex_desc["tex_flags"][tex_id]
+            out = _srgb_decode(out, flags)
+    return out
+
+
+def _bilinear_core(texels, off, w, h, wrap_mode, uv):
+    """One bilinear tap at the given mip placement -> raw (P, 4) f32
+    (u8 pools NOT yet normalized; no sRGB decode)."""
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
     x0 = jnp.floor(x)
@@ -111,29 +124,62 @@ def sample_bilinear_level(texels, tex_desc, tex_id, uv, level, decode_srgb=True)
         t01 = tap(x0, y0 + 1).astype(jnp.float32)
         t11 = tap(x0 + 1, y0 + 1).astype(jnp.float32)
 
-    out = (
+    return (
         t00 * (1 - fx) * (1 - fy)
         + t10 * fx * (1 - fy)
         + t01 * (1 - fx) * fy
         + t11 * fx * fy
     )
-    if texels.dtype == jnp.uint8:
-        out = out * (1.0 / 255.0)
-        if decode_srgb:
-            if flags is None:
-                flags = tex_desc["tex_flags"][tex_id]
-            srgb = (flags & TEXFLAG_SRGB) != 0
-            rgb = jnp.where(
-                srgb[..., None], srgb_to_linear_exact(out[..., :3]), out[..., :3]
-            )
-            out = jnp.concatenate([rgb, out[..., 3:]], axis=-1)
-    return out
 
 
-def sample_trilinear(texels, tex_desc, tex_id, uv, lod, decode_srgb=True):
-    """Trilinear: blend the two nearest mips by the fractional lod."""
+def _srgb_decode(out, flags):
+    srgb = (flags & TEXFLAG_SRGB) != 0
+    rgb = jnp.where(
+        srgb[..., None], srgb_to_linear_exact(out[..., :3]), out[..., :3]
+    )
+    return jnp.concatenate([rgb, out[..., 3:]], axis=-1)
+
+
+def sample_trilinear(texels, tex_desc, tex_id, uv, lod, decode_srgb=True,
+                     meta=None):
+    """Trilinear: blend the two nearest mips by the fractional lod.
+
+    With the packed descriptor tables, BOTH levels' placements come from
+    ONE mip_owh2 pair-row gather (entry E carries its own offset/w/h and
+    the next mip's — scene.py descriptor_arrays), so a trilinear sample
+    is 4 gathers total: tex_meta, mip_owh2, quad(l0), quad(l1) — and 3
+    when the caller supplies `meta` (a pre-gathered (P, 4) tex_meta row,
+    e.g. from the material-packed mat_tex_meta)."""
     l0 = jnp.floor(lod).astype(jnp.int32)
     f = (lod - jnp.floor(lod))[..., None]
+    if "mip_owh2" in tex_desc and ("tex_meta" in tex_desc or meta is not None):
+        if meta is None:
+            meta = tex_desc["tex_meta"][tex_id]
+        base, count, wrap_mode = meta[..., 0], meta[..., 1], meta[..., 2]
+        flags = meta[..., 3]
+        lvl = jnp.clip(l0, 0, count - 1)
+        # Negative lod: the two-call path clips both levels to 0 (pure
+        # mip-0 result); the pair row would lerp toward mip 1 — zero the
+        # fraction instead so the paths stay bit-identical.
+        f = jnp.where((l0 < 0)[..., None], 0.0, f)
+        row = tex_desc["mip_owh2"][base + lvl]  # (P, 8): this mip + next
+        a = _bilinear_core(
+            texels, row[..., 0], row[..., 1], row[..., 2], wrap_mode, uv
+        )
+        b = _bilinear_core(
+            texels, row[..., 4], row[..., 5], row[..., 6], wrap_mode, uv
+        )
+        # Match the two-call path exactly: its second call clips l0+1 to
+        # count-1; the pair row bakes the same clamp (last entry pairs
+        # with itself). Its first call would also re-tap level l0 when
+        # l0+1 <= count-1 is false — identical by the same construction.
+        if texels.dtype == jnp.uint8:
+            a = a * (1.0 / 255.0)
+            b = b * (1.0 / 255.0)
+            if decode_srgb:
+                a = _srgb_decode(a, flags)
+                b = _srgb_decode(b, flags)
+        return a * (1 - f) + b * f
     a = sample_bilinear_level(texels, tex_desc, tex_id, uv, l0, decode_srgb)
     b = sample_bilinear_level(texels, tex_desc, tex_id, uv, l0 + 1, decode_srgb)
     return a * (1 - f) + b * f
@@ -285,15 +331,29 @@ def _sh_bilinear(q, fx, fy):
 
 
 def sample_anisotropic(
-    texels, tex_desc, tex_id, uv, duvdx, duvdy, taps: int, decode_srgb=True
+    texels, tex_desc, tex_id, uv, duvdx, duvdy, taps: int, decode_srgb=True,
+    meta=None,
 ):
     """Anisotropic approximation: average `taps` trilinear samples along the
     major-axis uv derivative, lod chosen from the minor axis (clamped by the
     tap count) — the software stand-in for the reference's sampler
     anisotropy_clamp (texture_loading.rs:140-158). taps=1 degrades to plain
     trilinear with isotropic (major-axis) lod.
+
+    meta: optional pre-gathered (P, 4+) tex_meta row (saves the per-pixel
+    tex_meta gather here AND in the trilinear taps below). A (P, 6) row
+    additionally carries mip-0 (w, h) in channels 4:6 (mat_tex_meta),
+    which also saves the lod computation's mip_owh gather.
     """
-    if "tex_meta" in tex_desc:
+    if meta is not None and meta.shape[-1] >= 6:
+        w = meta[..., 4].astype(jnp.float32)
+        h = meta[..., 5].astype(jnp.float32)
+    elif meta is not None:
+        base = meta[..., 0]
+        owh = tex_desc["mip_owh"][base]
+        w = owh[..., 1].astype(jnp.float32)
+        h = owh[..., 2].astype(jnp.float32)
+    elif "tex_meta" in tex_desc:
         base = tex_desc["tex_meta"][tex_id][..., 0]
         owh = tex_desc["mip_owh"][base]
         w = owh[..., 1].astype(jnp.float32)
@@ -306,7 +366,9 @@ def sample_anisotropic(
     dy2 = (duvdy[..., 0] * w) ** 2 + (duvdy[..., 1] * h) ** 2
     if taps <= 1:
         lod = jnp.maximum(0.5 * jnp.log2(jnp.maximum(jnp.maximum(dx2, dy2), 1e-12)), 0.0)
-        return sample_trilinear(texels, tex_desc, tex_id, uv, lod, decode_srgb)
+        return sample_trilinear(
+            texels, tex_desc, tex_id, uv, lod, decode_srgb, meta=meta
+        )
     major_is_x = dx2 >= dy2
     rho_maj2 = jnp.maximum(dx2, dy2)
     rho_min2 = jnp.minimum(dx2, dy2)
@@ -318,7 +380,8 @@ def sample_anisotropic(
     for i in range(taps):
         t = (i + 0.5) / taps - 0.5
         s = sample_trilinear(
-            texels, tex_desc, tex_id, uv + major * t, lod, decode_srgb
+            texels, tex_desc, tex_id, uv + major * t, lod, decode_srgb,
+            meta=meta,
         )
         out = s if out is None else out + s
     return out / taps

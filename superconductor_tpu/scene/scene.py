@@ -296,6 +296,25 @@ class TexturePool:
             [d["mip_offset"], d["mip_w"], d["mip_h"],
              np.zeros_like(d["mip_offset"])], axis=-1,
         )
+        # Trilinear pair rows: entry E carries its own (offset, w, h) AND
+        # the next mip's (within-chain clamped: the last entry pairs with
+        # itself), so a trilinear sample fetches ONE descriptor row for
+        # both levels (ops/texture.py sample_trilinear fused path).
+        # Safe under streaming mip views: views are suffixes of the full
+        # chain (smallest-mip-first), so the baked next-entry is always
+        # inside the visible view.
+        owh2 = np.zeros((n, 8), np.int32)
+        owh2[:, 0:4] = d["mip_owh"]
+        owh2[:, 4:8] = d["mip_owh"]  # default: pair with self (padding rows)
+        for t in range(self.num_textures):
+            base, count = self.tex_mip_base[t], self.tex_mip_count[t]
+            if t in self._full_view:
+                base, count = self._full_view[t]
+            if count > 1:
+                owh2[base : base + count - 1, 4:8] = d["mip_owh"][
+                    base + 1 : base + count
+                ]
+        d["mip_owh2"] = owh2
         return d
 
     def device_descriptors(self):
@@ -477,6 +496,7 @@ class Scene:
         self.materials: List[MaterialSettings] = []
         self._materials_device = None
         self._materials_dirty = True
+        self._materials_desc_key = None
 
         # Models / primitives registry (host side).
         self.models: Dict[str, Model] = {}
@@ -574,13 +594,38 @@ class Scene:
         }
 
     def device_materials(self):
-        if self._materials_device is None or self._materials_dirty:
+        # Keyed on the LDR pool's descriptor build too: streaming mip
+        # views move tex_mip_base/count, and mat_tex_meta snapshots them.
+        desc_key = id(self.textures.device_descriptors())
+        if (
+            self._materials_device is None
+            or self._materials_dirty
+            or self._materials_desc_key != desc_key
+        ):
             import jax
 
+            arrays = self.material_arrays()
+            # Material-packed texture meta: one (M, 24) row carries
+            # [base, count, wrap, flags, w0, h0] for each of the four
+            # material textures (albedo, normal, mr, emissive), so the
+            # shade stage fetches ALL their sampling descriptors in ONE
+            # gather instead of 4 tex_meta + up-to-4 mip_owh gathers
+            # (ops/shade.py; gather lanes dominate the stage).
+            d = self.textures.descriptor_arrays()
+            tm = np.concatenate(
+                [
+                    d["tex_meta"],
+                    d["mip_owh"][d["tex_meta"][:, 0]][:, 1:3],
+                ],
+                axis=1,
+            )  # (T, 6): meta + mip-0 (w, h)
+            ids = arrays["packed_i"][:, 0:4].astype(np.int64)
+            arrays["mat_tex_meta"] = tm[ids].reshape(ids.shape[0], 24)
             self._materials_device = {
-                k: jax.device_put(v) for k, v in self.material_arrays().items()
+                k: jax.device_put(v) for k, v in arrays.items()
             }
             self._materials_dirty = False
+            self._materials_desc_key = desc_key
         return self._materials_device
 
     # ------------------------------------------------------------------

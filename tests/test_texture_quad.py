@@ -164,3 +164,36 @@ def test_scene_publishes_quad_pools():
     assert rep["ldr"]["quad_pool_bytes"] > 0
     rep2 = s2.texture_memory_report()
     assert rep2["ldr"]["quad_pool_bytes"] == 0
+
+
+def test_trilinear_pair_row_bit_exact():
+    """The fused trilinear path (ONE mip_owh2 pair-row gather for both
+    levels) must be bit-exact vs the two-bilinear-call path, including
+    deep lod (clamped to the last mip, which pairs with itself), lod
+    beyond the chain, and streaming mip views (suffix of the chain)."""
+    rng = np.random.default_rng(9)
+    pool, ids = _make_pool(rng)
+    desc = pool.device_descriptors()
+    desc_nopair = {k: v for k, v in desc.items() if k != "mip_owh2"}
+    assert "mip_owh2" in desc
+    quad = pool.device_quad()
+    p = 512
+    uv = rng.uniform(-0.5, 1.5, (p, 2)).astype(np.float32)
+    for tex_id in ids:
+        for lo, hi in ((0.0, 3.0), (2.5, 12.0)):  # interior + deep clamp
+            lod = jnp.asarray(rng.uniform(lo, hi, (p,)).astype(np.float32))
+            tid = jnp.full((p,), tex_id, jnp.int32)
+            a = sample_trilinear(quad, desc, tid, jnp.asarray(uv), lod)
+            b = sample_trilinear(quad, desc_nopair, tid, jnp.asarray(uv), lod)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # streaming mip view: only the coarsest 2 mips visible
+    full_base = pool.tex_mip_base[ids[0]]
+    full_count = pool.tex_mip_count[ids[0]]
+    pool.set_mip_view(ids[0], full_base + full_count - 2, 2)
+    desc_v = pool.device_descriptors()
+    desc_v_nopair = {k: v for k, v in desc_v.items() if k != "mip_owh2"}
+    lod = jnp.asarray(rng.uniform(0.0, 4.0, (p,)).astype(np.float32))
+    tid = jnp.full((p,), ids[0], jnp.int32)
+    a = sample_trilinear(quad, desc_v, tid, jnp.asarray(uv), lod)
+    b = sample_trilinear(quad, desc_v_nopair, tid, jnp.asarray(uv), lod)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,20 +1,28 @@
 #!/usr/bin/env python3
 """Quick device-time A/B probe for optimization work.
 
-Measures one bench scene's true on-device frame time as a 2-point
-unroll slope (t(k=2) - t(k=1)) with honest readback barriers
-(docs/TIMING.md: block_until_ready races on the axon tunnel, so each
-timed call is awaited by a 4-byte device_get of one pixel; the RTT and
-dispatch floor are common-mode between the two endpoints and cancel).
+Measures one bench scene's true on-device frame time as a DISPATCH-COUNT
+slope of the production (k=1) frame executable: dispatch the same
+compiled program n times back-to-back, then force completion with one
+honest 4-byte readback (docs/TIMING.md: block_until_ready races on the
+axon tunnel; a device_get of the last result cannot). The executor runs
+its queue serially, so t(n) = fixed + n * frame, and the slope cancels
+RTT and the dispatch floor.
+
+Why not the k-fold UNROLL slope (bench.py's original rig)? Each unroll
+count compiles a DIFFERENT executable, and XLA's compile quality varies
+across them (measured 2026-08-19: the k=2 headline program ran ~2x the
+per-frame cost of k=1/k=4 — brackets [297, 143] ms on the same code).
+The dispatch-count slope uses ONE program — the very one production
+dispatches — so there is nothing to vary: measured brackets agree to
+~2% (175/182/177 ms). It is also ~3x cheaper to run (one compile).
 
 Usage:
     python tools/ab_device.py --scene headline  --tag "my-change"
     python tools/ab_device.py --scene allpasses --tag "my-change"
 
-Prints one JSON line: {"rung": tag, "device_ms": ..., "t1_ms": ...,
-"t2_ms": ..., "spread": ...}. Compare device_ms before/after a change;
-run-to-run spread on this executor is <1% (docs/TIMING.md), so >3%
-deltas are real.
+Prints one JSON line with device_ms (the (t8-t1)/7 slope), the bracket
+check [(t2-t1), (t8-t2)/6], and the raw medians.
 """
 
 import argparse
@@ -37,6 +45,8 @@ def main():
     ap.add_argument("--tag", default="ab")
     ap.add_argument("--size", default="1920x1080")
     ap.add_argument("--calls", type=int, default=3)
+    ap.add_argument("--ns", default="1,2,8",
+                    help="comma-separated dispatch counts (>=2)")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -53,32 +63,33 @@ def main():
     state0 = build(0.0)
     config = bench.fit_caps(dev, state0, config, env)
 
-    fns = []
-    for k in (1, 2):
-        t0 = time.time()
-        fn = bench.make_unrolled(dev, state0, config, env, k)
-        bench._sync(fn())  # compile + settle
-        print(f"# k={k} compiled+settled in {time.time() - t0:.1f}s",
-              file=sys.stderr, flush=True)
-        fns.append(fn)
+    t0 = time.time()
+    fn = bench.make_unrolled(dev, state0, config, env, 1)
+    bench._sync(fn())  # compile + settle
+    print(f"# compiled+settled in {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
-    meds = []
-    for fn in fns:
-        ts = []
-        for _ in range(args.calls):
+    ns = tuple(int(n) for n in args.ns.split(","))
+    meds = {n: [] for n in ns}
+    for _ in range(args.calls):  # interleave against executor drift
+        for n in ns:
             t0 = time.perf_counter()
-            bench._sync(fn())
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        meds.append(ts[len(ts) // 2] * 1e3)
-    t1, t2 = meds
-    out = {
-        "rung": args.tag,
-        "scene": args.scene,
-        "device_ms": round(t2 - t1, 1),
-        "t1_ms": round(t1, 1),
-        "t2_ms": round(t2, 1),
-    }
+            out = None
+            for _ in range(n):
+                out = fn()
+            bench._sync(out)
+            meds[n].append(time.perf_counter() - t0)
+    t = {n: sorted(v)[len(v) // 2] * 1e3 for n, v in meds.items()}
+    out = {"rung": args.tag, "scene": args.scene}
+    n1, nl = ns[0], ns[-1]
+    out["device_ms"] = round((t[nl] - t[n1]) / (nl - n1), 1)
+    if len(ns) >= 3:
+        nm = ns[1]
+        out["check_ms"] = [
+            round((t[nm] - t[n1]) / (nm - n1), 1),
+            round((t[nl] - t[nm]) / (nl - nm), 1),
+        ]
+    out.update({f"t{n}_ms": round(v, 1) for n, v in t.items()})
     print(json.dumps(out), flush=True)
 
 
