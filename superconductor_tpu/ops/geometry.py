@@ -159,7 +159,39 @@ def expand_draw_vertices(draws: DrawList, v_cap: int):
     return vp_inst, scene_vertex, offsets, vp_valid, total
 
 
-def geometry_pass(
+class VertexStage(NamedTuple):
+    """View-independent geometry: everything except the clip transform and
+    edge setup. For stereo (and any num_views > 1) the expensive work —
+    draw expansion, vertex gathers, joint-palette skinning, world
+    transform, uv transforms, per-triangle attribute gathers + packing —
+    is computed ONCE here and shared across eyes; geometry_view_setup()
+    applies each eye's view_proj to the cached world-space vertices. This
+    is the TPU analog of the reference's one-draw-both-eyes multiview
+    (pipelines.rs:373: the vertex shader body runs per view, but the CPU
+    scene walk and skinning palette are shared; here even the vertex-stage
+    skinning is shared because it is view-independent by construction).
+
+    w1:         (V_cap, 4) world-space homogeneous vertex positions
+    row3:       (T_cap, 3) transformed-vertex rows per triangle corner
+    pair_inst:  (T_cap,)   draw row per triangle pair
+    scene_tri:  (T_cap,)   scene triangle id per pair
+    pair_valid: (T_cap,)   bool — pair in use and index rows in range
+    double_sided: (T_cap,) bool
+    num_valid:  ()         i32 — pairs in use
+    attrs:      TriangleAttrs (packed row included) — fully view-independent
+    """
+
+    w1: jax.Array
+    row3: jax.Array
+    pair_inst: jax.Array
+    scene_tri: jax.Array
+    pair_valid: jax.Array
+    double_sided: jax.Array
+    num_valid: jax.Array
+    attrs: "TriangleAttrs"
+
+
+def geometry_vertex_stage(
     draws: DrawList,
     indices: jax.Array,
     positions: jax.Array,
@@ -168,18 +200,14 @@ def geometry_pass(
     lm_uvs: Optional[jax.Array],
     tri_material: jax.Array,
     materials: dict,
-    view_proj: jax.Array,  # (4, 4)
-    width: int,
-    height: int,
     t_cap: int,
     v_cap: Optional[int] = None,
-    flip_viewport: bool = False,
     joint_palette: Optional[jax.Array] = None,
     joint_indices: Optional[jax.Array] = None,
     joint_weights: Optional[jax.Array] = None,
     double_sided_from_material: bool = True,
-):
-    """Full geometry stage for one pass -> (TriangleSetup, TriangleAttrs).
+) -> VertexStage:
+    """View-independent half of geometry_pass -> VertexStage.
 
     Two sub-stages, like a GPU's post-transform vertex cache:
       1. vertex stage — every (draw, vertex) pair is skinned/transformed
@@ -187,8 +215,7 @@ def geometry_pass(
          triangles sharing a vertex read bit-identical clip coords, so
          shared edges are exactly complementary: no T-junction seams from
          per-corner rounding);
-      2. triangle stage — gathers the three transformed rows per triangle
-         and runs homogeneous setup.
+      2. triangle stage — gathers the three transformed rows per triangle.
     """
     v_cap = v_cap or t_cap
 
@@ -220,11 +247,9 @@ def geometry_pass(
         materials["uv_rotation"][dmat],
     )
 
-    # Clip transform: one (V, 4) x (4, 4) matmul — MXU food.
     w1 = jnp.concatenate([world_v, jnp.ones_like(world_v[..., :1])], axis=-1)
-    clip_v = w1 @ view_proj.T  # (V, 4)
 
-    # ---- triangle stage ----
+    # ---- triangle stage (view-independent part) ----
     pair_inst, scene_tri, pair_valid, total = expand_draws(draws, t_cap)
     idx3 = indices[scene_tri[:, None] * 3 + jnp.arange(3)[None, :]].astype(jnp.int32)
     # scene vertex id -> transformed-vertex row of this draw
@@ -235,7 +260,6 @@ def geometry_pass(
     row3 = jnp.clip(row3, 0, v_cap - 1)
     pair_valid = pair_valid & row_ok
 
-    clip = clip_v[row3]  # (T, 3, 4)
     mat = tri_material[scene_tri]
     double_sided = (
         (materials["flags"][mat] & 2) != 0
@@ -243,18 +267,6 @@ def geometry_pass(
         else jnp.ones_like(pair_valid)
     )
 
-    setup = _setup_from_clip(
-        clip, pair_valid, double_sided, width, height, flip_viewport,
-        vertex_ids=row3,
-    )
-    setup = TriangleSetup(
-        setup=setup[0],
-        tri_id=scene_tri.astype(jnp.int32),
-        inst_id=pair_inst,
-        bbox=setup[2],
-        valid=setup[1],
-        num_valid=total.astype(jnp.int32),
-    )
     attrs = pack_attrs(
         TriangleAttrs(
             world_pos=world_v[row3],
@@ -265,7 +277,91 @@ def geometry_pass(
             lightmapped=draws.lightmapped[pair_inst],
         )
     )
-    return setup, attrs
+    return VertexStage(
+        w1=w1,
+        row3=row3,
+        pair_inst=pair_inst,
+        scene_tri=scene_tri.astype(jnp.int32),
+        pair_valid=pair_valid,
+        double_sided=double_sided,
+        num_valid=total.astype(jnp.int32),
+        attrs=attrs,
+    )
+
+
+def geometry_view_setup(
+    stage: VertexStage,
+    view_proj: jax.Array,  # (4, 4)
+    width: int,
+    height: int,
+    flip_viewport: bool = False,
+) -> TriangleSetup:
+    """Per-view half of geometry_pass: clip transform + homogeneous edge
+    setup from a cached VertexStage. Cost per extra view is one (V, 4) x
+    (4, 4) matmul, a (T, 3, 4) gather, and the setup arithmetic — no
+    skinning, no attribute work."""
+    clip_v = stage.w1 @ view_proj.T  # (V, 4) — MXU food
+    clip = clip_v[stage.row3]  # (T, 3, 4)
+    setup = _setup_from_clip(
+        clip, stage.pair_valid, stage.double_sided, width, height,
+        flip_viewport, vertex_ids=stage.row3,
+    )
+    return TriangleSetup(
+        setup=setup[0],
+        tri_id=stage.scene_tri,
+        inst_id=stage.pair_inst,
+        bbox=setup[2],
+        valid=setup[1],
+        num_valid=stage.num_valid,
+    )
+
+
+def geometry_pass(
+    draws: DrawList,
+    indices: jax.Array,
+    positions: jax.Array,
+    normals: jax.Array,
+    uvs: jax.Array,
+    lm_uvs: Optional[jax.Array],
+    tri_material: jax.Array,
+    materials: dict,
+    view_proj: jax.Array,  # (4, 4)
+    width: int,
+    height: int,
+    t_cap: int,
+    v_cap: Optional[int] = None,
+    flip_viewport: bool = False,
+    joint_palette: Optional[jax.Array] = None,
+    joint_indices: Optional[jax.Array] = None,
+    joint_weights: Optional[jax.Array] = None,
+    double_sided_from_material: bool = True,
+):
+    """Full geometry stage for one pass -> (TriangleSetup, TriangleAttrs).
+
+    Single-view convenience wrapper over geometry_vertex_stage (the
+    view-independent work) + geometry_view_setup (clip + edge setup).
+    Multi-view callers should call the two halves directly and reuse the
+    VertexStage across views (render/frame.py does)."""
+    stage = geometry_vertex_stage(
+        draws,
+        indices,
+        positions,
+        normals,
+        uvs,
+        lm_uvs,
+        tri_material,
+        materials,
+        t_cap,
+        v_cap=v_cap,
+        joint_palette=joint_palette,
+        joint_indices=joint_indices,
+        joint_weights=joint_weights,
+        double_sided_from_material=double_sided_from_material,
+    )
+    tri = geometry_view_setup(
+        stage, view_proj, width, height, flip_viewport=flip_viewport
+    )
+    return tri, stage.attrs
 
 
 def pack_attrs(attrs: TriangleAttrs) -> TriangleAttrs:

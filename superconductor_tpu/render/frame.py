@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from ..ops.binning import bin_triangles, gather_sorted_setup
-from ..ops.geometry import DrawList, TriangleSetup, geometry_pass
+from ..ops.geometry import (
+    DrawList,
+    TriangleSetup,
+    geometry_vertex_stage,
+    geometry_view_setup,
+)
 from ..ops.raster_ref import VisibilityBuffer, rasterize_ref
 from ..ops.shade import interpolate_gbuffer, shade
 from ..ops.sky import sample_skybox
@@ -96,8 +101,9 @@ class RenderConfig:
     # from the opaque_px_needed stat.
     opaque_px_cap: Optional[int] = None
     # Render each view in this many horizontal bands, sequentially (lax.map)
-    # — bounds peak HBM for large resolutions (4K+) at the cost of repeated
-    # geometry work per band. 1 = whole frame at once.
+    # — bounds peak HBM for large resolutions (4K+). Geometry (vertex
+    # stage + per-view setup) is hoisted out of the band loop; each band
+    # re-pays only binning + raster + shading. 1 = whole frame at once.
     row_chunks: int = 1
 
     def resolve_raster(self) -> str:
@@ -332,9 +338,18 @@ def _px_py_at(idx, width: int, y_offset):
     return x, y
 
 
-def _merged_geometry(scene, state, view_proj, config):
-    """Static + animated geometry as one pair list."""
-    tri, attrs = geometry_pass(
+def _merged_vertex_stage(scene, state, config):
+    """View-independent geometry for both pass families -> ((static,
+    animated) VertexStage pair, merged TriangleAttrs).
+
+    Computed ONCE per frame and shared by every view and band: skinning,
+    world transforms, uv transforms, and attribute packing do not depend
+    on the camera, so stereo's second eye (and each row_chunks band) pays
+    only the clip transform + edge setup in _merged_setup_for_view. The
+    reference gets the same sharing from one-draw-both-eyes multiview
+    (pipelines.rs:373; shared-structs/src/lib.rs:50-121 selects per-eye
+    matrices inside the shader)."""
+    stage_s = geometry_vertex_stage(
         state.draws_static,
         scene["indices"],
         scene["positions"],
@@ -343,14 +358,10 @@ def _merged_geometry(scene, state, view_proj, config):
         scene["lightmap_uvs"],
         scene["tri_material"],
         scene["materials"],
-        view_proj,
-        config.width,
-        config.height,
         config.t_cap,
         v_cap=config.v_cap or config.t_cap,
-        flip_viewport=config.flip_viewport,
     )
-    tri_a, attrs_a = geometry_pass(
+    stage_a = geometry_vertex_stage(
         state.draws_animated,
         scene["anim_indices"],
         scene["anim_positions"],
@@ -359,17 +370,31 @@ def _merged_geometry(scene, state, view_proj, config):
         None,
         scene["anim_tri_material"],
         scene["materials"],
-        view_proj,
-        config.width,
-        config.height,
         config.t_cap_anim,
         v_cap=config.v_cap_anim or config.t_cap_anim,
-        flip_viewport=config.flip_viewport,
         joint_palette=state.joint_palette,
         joint_indices=scene["anim_joint_indices"],
         joint_weights=scene["anim_joint_weights"],
     )
-    merged_tri = TriangleSetup(
+    merged_attrs = jtu.tree_map(
+        lambda a, b: jnp.concatenate([a, b]), stage_s.attrs, stage_a.attrs
+    )
+    return (stage_s, stage_a), merged_attrs
+
+
+def _merged_setup_for_view(stages, view_proj, config):
+    """Per-view half of the geometry pass: clip + edge setup for both
+    VertexStages, merged into one pair list (static rows first)."""
+    stage_s, stage_a = stages
+    tri = geometry_view_setup(
+        stage_s, view_proj, config.width, config.height,
+        flip_viewport=config.flip_viewport,
+    )
+    tri_a = geometry_view_setup(
+        stage_a, view_proj, config.width, config.height,
+        flip_viewport=config.flip_viewport,
+    )
+    return TriangleSetup(
         setup=jnp.concatenate([tri.setup, tri_a.setup]),
         tri_id=jnp.concatenate([tri.tri_id, tri_a.tri_id]),
         inst_id=jnp.concatenate([tri.inst_id, tri_a.inst_id]),
@@ -377,8 +402,14 @@ def _merged_geometry(scene, state, view_proj, config):
         valid=jnp.concatenate([tri.valid, tri_a.valid]),
         num_valid=tri.num_valid + tri_a.num_valid,
     )
-    merged_attrs = jtu.tree_map(lambda a, b: jnp.concatenate([a, b]), attrs, attrs_a)
-    return merged_tri, merged_attrs
+
+
+def _merged_geometry(scene, state, view_proj, config):
+    """Static + animated geometry as one pair list (single-view wrapper
+    over _merged_vertex_stage + _merged_setup_for_view; kept for the
+    attribution tools and capacity stats)."""
+    stages, merged_attrs = _merged_vertex_stage(scene, state, config)
+    return _merged_setup_for_view(stages, view_proj, config), merged_attrs
 
 
 def render_view(
@@ -390,8 +421,15 @@ def render_view(
     band_height: Optional[int] = None,
     y_offset=0,
     with_stats: bool = False,
+    geometry=None,
 ):
     """Render one view (or one horizontal band of it) -> (bh, W, 4) f32.
+
+    geometry: optional precomputed (merged_tri, merged_attrs) for this
+    view — render_frame_impl computes the view-independent vertex stage
+    once per frame and each view's setup once across its bands, so
+    stereo's second eye and every band skip skinning/attribute work.
+    None (a bare single-view call) computes it here.
 
     with_stats: also return {"pairs_needed", "layers_needed",
     "shade_px_needed", "shade_px_needed_k", "opaque_px_needed"} (i32) —
@@ -410,7 +448,10 @@ def render_view(
     u = state.uniforms
     view_proj = u["view_proj"][view_index]
 
-    merged_tri, merged_attrs = _merged_geometry(scene, state, view_proj, config)
+    if geometry is None:
+        merged_tri, merged_attrs = _merged_geometry(scene, state, view_proj, config)
+    else:
+        merged_tri, merged_attrs = geometry
     px, py = _pixel_centers(config, band_height, y_offset)
     mats = scene["materials"]
     blend_mode = mats["blend_mode"][merged_attrs.material]
@@ -743,9 +784,17 @@ def render_frame_impl(
         "shade_px_needed_k": jnp.zeros((config.needed_k_len(),), jnp.int32),
         "opaque_px_needed": jnp.int32(0),
     }
+    stages, merged_attrs = _merged_vertex_stage(scene, state, config)
     for v in range(config.num_views):
+        geometry = (
+            _merged_setup_for_view(stages, state.uniforms["view_proj"][v], config),
+            merged_attrs,
+        )
         if config.row_chunks <= 1:
-            out = render_view(scene, state, v, config, env, with_stats=with_stats)
+            out = render_view(
+                scene, state, v, config, env, with_stats=with_stats,
+                geometry=geometry,
+            )
             if with_stats:
                 out, stats = out
                 stats_acc = {
@@ -757,10 +806,11 @@ def render_frame_impl(
         band_h = config.height // config.row_chunks
         y0s = jnp.arange(config.row_chunks, dtype=jnp.int32) * band_h
 
-        def band(y0, v=v):
+        def band(y0, v=v, geometry=geometry):
             out = render_view(
                 scene, state, v, config, env,
                 band_height=band_h, y_offset=y0, with_stats=with_stats,
+                geometry=geometry,
             )
             if with_stats:
                 img, stats = out
