@@ -42,6 +42,18 @@ CHUNK = 256  # triangles per DMA chunk (multiple of 8)
 ROWS_PER_CHUNK = CHUNK // 8  # packed 128-wide HBM rows per chunk
 
 
+def _union_vma(*arrays):
+    """Union of the inputs' varying-manual-axes. Under
+    shard_map(check_vma=True) pallas_call does not infer its out_shape
+    vma (jax 0.9 requires it explicitly on ShapeDtypeStruct); the outputs
+    vary over exactly the axes any input varies over. Outside shard_map
+    every input's vma is empty and this is a no-op."""
+    vma = frozenset()
+    for a in jax.tree_util.tree_leaves(arrays):
+        vma = vma | getattr(jax.typeof(a), "vma", frozenset())
+    return vma
+
+
 def _scalar_tie(a, b):
     """Scalar edge tie-break as f32 (see raster_ref._tie): 1.0 = accept
     e == 0 (edge coefficients (a, b) lexicographically positive)."""
@@ -238,14 +250,15 @@ def rasterize_pallas_sorted(
         has_init=has_init,
     )
 
+    vma = _union_vma(inputs)
     depth, pair = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
         in_specs=in_specs,
         out_specs=(blocked, blocked),
         out_shape=(
-            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
-            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32, vma=vma),
         ),
         scratch_shapes=[
             pltpu.SMEM((2, ROWS_PER_CHUNK + 1, 128), jnp.float32),
@@ -498,13 +511,14 @@ def kbuffer_pallas_sorted(
     out_specs = (blocked_k, blocked) if not want_depth else (
         blocked_k, blocked_k, blocked
     )
+    vma = _union_vma(tile_start, tile_count, y_offset, floor0, packed)
     out_shape = (
-        jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.int32),
-        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+        jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.int32, vma=vma),
+        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32, vma=vma),
     )
     if want_depth:
         out_shape = (
-            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((k, pad_h, pad_w), jnp.float32, vma=vma),
         ) + out_shape
     outs = pl.pallas_call(
         kernel,

@@ -61,15 +61,25 @@ def render_frame_sharded(
     assert config.height % n_bands == 0
     band_h = config.height // n_bands
 
+    # check_vma stays ON for every compiled path: the raster scan carries
+    # are tainted with the band's y_offset (raster_ref.taint_with) and the
+    # pallas_call out_shapes carry the union of their inputs' vma
+    # (raster_pallas._union_vma), so varying-manual-axes are consistent
+    # end to end. The one exception is INTERPRET-mode pallas (CPU backend):
+    # jax 0.9's hlo interpreter re-checks vma inside the kernel body, where
+    # literals are unavoidably replicated — a known jax limitation whose
+    # documented workaround is check_vma=False. Real-TPU pallas compiles
+    # the body with Mosaic and never hits that path.
+    interpret_pallas = (
+        config.resolve_raster() == "pallas" and jax.default_backend() != "tpu"
+    )
+
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P("view", "band", None, None),
-        # check_vma stays ON: the raster scan carries are tainted with the
-        # band's y_offset (raster_ref.taint_with) so their varying-manual-
-        # axes are consistent from the start.
-        check_vma=True,
+        check_vma=not interpret_pallas,
     )
     def shard_fn(scene_rep, state_rep):
         v = jax.lax.axis_index("view")
