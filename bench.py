@@ -207,6 +207,27 @@ def measure_device_delta(results, calls=3, repeats=3, budget_s=None,
                 (mid_rep[i + 1] - mid_rep[i]) / (ks[i + 1] - ks[i])
                 for i in range(len(ks) - 1)
             ]
+            # Self-describing bracket disagreement (ADVICE r3): each
+            # unroll k is a DIFFERENT compiled program, and XLA's compile
+            # quality varies across them — consecutive-pair slopes can
+            # disagree far beyond the run-to-run repeat spread (measured
+            # 2x on the 2026-08-19 stereo scene). When that happens the
+            # JSON carries an explicit warning so a reader of the
+            # artifact alone cannot mistake delta_spread (repeatability)
+            # for the delta metric's accuracy; frame_ms (one program,
+            # dispatch-count slope) is the primary metric either way.
+            checks = r["delta_check_ms"]
+            if len(checks) >= 2 and min(checks) > 0:
+                ratio = max(checks) / min(checks)
+                r["delta_bracket_ratio"] = ratio
+                spread = r["delta_spread"] or 0.0
+                if ratio - 1.0 > max(3.0 * spread, 0.05):
+                    r["delta_warning"] = (
+                        f"consecutive-k slopes disagree {ratio:.2f}x "
+                        f"(repeat spread {spread:.3f}): per-k XLA compile "
+                        "variance; trust device_frame_ms, not "
+                        "device_delta_ms"
+                    )
             # PRIMARY metric: dispatch-count slope of the PRODUCTION
             # (k = ks[0]) executable. The unroll slope above compiles a
             # different program per k, and XLA's compile quality varies
@@ -894,6 +915,12 @@ def main():
             out[f"{prefix}device_delta_check_ms"] = [
                 round(d, 3) for d in r["delta_check_ms"]
             ]
+            if r.get("delta_bracket_ratio") is not None:
+                out[f"{prefix}device_delta_bracket_ratio"] = round(
+                    r["delta_bracket_ratio"], 3
+                )
+            if r.get("delta_warning"):
+                out[f"{prefix}device_delta_warning"] = r["delta_warning"]
         if r.get("rtt_ms") is not None:
             out[f"{prefix}rtt_ms"] = round(r["rtt_ms"], 1)
         if r.get("delta_error"):
