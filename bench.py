@@ -813,6 +813,40 @@ def main():
     progress("headline device-delta (k=1/2/4 unroll compiles + slope)...")
     measure_device_delta([head], budget_s=budget_s, t_start=t_bench0)
 
+    # Roofline utilization (VERDICT r3 #3): how much of the executor's
+    # own measured memory system the frame uses. Numerator = the k=1
+    # production program's cost_analysis bytes/flops (AOT handle is a
+    # persistent-cache hit); denominators = live ceiling probes with the
+    # same dispatch-count-slope methodology
+    # (superconductor_tpu/utils/roofline.py). Budget-gated + fallible:
+    # the primary metric never depends on this block.
+    roofline = None
+    if time.time() - t_bench0 < budget_s:
+        try:
+            from superconductor_tpu.utils.roofline import (
+                predict_ms,
+                probe_ceilings,
+                program_costs,
+            )
+
+            progress("roofline: headline program cost analysis...")
+            k1 = head["delta_fns"][0][1]
+            flops, bytes_ = program_costs(k1.lowered().compile())
+            progress("roofline: ceiling probes (matmul/stream/gather)...")
+            ceil = probe_ceilings(ns=(1, 2), calls=2, quick=True)
+            pred = predict_ms(flops, bytes_, ceil)
+            roofline = {
+                "headline_gflops": round(flops / 1e9, 2),
+                "headline_gbytes": round(bytes_ / 1e9, 3),
+                "matmul_tflops_ceiling": round(ceil["matmul_tflops"], 4),
+                "stream_gbps_ceiling": round(ceil["stream_gbps"], 3),
+                "gather_gbps_ceiling": round(ceil["gather_gbps"], 3),
+                "pred_lo_ms": round(pred["pred_lo_ms"], 1),
+                "pred_hi_ms": round(pred["pred_hi_ms"], 1),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"# roofline block failed: {e!r}", file=sys.stderr)
+
     allp = None
     if os.path.exists(f"{REF_ASSETS}/models/sponza_cubes.glb"):
         try:
@@ -927,6 +961,24 @@ def main():
             out[f"{prefix}device_delta_error"] = r["delta_error"]
 
     add("", head)
+    if roofline is not None:
+        out.update(roofline)
+        fm = head.get("frame_ms")
+        if fm and fm > 0:
+            gbps = roofline["headline_gbytes"] / (fm * 1e-3)
+            out["achieved_gbps"] = round(gbps, 3)
+            # fraction of the executor's measured streaming bandwidth the
+            # frame sustains (gathers count at XLA's bytes-accessed
+            # accounting; >1.0 would mean better-than-stream locality)
+            out["stream_bw_utilization"] = round(
+                gbps / roofline["stream_gbps_ceiling"], 3
+            )
+            lo, hi = roofline["pred_lo_ms"], roofline["pred_hi_ms"]
+            if lo > 0 and hi > 0:
+                out["frame_vs_roofline_band"] = (
+                    round(fm / lo, 2) if fm < lo
+                    else round(fm / hi, 2) if fm > hi else 1.0
+                )
     out["dispatch_fps"] = round(head["fps"], 2)
     if allp is not None:
         out["all_passes_dispatch_fps"] = round(allp["fps"], 2)
