@@ -30,12 +30,15 @@ Primitives keep the reference's grouping by BlendMode x FaceSides
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from .buffers import AllocatedArray, GrowableArray
+
+log = logging.getLogger(__name__)
 
 # Jitted quad-pool builder, shared across pools (see TexturePool.device_quad).
 _BUILD_QUAD_JIT = None
@@ -490,6 +493,17 @@ class Scene:
         # 4x pool HBM (+ the i32 neighbor table); disable to trade the
         # shade speed back for memory (texture_memory_report shows both).
         self.quad_pools: bool = True
+        # Device texture residency budget (bytes) over texel pools +
+        # quad pools + SH-interleaved pools. None = unlimited. When a
+        # publish would exceed it, enforce_texture_budget() degrades
+        # instead of OOMing: first drop the quad/SH speed pools (pure
+        # perf trade, shading falls back to flat-pool taps), then shrink
+        # max_texture_size so future loads downscale — the reference's
+        # downscaling_for_max_size response to device limits
+        # (textures.rs:609-614). Already-resident texels are never
+        # evicted (matching the reference, which has no eviction either).
+        self.texture_budget_bytes: Optional[int] = None
+        self._budget_state: dict = {"quad_dropped": False, "max_size_set": None}
         self._add_dummy_textures()
 
         # Materials.
@@ -711,7 +725,96 @@ class Scene:
                 "num_textures": p.num_textures,
             }
 
-        return {"ldr": pool(self.textures), "hdr": pool(self.textures_hdr)}
+        report = {"ldr": pool(self.textures), "hdr": pool(self.textures_hdr)}
+        report["sh_pool_bytes"] = self._sh_pool_bytes()
+        report["total_device_bytes"] = self.projected_texture_bytes()
+        report["budget_bytes"] = self.texture_budget_bytes
+        if self.texture_budget_bytes:
+            report["over_budget"] = (
+                report["total_device_bytes"] > self.texture_budget_bytes
+            )
+            report["degrade"] = dict(self._budget_state)
+        return report
+
+    def _sh_pool_bytes(self) -> int:
+        """Bytes of the SH-interleaved lightvol/lightmap pools if
+        published ((w*h*z, 48) f16 each, device_lightvol_sh)."""
+        if not self.quad_pools:
+            return 0
+        total = 0
+        if self.lightvol is not None:
+            w, h, z = self.lightvol_dims()
+            total += w * h * z * 48 * 2
+        if self.lightmap_tex is not None:
+            w, h = self.lightmap_dims()
+            total += w * h * 48 * 2
+        return total
+
+    def projected_texture_bytes(self, quad: Optional[bool] = None) -> int:
+        """Device texture residency if published now: texel pools at
+        capacity (the device buffer is capacity-sized) + quad pools +
+        SH-interleaved pools. `quad` overrides self.quad_pools for
+        what-if sizing."""
+        use_quad = self.quad_pools if quad is None else quad
+        total = 0
+        for p in (self.textures, self.textures_hdr):
+            itemsize = p.texels.array.host.dtype.itemsize * 4
+            cap = p.texels.array.capacity
+            total += cap * itemsize
+            if use_quad:
+                total += cap * (itemsize * 4 + 12)
+        if use_quad and self.lightvol is not None:
+            w, h, z = self.lightvol_dims()
+            total += w * h * z * 48 * 2
+        if use_quad and self.lightmap_tex is not None:
+            w, h = self.lightmap_dims()
+            total += w * h * 48 * 2
+        return total
+
+    def enforce_texture_budget(self) -> None:
+        """Degrade ladder for texture_budget_bytes (never OOM silently):
+
+        1. Drop the quad-packed + SH-interleaved speed pools (a pure
+           perf trade — every sampler falls back to flat-pool taps,
+           ops/texture.py:28, ops/shade.py:295).
+        2. Still over: shrink max_texture_size to half the largest
+           resident texture dimension so FUTURE loads downscale
+           (mip_skip_for_max_size — the downscaling_for_max_size analog,
+           textures.rs:609-614). Resident texels are not evicted; the
+           remaining excess is logged once.
+
+        Idempotent and cheap; called by device_arrays() when a budget is
+        set."""
+        budget = self.texture_budget_bytes
+        if not budget:
+            return
+        if self.projected_texture_bytes() <= budget:
+            return
+        if self.quad_pools:
+            log.warning(
+                "texture budget %.1f MB exceeded (%.1f MB projected): "
+                "dropping quad/SH speed pools (flat-pool sampling)",
+                budget / 1e6, self.projected_texture_bytes() / 1e6,
+            )
+            self.quad_pools = False
+            self._budget_state["quad_dropped"] = True
+        if self.projected_texture_bytes() <= budget:
+            return
+        largest = 0
+        for p in (self.textures, self.textures_hdr):
+            for t in range(p.num_textures):
+                base = p.tex_mip_base[t]
+                largest = max(largest, p.mip_w[base], p.mip_h[base])
+        new_max = max(64, largest // 2) if largest else 64
+        if self._budget_state["max_size_set"] != new_max:
+            log.warning(
+                "texture budget still exceeded (%.1f > %.1f MB) with flat "
+                "pools; capping future loads at max_texture_size=%d "
+                "(resident texels are not evicted)",
+                self.projected_texture_bytes() / 1e6, budget / 1e6, new_max,
+            )
+            self.max_texture_size = new_max
+            self._budget_state["max_size_set"] = new_max
 
     def lightvol_dims(self):
         """(w, h, z_layers) of the SH lightvol, or None. All four volumes
@@ -801,6 +904,7 @@ class Scene:
     def device_arrays(self) -> dict:
         """All device-resident arrays the frame function needs, as a dict
         pytree. Cached per-buffer; cheap to call every frame."""
+        self.enforce_texture_budget()
         d = {
             "positions": self.positions.device(),
             "normals": self.normals.device(),
