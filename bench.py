@@ -353,9 +353,10 @@ def headline_scene(sc, width=1920, height=1080):
     cam = sc.Camera(position=np.array([0.0, 0.3, 2.4], np.float32))
     _aim(cam, [0, 0, 0], look_at, mat4_inverse, mat3_to_quat)
     uniforms = sc.make_uniforms(cam, width, height)
-    env = sc.EnvBindings(
-        ibl_cubemap_base=cubemap_base, ambient_sh=default_ambient_sh()
-    )
+    # from_scene picks up the cubemap's static pool placement (skybox
+    # then samples with zero per-pixel descriptor gathers).
+    env = sc.EnvBindings.from_scene(scene, ambient_sh=default_ambient_sh())
+    assert env.ibl_cubemap_base == cubemap_base
     config = sc.RenderConfig(
         width=width, height=height, t_cap=1 << 15, t_cap_anim=1 << 6,
         p_cap=1 << 17, raster="auto",
@@ -701,9 +702,8 @@ def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
     tube = add_skinned_tube(scene, segments=64, slices=48, name="tube")
     sphere = add_pbr_sphere(scene, name="st_sphere")
     cubemap_base = gradient_cubemap(scene)
-    env = sc.EnvBindings(
-        ibl_cubemap_base=cubemap_base, ambient_sh=default_ambient_sh()
-    )
+    env = sc.EnvBindings.from_scene(scene, ambient_sh=default_ambient_sh())
+    assert env.ibl_cubemap_base == cubemap_base
 
     center = np.array([0.0, 1.0, 0.0], np.float32)
     eye_mid = np.array([0.0, 1.4, 7.0], np.float32)

@@ -346,6 +346,31 @@ def sample_spherical_harmonics(gbuf: GBuffer, scene: dict, uniforms: dict, env):
     return sh
 
 
+def _material_rows(m: dict, mat):
+    """(pf (P,12) f32, pi (P,8) i32, mtm (P,24) i32 or None,
+    mlv (P,4,L,3) i32 or None) — from ONE mat_row gather when the scene
+    publishes it, else the separate packed rows (minimal test scenes).
+    mlv is the per-slot mip-placement table (scene.py device_materials):
+    sampling selects the pixel's level inside the row with a select
+    ladder instead of a per-pixel mip_owh2 gather."""
+    if "mat_row" in m:
+        row = m["mat_row"][mat]  # (P, 44 + 4*L*3)
+        pf = row[..., 0:12]
+        pi = jax.lax.bitcast_convert_type(row[..., 12:20], jnp.int32)
+        mtm = jax.lax.bitcast_convert_type(row[..., 20:44], jnp.int32)
+        mlv = None
+        if row.shape[-1] > 44:
+            L = (row.shape[-1] - 44) // 12
+            mlv = jax.lax.bitcast_convert_type(
+                row[..., 44 : 44 + 12 * L], jnp.int32
+            ).reshape(*row.shape[:-1], 4, L, 3)
+        return pf, pi, mtm, mlv
+    pf = m["packed_f"][mat]
+    pi = m["packed_i"][mat]
+    mtm = m["mat_tex_meta"][mat] if "mat_tex_meta" in m else None
+    return pf, pi, mtm, None
+
+
 def shade(
     gbuf: GBuffer,
     scene: dict,
@@ -366,15 +391,12 @@ def shade(
     m = scene["materials"]
     mat = gbuf.material
 
-    # One packed f32 row + one packed i32 row per pixel (scene.py
-    # material_arrays layout) instead of ~12 scalar-field gathers —
-    # per-lane descriptor fetches cost like texel taps on the TPU.
-    pf = m["packed_f"][mat]
-    pi = m["packed_i"][mat]
-    # Material-packed sampling descriptors: ONE (P, 24) gather carries
-    # tex_meta + mip-0 dims for all four material textures (scene.py
-    # device_materials), replacing 4 tex_meta gathers per pixel.
-    mtm = m["mat_tex_meta"][mat] if "mat_tex_meta" in m else None
+    # The pixel's ENTIRE material state in ONE gather: factors
+    # (packed_f), texture ids/flags (packed_i, bitcast), all four
+    # textures' sampling descriptors (mat_tex_meta, bitcast) and their
+    # mip tables — see scene.py device_materials. Falls back to the
+    # separate packed rows for hand-built test scenes.
+    pf, pi, mtm, mlv = _material_rows(m, mat)
 
     # Every material texture samples with aniso/trilinear LOD derived from
     # its OWN mip-0 dimensions (sample_anisotropic computes it from the
@@ -383,9 +405,10 @@ def shade(
     # (texture_loading.rs:140-158) and LOD is per-texture by construction.
     def material_sample(slot):
         meta = mtm[..., 6 * slot : 6 * slot + 6] if mtm is not None else None
+        lv = mlv[..., slot, :, :] if mlv is not None else None
         return sample_anisotropic(
             texels, tex, pi[..., slot], gbuf.uv,
-            gbuf.duvdx, gbuf.duvdy, aniso_taps, meta=meta,
+            gbuf.duvdx, gbuf.duvdy, aniso_taps, meta=meta, levels_owh=lv,
         )
 
     albedo = material_sample(0) * pf[..., 0:4]
@@ -451,20 +474,20 @@ def shade(
 
 
 def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
-    """Alpha channel of the albedo sample (for the alpha-clip test), using
-    the same trilinear lod as full shading — matches sampling all textures
-    before the discard in fragment_alpha_clipped (lib.rs:405-407)."""
+    """(albedo alpha, material alpha cutoff) for the alpha-clip test,
+    using the same trilinear lod as full shading — matches sampling all
+    textures before the discard in fragment_alpha_clipped
+    (lib.rs:405-407). The cutoff rides the material row this already
+    gathers, saving the caller a second per-lane material fetch."""
     texels = ldr_pool(scene)
     tex = scene["tex"]
     m = scene["materials"]
     mat = gbuf.material
-    pf = m["packed_f"][mat]
-    pi = m["packed_i"][mat]
-    meta = (
-        m["mat_tex_meta"][mat][..., 0:6] if "mat_tex_meta" in m else None
-    )
+    pf, pi, mtm, mlv = _material_rows(m, mat)
+    meta = mtm[..., 0:6] if mtm is not None else None
+    lv = mlv[..., 0, :, :] if mlv is not None else None
     albedo = sample_anisotropic(
         texels, tex, pi[..., 0], gbuf.uv, gbuf.duvdx, gbuf.duvdy, aniso_taps,
-        meta=meta,
+        meta=meta, levels_owh=lv,
     ) * pf[..., 0:4]
-    return albedo[..., 3]
+    return albedo[..., 3], pf[..., 10]

@@ -59,7 +59,8 @@ def sample_skybox(
         )
     else:
         rgb = sample_cubemap(
-            hdr_pool(scene), scene["tex_hdr"], base, rays
+            hdr_pool(scene), scene["tex_hdr"], base, rays,
+            static=getattr(env, "ibl_cubemap_static", None),
         )[..., :3]
     if inline_tonemapping:
         rgb = aces_filmic(rgb)

@@ -140,8 +140,19 @@ def _srgb_decode(out, flags):
     return jnp.concatenate([rgb, out[..., 3:]], axis=-1)
 
 
+def _select_level(levels, lvl):
+    """levels (P, L, 3) i32, lvl (P,) i32 -> (P, 3): row lvl of each
+    lane's table via a static select ladder (clamps lvl to [0, L-1]).
+    Pure VPU work — replaces a per-pixel mip_owh2 gather when the mip
+    table already rides the material row (scene.py mat_row)."""
+    out = levels[..., 0, :]
+    for j in range(1, levels.shape[-2]):
+        out = jnp.where((lvl >= j)[..., None], levels[..., j, :], out)
+    return out
+
+
 def sample_trilinear(texels, tex_desc, tex_id, uv, lod, decode_srgb=True,
-                     meta=None):
+                     meta=None, levels_owh=None):
     """Trilinear: blend the two nearest mips by the fractional lod.
 
     With the packed descriptor tables, BOTH levels' placements come from
@@ -149,9 +160,36 @@ def sample_trilinear(texels, tex_desc, tex_id, uv, lod, decode_srgb=True,
     the next mip's — scene.py descriptor_arrays), so a trilinear sample
     is 4 gathers total: tex_meta, mip_owh2, quad(l0), quad(l1) — and 3
     when the caller supplies `meta` (a pre-gathered (P, 4) tex_meta row,
-    e.g. from the material-packed mat_tex_meta)."""
+    e.g. from the material-packed mat_tex_meta). With `levels_owh` (a
+    (P, L, 3) in-register mip table from the same material row) the
+    mip_owh2 gather disappears too: 2 gathers, both texel taps."""
     l0 = jnp.floor(lod).astype(jnp.int32)
     f = (lod - jnp.floor(lod))[..., None]
+    if levels_owh is not None and meta is not None:
+        count, wrap_mode = meta[..., 1], meta[..., 2]
+        flags = meta[..., 3]
+        lvl = jnp.clip(l0, 0, count - 1)
+        # bit-exact vs the mip_owh2 path: zero the fraction for negative
+        # lod (pure mip-0), clamp the second level within the chain (the
+        # pair row bakes the same last-pairs-with-itself clamp)
+        f = jnp.where((l0 < 0)[..., None], 0.0, f)
+        a_owh = _select_level(levels_owh, lvl)
+        b_owh = _select_level(levels_owh, jnp.clip(l0 + 1, 0, count - 1))
+        a = _bilinear_core(
+            texels, a_owh[..., 0], a_owh[..., 1], a_owh[..., 2],
+            wrap_mode, uv,
+        )
+        b = _bilinear_core(
+            texels, b_owh[..., 0], b_owh[..., 1], b_owh[..., 2],
+            wrap_mode, uv,
+        )
+        if texels.dtype == jnp.uint8:
+            a = a * (1.0 / 255.0)
+            b = b * (1.0 / 255.0)
+            if decode_srgb:
+                a = _srgb_decode(a, flags)
+                b = _srgb_decode(b, flags)
+        return a * (1 - f) + b * f
     if "mip_owh2" in tex_desc and ("tex_meta" in tex_desc or meta is not None):
         if meta is None:
             meta = tex_desc["tex_meta"][tex_id]
@@ -195,12 +233,22 @@ def mip_level_from_derivatives(dudx, dvdx, dudy, dvdy, tex_w, tex_h):
     return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
 
 
-def sample_cubemap(texels_hdr, tex_desc, base_tex_id, direction, lod=None):
+def sample_cubemap(texels_hdr, tex_desc, base_tex_id, direction, lod=None,
+                   static=None):
     """Sample a cubemap stored as 6 consecutive textures (faces +X,-X,+Y,-Y,
     +Z,-Z in the usual wgpu/Vulkan order) with bilinear filtering.
 
     direction: (P, 3). Face selection per the standard cube-map equations.
-    """
+
+    static: optional (face_offsets(6 ints), w, h) compile-time placement
+    (EnvBindings.ibl_cubemap_static). Cubemap faces are equal-sized and
+    their pool placement only changes on environment re-config — which
+    recompiles anyway (render/env.py) — so the two per-pixel descriptor
+    gathers (tex_meta + mip_owh) that sample_bilinear_level pays become
+    a 6-entry constant lookup + in-register addressing. Full-screen
+    passes (the skybox base layer) feel this directly: the pass drops
+    from 3 gathers/pixel to 1. Only the lod=None single-tap path; taps
+    the base level with CLAMP wrap (cubemaps load WRAP_CLAMP)."""
     d = direction
     ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
@@ -228,6 +276,13 @@ def sample_cubemap(texels_hdr, tex_desc, base_tex_id, direction, lod=None):
     u = 0.5 * (sc / ma + 1.0)
     v = 0.5 * (tc / ma + 1.0)
     uv = jnp.stack([u, v], axis=-1)
+    if static is not None and lod is None:
+        offs, w, h = static
+        off = jnp.asarray(offs, jnp.int32)[face]
+        out = _bilinear_core(texels_hdr, off, w, h, WRAP_CLAMP, uv)
+        if texels_hdr.dtype == jnp.uint8:
+            out = out * (1.0 / 255.0)
+        return out
     tex_id = base_tex_id + face
     if lod is None:
         # No lod requested: one bilinear tap at the base level. Trilinear
@@ -332,7 +387,7 @@ def _sh_bilinear(q, fx, fy):
 
 def sample_anisotropic(
     texels, tex_desc, tex_id, uv, duvdx, duvdy, taps: int, decode_srgb=True,
-    meta=None,
+    meta=None, levels_owh=None,
 ):
     """Anisotropic approximation: average `taps` trilinear samples along the
     major-axis uv derivative, lod chosen from the minor axis (clamped by the
@@ -367,7 +422,8 @@ def sample_anisotropic(
     if taps <= 1:
         lod = jnp.maximum(0.5 * jnp.log2(jnp.maximum(jnp.maximum(dx2, dy2), 1e-12)), 0.0)
         return sample_trilinear(
-            texels, tex_desc, tex_id, uv, lod, decode_srgb, meta=meta
+            texels, tex_desc, tex_id, uv, lod, decode_srgb, meta=meta,
+            levels_owh=levels_owh,
         )
     major_is_x = dx2 >= dy2
     rho_maj2 = jnp.maximum(dx2, dy2)
@@ -381,7 +437,7 @@ def sample_anisotropic(
         t = (i + 0.5) / taps - 0.5
         s = sample_trilinear(
             texels, tex_desc, tex_id, uv + major * t, lod, decode_srgb,
-            meta=meta,
+            meta=meta, levels_owh=levels_owh,
         )
         out = s if out is None else out + s
     return out / taps

@@ -17,6 +17,15 @@ from typing import Optional, Tuple
 @dataclass(frozen=True)
 class EnvBindings:
     ibl_cubemap_base: int = -1  # first of 6 consecutive HDR pool textures
+    # (face_mip0_offsets(6), w, h): compile-time placement of the cubemap
+    # faces in the HDR pool. When set, the skybox pass samples with fully
+    # static addressing — no per-pixel descriptor gathers (ops/texture.py
+    # sample_cubemap static path). Filled by from_scene; goes stale only
+    # if the cubemap texture is freed/replaced, which re-configures the
+    # environment (and recompiles) anyway.
+    ibl_cubemap_static: Optional[
+        Tuple[Tuple[int, int, int, int, int, int], int, int]
+    ] = None
     lightvol_tex_ids: Optional[Tuple[int, int, int, int]] = None
     lightvol_z_layers: int = 0
     # (w, h) of the lightvol layers. When set (and the scene publishes its
@@ -33,10 +42,26 @@ class EnvBindings:
     ambient_sh: Tuple[float, ...] = (0.0,) * 12
 
     @staticmethod
-    def from_scene(scene) -> "EnvBindings":
+    def from_scene(scene, **extra) -> "EnvBindings":
+        """Bindings derived from the scene's configured environment
+        textures; `extra` fields (e.g. ambient_sh, clear_color) are
+        passed through and win over derived values."""
         kwargs = {}
         if scene.ibl_cubemap_base >= 0:
             kwargs["ibl_cubemap_base"] = scene.ibl_cubemap_base
+            pool = scene.textures_hdr
+            bases = [
+                pool.tex_mip_base[scene.ibl_cubemap_base + f]
+                for f in range(6)
+            ]
+            w = pool.mip_w[bases[0]]
+            h = pool.mip_h[bases[0]]
+            if all(
+                pool.mip_w[b] == w and pool.mip_h[b] == h for b in bases
+            ):
+                kwargs["ibl_cubemap_static"] = (
+                    tuple(int(pool.mip_offset[b]) for b in bases), w, h
+                )
         if scene.lightvol is not None:
             kwargs["lightvol_tex_ids"] = tuple(scene.lightvol["tex_ids"])
             kwargs["lightvol_z_layers"] = scene.lightvol["z_layers"]
@@ -47,4 +72,5 @@ class EnvBindings:
             kwargs["lightmap_wh"] = scene.lightmap_dims()
         if scene.smoke_tex[0] >= 0:
             kwargs["smoke_tex_ids"] = tuple(scene.smoke_tex)
+        kwargs.update(extra)
         return EnvBindings(**kwargs)

@@ -510,8 +510,7 @@ def render_view(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
                 shade_row=shade_row,
             )
-            a = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
-            cutoff = mats["packed_f"][g.material][..., 10]
+            a, cutoff = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
             ok = g.valid & (a >= cutoff) & ~found
             chosen_pair = jnp.where(ok, pair_k, chosen_pair)
             chosen_depth = jnp.where(ok, kb.depth[k].reshape(-1)[safe], chosen_depth)

@@ -635,6 +635,41 @@ class Scene:
             )  # (T, 6): meta + mip-0 (w, h)
             ids = arrays["packed_i"][:, 0:4].astype(np.int64)
             arrays["mat_tex_meta"] = tm[ids].reshape(ids.shape[0], 24)
+            # ONE (M, 44 + 4*L*3) f32 row per material: packed_f(12) |
+            # packed_i(8, bitcast) | mat_tex_meta(24, bitcast) | per-slot
+            # mip tables (4 x L x [offset, w, h], bitcast). The shade
+            # stage fetches a pixel's ENTIRE material state — factors,
+            # texture ids, flags, all four textures' sampling descriptors
+            # AND every mip level's placement — in ONE gather instead of
+            # 3 + 4 per-pixel mip_owh2 gathers (the stage is
+            # gather-ROW-bound: tools/roofline.py measures a ~fixed cost
+            # per gathered row, nearly independent of row width). The
+            # per-pixel mip level then selects within the row via a
+            # static select ladder (ops/texture.py _select_level), pure
+            # VPU work. L is each texture's FULL chain length (stable
+            # under streaming mip views, so pumps never recompile);
+            # the viewed chain is baked per level, clamped at its end.
+            counts_full = []
+            for t in range(self.textures.num_textures):
+                if t in self.textures._full_view:
+                    counts_full.append(self.textures._full_view[t][1])
+                else:
+                    counts_full.append(self.textures.tex_mip_count[t])
+            L = max(counts_full) if counts_full else 1
+            base = d["tex_meta"][:, 0:1]  # viewed base
+            count = d["tex_meta"][:, 1:2]  # viewed count
+            lvl = np.minimum(np.arange(L)[None, :], count - 1)  # (T, L)
+            tab = d["mip_owh"][base + lvl][:, :, 0:3]  # (T, L, 3)
+            mat_levels = tab[ids].reshape(ids.shape[0], 4 * L * 3)
+            arrays["mat_row"] = np.concatenate(
+                [
+                    arrays["packed_f"],
+                    arrays["packed_i"].view(np.float32),
+                    arrays["mat_tex_meta"].astype(np.int32).view(np.float32),
+                    mat_levels.astype(np.int32).view(np.float32),
+                ],
+                axis=1,
+            )
             self._materials_device = {
                 k: jax.device_put(v) for k, v in arrays.items()
             }

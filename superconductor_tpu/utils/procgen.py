@@ -162,6 +162,9 @@ def gradient_cubemap(scene: Scene, size: int = 64) -> int:
         tid = scene.textures_hdr.add_texture([f], wrap=1)
         if base is None:
             base = tid
+    # record as the scene's IBL cubemap so EnvBindings.from_scene picks
+    # it up (incl. the static skybox placement)
+    scene.ibl_cubemap_base = base
     return base
 
 

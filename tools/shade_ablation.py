@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Ablate shade-stage components of the headline frame (TPU).
+
+Times the FULL frame with individual shading components stubbed out
+(monkeypatched to constants before jit), so each component's cost falls
+out as a difference from the unmodified frame:
+
+    sky       = t(full) - t(ibl_cubemap_base = -1)   (clear-color sky)
+    mat taps  = t(full) - t(sample_anisotropic -> ones)
+    sh        = t(full) - t(sample_spherical_harmonics -> const)
+
+Attribution-grade (stubs change fusion), same caveat as stage_costs.py.
+Methodology: k=1 absolute with readback barrier minus RTT (docs/TIMING.md).
+
+Usage: python tools/shade_ablation.py [--size 1920x1080] [--calls 4]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/sc_tpu_jax")
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="1920x1080")
+    ap.add_argument("--calls", type=int, default=4)
+    args = ap.parse_args()
+    width, height = map(int, args.size.split("x"))
+
+    from superconductor_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import superconductor_tpu as sc
+    import bench as B
+    from superconductor_tpu.ops import shade as shade_mod
+    from superconductor_tpu.render import frame as frame_mod
+
+    dev, build, config, env = B.headline_scene(sc, width, height)
+    state0 = build(0.0)
+    config = B.fit_caps(dev, state0, config, env)
+    rtt = None
+
+    def timed(env_now, label):
+        nonlocal rtt
+        fn = B.make_unrolled(dev, state0, config, env_now, 1)
+        t0 = time.perf_counter()
+        img = fn()
+        B._sync(img)  # compile + first run
+        compile_s = time.perf_counter() - t0
+        if rtt is None:
+            rtt = B._probe_rtt(img)
+            print(json.dumps({"rtt_ms": round(rtt, 1)}), flush=True)
+        ts = []
+        for _ in range(args.calls):
+            t0 = time.perf_counter()
+            B._sync(fn())
+            ts.append((time.perf_counter() - t0) * 1e3)
+        ts.sort()
+        ms = ts[len(ts) // 2] - rtt
+        print(
+            json.dumps(
+                {"variant": label, "ms": round(ms, 1),
+                 "min_ms": round(ts[0] - rtt, 1),
+                 "compile_s": round(compile_s, 1)}
+            ),
+            flush=True,
+        )
+        return ms
+
+    full = timed(env, "full")
+
+    no_sky = timed(dataclasses.replace(env, ibl_cubemap_base=-1), "sky=clear")
+
+    orig_aniso = shade_mod.sample_anisotropic
+
+    def const_aniso(texels, tex_desc, tex_id, uv, duvdx, duvdy, taps,
+                    decode_srgb=True, meta=None, levels_owh=None):
+        return jnp.ones(uv.shape[:-1] + (4,), jnp.float32)
+
+    shade_mod.sample_anisotropic = const_aniso
+    try:
+        no_taps = timed(env, "mat_taps=const")
+    finally:
+        shade_mod.sample_anisotropic = orig_aniso
+
+    orig_sh = shade_mod.sample_spherical_harmonics
+
+    def const_sh(gbuf, scene, uniforms, env2):
+        p = gbuf.world_pos.shape[0]
+        return jnp.broadcast_to(
+            jnp.asarray([[0.5, 0.5, 0.5], [0.1, 0.0, 0.0],
+                         [0.0, 0.1, 0.0], [0.0, 0.0, 0.1]], jnp.float32),
+            (p, 4, 3),
+        )
+
+    shade_mod.sample_spherical_harmonics = const_sh
+    try:
+        no_sh = timed(env, "sh=const")
+    finally:
+        shade_mod.sample_spherical_harmonics = orig_sh
+
+    print(
+        json.dumps(
+            {
+                "attribution_ms": {
+                    "sky": round(full - no_sky, 1),
+                    "material_taps": round(full - no_taps, 1),
+                    "sh": round(full - no_sh, 1),
+                    "full": round(full, 1),
+                },
+                "size": args.size,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
