@@ -841,6 +841,8 @@ def main():
                 "matmul_tflops_ceiling": round(ceil["matmul_tflops"], 4),
                 "stream_gbps_ceiling": round(ceil["stream_gbps"], 3),
                 "gather_gbps_ceiling": round(ceil["gather_gbps"], 3),
+                "gather_mrows_per_s_ceiling": round(
+                    ceil["gather_mrows_per_s"], 1),
                 "pred_lo_ms": round(pred["pred_lo_ms"], 1),
                 "pred_hi_ms": round(pred["pred_hi_ms"], 1),
             }

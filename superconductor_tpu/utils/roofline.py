@@ -106,7 +106,7 @@ def _probe(make, ns, calls):
     }
 
 
-def _make_matmul(c=8, n=2048):
+def _make_matmul(c=32, n=4096):
     import jax
     import jax.numpy as jnp
 
@@ -126,7 +126,7 @@ def _make_matmul(c=8, n=2048):
     return make
 
 
-def _make_stream(c=8, m=1 << 24):
+def _make_stream(c=8, m=1 << 26):
     import jax
     import jax.numpy as jnp
 
@@ -177,28 +177,52 @@ def probe_ceilings(ns=(1, 2, 4), calls=3, quick=False):
     results plus the headline numbers:
 
         {"matmul_tflops": ..., "stream_gbps": ..., "gather_gbps": ...,
-         "probes": {name: {...}}}
+         "gather_mrows_per_s": ..., "probes": {name: {...}}}
 
     quick=True uses smaller chain counts/arrays (for bench.py, where
     compile budget matters; the programs still dwarf the RTT floor).
+
+    Probe sizing rules (each fixed after a mis-measurement, 2026-08-19):
+    * matmul must CHAIN enough work that the slope dwarfs transport
+      jitter — 8 chained 2048^2 matmuls are ~0.7 ms at spec and produced
+      a NEGATIVE slope through the tunnel; 32 chained 4096^2 are ~22 ms
+      and measure cleanly (194 TFLOP/s, bf16 v5e spec is ~197).
+    * stream must NOT fit on-chip: a 64 MB array measured 1.9 TB/s
+      (cache-resident, above the 819 GB/s HBM spec); 256 MB forces HBM
+      and measures ~660 GB/s.
+    * gather bandwidth must use PAYLOAD bytes (rows x width x 4 read +
+      written), not XLA cost_analysis "bytes accessed", which counts
+      the whole table per gather op; rows/s is the primary currency
+      (the deferred shade is gather-ROW-bound, ~width-independent).
     """
-    c = 4 if quick else 8
+    c = 8 if quick else 8
     makes = {
-        "matmul": _make_matmul(c=c, n=1024 if quick else 2048),
-        "stream": _make_stream(c=c, m=(1 << 23) if quick else (1 << 24)),
+        "matmul": _make_matmul(c=8 if quick else 32, n=4096),
+        "stream": _make_stream(c=c, m=(1 << 25) if quick else (1 << 26)),
         "gather": _make_gather(
-            c=c,
+            c=4,
             rows=(1 << 19) if quick else (1 << 20),
+            width=8,
             m=(1 << 20) if quick else (1 << 21),
         ),
     }
     probes = {}
     for name, make in makes.items():
         probes[name] = _probe(make, ns=ns, calls=calls)
+    # gather: payload accounting (see docstring); rows gathered per
+    # dispatch = m * c, payload = rows * width * 4 bytes, read + written.
+    g = probes["gather"]
+    g_rows = ((1 << 20) if quick else (1 << 21)) * 4
+    g_payload = g_rows * 8 * 4 * 2
+    ms = g["ms_per_dispatch"]
+    g["mrows_per_s"] = g_rows / (ms * 1e-3) / 1e6 if ms > 0 else None
+    g["payload_gbps"] = g_payload / (ms * 1e-3) / 1e9 if ms > 0 else None
+    g["gbps"] = g["payload_gbps"]  # override the cost_analysis figure
     return {
         "matmul_tflops": probes["matmul"]["tflops"],
         "stream_gbps": probes["stream"]["gbps"],
-        "gather_gbps": probes["gather"]["gbps"],
+        "gather_gbps": g["payload_gbps"],
+        "gather_mrows_per_s": g["mrows_per_s"],
         "probes": probes,
     }
 

@@ -109,6 +109,67 @@ def main():
     finally:
         shade_mod.sample_spherical_harmonics = orig_sh
 
+    # opaque-only config: cost of the (empty here) clip/blend/lines/
+    # particle passes
+    opq = dataclasses.replace(
+        config, enable_clip=False, enable_blend=False,
+        enable_lines=False, enable_particles=False,
+    )
+    fn = B.make_unrolled(dev, state0, opq, env, 1)
+    t0 = time.perf_counter()
+    B._sync(fn())
+    cs = time.perf_counter() - t0
+    ts = []
+    for _ in range(args.calls):
+        t0 = time.perf_counter()
+        B._sync(fn())
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    opaque_only = ts[len(ts) // 2] - rtt
+    print(json.dumps({"variant": "opaque_only_config", "ms": round(opaque_only, 1),
+                      "min_ms": round(ts[0] - rtt, 1), "compile_s": round(cs, 1)}),
+          flush=True)
+
+    # shade -> constant: removes ALL material/lighting work, keeps
+    # gbuffer interpolation + scatter + sky + tonemap
+    orig_shade = frame_mod.shade
+
+    def const_shade(gbuf, scene, uniforms, view_index, env=None,
+                    inline_tonemapping=True, inline_srgb=True, aniso_taps=1):
+        p = gbuf.material.shape[0]
+        rgb = jnp.broadcast_to(jnp.asarray([0.5, 0.4, 0.3], jnp.float32), (p, 3))
+        return rgb, jnp.ones((p,), jnp.float32)
+
+    frame_mod.shade = const_shade
+    try:
+        no_shade = timed(env, "shade=const")
+    finally:
+        frame_mod.shade = orig_shade
+
+    # ... and ALSO gbuffer interpolation -> constants: leaves raster +
+    # sky + scatter + tonemap
+    orig_gb = frame_mod.interpolate_gbuffer
+
+    def const_gbuf(pair, px, py, merged_tri, merged_attrs, shade_row=None):
+        p = pair.reshape(-1).shape[0]
+        f3 = jnp.ones((p, 3), jnp.float32)
+        f2 = jnp.ones((p, 2), jnp.float32)
+        return shade_mod.GBuffer(
+            valid=pair.reshape(-1) >= 0, world_pos=f3, normal=f3, uv=f2,
+            lm_uv=f2, material=jnp.zeros((p,), jnp.int32),
+            front_facing=jnp.ones((p,), bool),
+            lightmapped=jnp.zeros((p,), bool),
+            dpdx=f3, dpdy=f3, duvdx=f2 * 1e-3, duvdy=f2 * 1e-3,
+        )
+
+    frame_mod.shade = const_shade
+    frame_mod.interpolate_gbuffer = const_gbuf
+    try:
+        no_gbuf = timed(env, "gbuf+shade=const")
+    finally:
+        frame_mod.shade = orig_shade
+        frame_mod.interpolate_gbuffer = orig_gb
+
     print(
         json.dumps(
             {
@@ -116,6 +177,10 @@ def main():
                     "sky": round(full - no_sky, 1),
                     "material_taps": round(full - no_taps, 1),
                     "sh": round(full - no_sh, 1),
+                    "empty_transparent_passes": round(full - opaque_only, 1),
+                    "shade_beyond_gbuf": round(full - no_shade, 1),
+                    "gbuf_interp": round(no_shade - no_gbuf, 1),
+                    "raster_sky_scatter_tonemap": round(no_gbuf, 1),
                     "full": round(full, 1),
                 },
                 "size": args.size,
