@@ -288,10 +288,43 @@ def _compact_px(mask: jax.Array, cap: int):
     """
     npx = mask.shape[0]
     cap = min(cap, npx)
-    idx = jnp.nonzero(mask, size=cap, fill_value=npx)[0].astype(jnp.int32)
+    # sort-based compaction, NOT jnp.nonzero(size=cap): set lanes keep
+    # their index, dead lanes get the npx sentinel, and one i32 sort
+    # brings the set indices to the front in order. Probed at 2.07M
+    # lanes (2026-08-19): sort 2.0 ms vs cumsum+scatter 9.9 ms vs
+    # nonzero 18.7 ms — TPU scatters cost ~80 ns/row while the sort is
+    # a streaming pass. ranks (pixel -> worklist slot) rides a cumsum
+    # (0.7 ms) for the gather-side composite (_compose_worklist).
+    keys = jnp.where(
+        mask, jnp.arange(npx, dtype=jnp.int32), jnp.int32(npx)
+    )
+    idx = jax.lax.sort(keys)[:cap]
+    ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
     live = idx < npx
     safe = jnp.minimum(idx, npx - 1)
-    return idx, safe, live, jnp.sum(mask.astype(jnp.int32))
+    return idx, safe, live, jnp.sum(mask.astype(jnp.int32)), ranks
+
+
+def _compose_worklist(dst, mask, ranks, rows, cap, idx):
+    """Write per-worklist-lane `rows` (cap, C) into full-screen `dst`
+    (npx, C) at the masked pixels — scatter-free when the worklist is
+    large.
+
+    TPU scatters cost ~80 ns/row while narrow-row gathers cost ~4-10 ns
+    (probed 2026-08-19: 917k-row composite scatter 75.9 ms, the
+    equivalent cumsum+gather+where 7.8 ms at 1080p). The gather form
+    pays ~one full-screen gather regardless of worklist size, so small
+    worklists (the deep transparent layers) keep the scatter. Overflowed
+    pixels (rank >= cap) keep dst — same never-drop contract as the
+    scatter's mode="drop"."""
+    npx = mask.shape[0]
+    if cap * 8 < npx:
+        return dst.at[idx].set(rows, mode="drop")
+    take = jnp.minimum(ranks, cap - 1)
+    keep = mask & (ranks < cap)
+    if rows.ndim > 1:
+        keep = keep[:, None]
+    return jnp.where(keep, rows[take], dst)
 
 
 def _composite_layers(rgb, pair_planes, caps, needed_k, shade_fn):
@@ -309,15 +342,14 @@ def _composite_layers(rgb, pair_planes, caps, needed_k, shade_fn):
     Returns (rgb, needed_k)."""
     for k in range(len(caps) - 1, -1, -1):
         mask_k = (pair_planes[k] >= 0).reshape(-1)
-        idx, safe, live, need = _compact_px(mask_k, caps[k])
+        idx, safe, live, need, ranks = _compact_px(mask_k, caps[k])
         needed_k = needed_k.at[k].max(need)
         srgb, sa = shade_fn(
             jnp.where(live, pair_planes[k].reshape(-1)[safe], -1), safe, live
         )
         cur = rgb[safe]
-        rgb = rgb.at[idx].set(
-            srgb * sa[..., None] + cur * (1.0 - sa[..., None]), mode="drop"
-        )
+        rows = srgb * sa[..., None] + cur * (1.0 - sa[..., None])
+        rgb = _compose_worklist(rgb, mask_k, ranks, rows, idx.shape[0], idx)
     return rgb, needed_k
 
 
@@ -497,7 +529,7 @@ def render_view(
         pairs_needed = jnp.maximum(pairs_needed, clip_pairs)
         clip_layers_needed = jnp.maximum(clip_layers_needed, clip_layers)
         anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
-        idx, safe, live, need = _compact_px(anyhit, config.shade_px_cap)
+        idx, safe, live, need, ranks = _compact_px(anyhit, config.shade_px_cap)
         shade_px_needed = jnp.maximum(shade_px_needed, need)
         pxc, pyc = _px_py_at(safe, config.width, y_offset)
         vshape = vis.pair.shape
@@ -515,13 +547,15 @@ def render_view(
             chosen_pair = jnp.where(ok, pair_k, chosen_pair)
             chosen_depth = jnp.where(ok, kb.depth[k].reshape(-1)[safe], chosen_depth)
             found = found | ok
-        # scatter the winning clip surfaces back into the visibility buffer
-        # (unfound worklist lanes rewrite their original values; dead lanes
-        # carry sentinel indices and are dropped)
+        # write the winning clip surfaces back into the visibility buffer
+        # (unfound worklist lanes rewrite their original values; overflowed
+        # / dead lanes keep the opaque result — never-drop growth re-renders)
         flat = lambda a: a.reshape(-1)  # noqa: E731
 
         def put(full, values):
-            return flat(full).at[idx].set(values, mode="drop").reshape(vshape)
+            return _compose_worklist(
+                flat(full), anyhit, ranks, values, idx.shape[0], idx
+            ).reshape(vshape)
 
         vis = VisibilityBuffer(
             depth=put(vis.depth, chosen_depth),
@@ -553,7 +587,9 @@ def render_view(
         # never pay a texture tap. Identical per-lane math to the
         # full-screen path (bit-exact; tests/test_render.py parity test).
         hit_mask = (vis.pair >= 0).reshape(-1)
-        oidx, osafe, olive, need = _compact_px(hit_mask, config.opaque_px_cap)
+        oidx, osafe, olive, need, oranks = _compact_px(
+            hit_mask, config.opaque_px_cap
+        )
         opaque_px_needed = need
         opx, opy = _px_py_at(osafe, config.width, y_offset)
         g = interpolate_gbuffer(
@@ -574,8 +610,13 @@ def render_view(
             inline_srgb=config.inline_srgb,
             aniso_taps=config.aniso_taps,
         )
-        rgb = sky.at[oidx].set(
-            jnp.where(g.valid[..., None], rgb_w, sky[osafe]), mode="drop"
+        rgb = _compose_worklist(
+            sky,
+            hit_mask,
+            oranks,
+            jnp.where(g.valid[..., None], rgb_w, sky[osafe]),
+            oidx.shape[0],
+            oidx,
         )
     else:
         gbuf = gbuffer_of(vis.pair)
