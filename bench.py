@@ -1,18 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark: FPS at 1920x1080 on one TPU chip.
 
-Two configurations:
+Three configurations:
 
 1. **Headline (primary metric)** — the PBR+IBL north-star scene.
    BASELINE.json target: >= 60 FPS rendering DamagedHelmet with PBR + IBL.
-   DamagedHelmet.glb is not present in this environment, so the scene is a
-   procedural stand-in with the same workload shape: a 15,488-triangle UV
-   sphere (helmet: 15,452) with albedo/normal/metallic-roughness textures,
-   SH ambient lighting, and an IBL skybox.
-
-3. **Stereo + animated** — BASELINE configs 4+5: two 1080p eyes (multiview
-   batch axis), skinned waving tubes (joint-palette path, FK sampled on the
-   host every frame) + PBR spheres.
+   DamagedHelmet.glb is not present and cannot be fetched (egress probe
+   2026-08-19: DNS fails), so the scene is the committed DamagedHelmet-class
+   authored asset tests/fixtures/hero_helmet.glb (16k tris at LOD0 vs the
+   helmet's 15.4k; regenerated deterministically by
+   tools/make_hero_fixture.py), loaded through the FULL asset pipeline:
+   GLB parse -> EXT_meshopt_compression vertex+index decode -> MSFT_lod
+   chains -> KHR_texture_basisu KTX2 textures (BasisLZ/ETC1S through the
+   native transcoder) + an uncompressed-RGBA8 KTX2 normal map -> texture
+   pools, two PBR materials (riveted shell + emissive-visor faceplate),
+   SH ambient lighting, and an IBL skybox (VERDICT r3 #6; reference
+   analog: demo/src/lib.rs feeding Sponza through models.rs/textures.rs).
 
 2. **All-passes** — every pass enabled at 1080p on real compressed assets:
    sponza_cubes.glb + the BC6H/BCn light volume + the noon.ktx2 IBL
@@ -23,6 +26,10 @@ Two configurations:
    Sponza's 262k — Sponza.bin is absent from this checkout), debug lines,
    and smoke particles: opaque -> clip -> lines -> skybox -> particles ->
    blend -> tonemap.
+
+3. **Stereo + animated** — BASELINE configs 4+5: two 1080p eyes (multiview
+   batch axis), skinned waving tubes (joint-palette path, FK sampled on the
+   host every frame) + PBR spheres.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
 primary, with the all-passes numbers as extra keys.
@@ -331,9 +338,12 @@ def _measure(frame_fn, device_fn=None, n=10, windows=2, device_windows=2,
 
 
 def headline_scene(sc, width=1920, height=1080):
-    """BASELINE config 2: one PBR+IBL sphere at 1080p (the headline
-    metric's scene). Returns (dev, build, config, env) like
-    all_passes_scene; caps are NOT yet fitted."""
+    """BASELINE config 2: the authored hero_helmet.glb (DamagedHelmet-class)
+    PBR+IBL at 1080p — the headline metric's scene, fed through the full
+    asset pipeline (meshopt + MSFT_lod + ETC1S/RGBA8 KTX2; see module
+    docstring). Returns (dev, build, config, env) like all_passes_scene;
+    caps are NOT yet fitted."""
+    from superconductor_tpu.assets.models import load_model
     from superconductor_tpu.math3d import (
         look_at,
         mat3_to_quat,
@@ -342,15 +352,22 @@ def headline_scene(sc, width=1920, height=1080):
     )
     from superconductor_tpu.render.draws import build_frame_state
     from superconductor_tpu.utils.procgen import (
-        add_pbr_sphere,
         default_ambient_sh,
         gradient_cubemap,
     )
 
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "hero_helmet.glb",
+    )
     scene = sc.Scene()
-    model = add_pbr_sphere(scene)
+    with open(fixture, "rb") as f:
+        model = load_model(scene, f.read(), name="hero_helmet")
     cubemap_base = gradient_cubemap(scene)
-    cam = sc.Camera(position=np.array([0.0, 0.3, 2.4], np.float32))
+    # Faceplate (second material, emissive visor) toward the camera;
+    # helmet fills the center of the 16:9 frame like the reference's
+    # DamagedHelmet framing.
+    cam = sc.Camera(position=np.array([0.0, 0.25, 2.8], np.float32))
     _aim(cam, [0, 0, 0], look_at, mat4_inverse, mat3_to_quat)
     uniforms = sc.make_uniforms(cam, width, height)
     # from_scene picks up the cubemap's static pool placement (skybox
@@ -364,6 +381,9 @@ def headline_scene(sc, width=1920, height=1080):
     dev = scene.device_arrays()
 
     def build(angle):
+        # The faceplate/visor is authored at +z (front), which faces the
+        # camera at angle 0 — both materials (shell + emissive visor)
+        # shade every frame.
         sim = sc.Similarity(rotation=quat_from_axis_angle([0, 1, 0], angle))
         return build_frame_state(scene, [(model, sim)], uniforms)
 
@@ -374,8 +394,8 @@ def bench_headline(sc, width=1920, height=1080):
     dev, build, config, env = headline_scene(sc, width, height)
     state0 = build(0.0)
     # Right-size the never-drop caps (opaque_px_cap matters here: the
-    # sphere covers ~23% of 1080p and the compacted opaque shade must
-    # hold all of it; coverage is rotation-invariant for this scene).
+    # helmet covers a third of 1080p and the compacted opaque shade must
+    # hold all of it; coverage is near rotation-invariant for this scene).
     config = fit_caps(dev, state0, config, env)
 
     def frame(angle):
@@ -906,9 +926,10 @@ def main():
     delta = head.get("frame_ms") or head.get("delta_ms")
     fps = 1e3 / delta if delta and delta > 0 else head["fps"]
     out = {
-        "metric": "true device FPS 1920x1080 PBR+IBL 15.5k-tri scene "
-                  "(TPU v5e via axon tunnel; executor ~300x below v5e "
-                  "spec, see docs/TIMING.md)",
+        "metric": "true device FPS 1920x1080 PBR+IBL authored asset "
+                  "(hero_helmet.glb 16k-tri meshopt+ETC1S-KTX2, 2 PBR "
+                  "materials; TPU v5e via axon tunnel, at-spec executor "
+                  "r4 re-characterization — docs/TIMING.md)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),

@@ -153,8 +153,9 @@ def make_textures():
     g = base * (1.15 + 0.15 * noise)
     b = base * (1.35 + 0.1 * noise)
     # visor stripe region painted darker (the faceplate material overlays
-    # emissive there)
-    stripe = (np.abs(v - 0.55) < 0.06) & (np.abs(u - 0.5) < 0.18)
+    # emissive there); the faceplate spans |theta| < 0.55 at the FRONT,
+    # i.e. u = theta/2pi in [0, 0.088) + (0.912, 1] (wrapping)
+    stripe = (np.abs(v - 0.55) < 0.06) & ((u < 0.088) | (u > 0.912))
     r = np.where(stripe, 0.02, r)
     g = np.where(stripe, 0.02, g)
     b = np.where(stripe, 0.03, b)
@@ -204,7 +205,8 @@ def make_textures():
     # -- emissive: the visor glow stripe (only the faceplate material
     # binds this)
     ve, ue = np.mgrid[0:sm, 0:sm].astype(np.float64) / sm
-    glow = np.exp(-(((ve - 0.55) / 0.035) ** 2)) * (np.abs(ue - 0.5) < 0.17)
+    # same wrapping u-band as the albedo stripe (the faceplate's UV range)
+    glow = np.exp(-(((ve - 0.55) / 0.035) ** 2)) * ((ue < 0.088) | (ue > 0.912))
     em8 = np.stack(
         [
             np.clip(glow * 0.9, 0, 1) * 255 + 0.5,
