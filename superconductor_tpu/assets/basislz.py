@@ -363,6 +363,11 @@ class HuffEncoder:
             bw.put_bits(0, 14)
             return
         total = max(used) + 1
+        if total > 16383:
+            raise BasisLzError(
+                f"Huffman alphabet {total} exceeds the 14-bit table header "
+                "(cap codebooks first — see ETC1S_MAX_CODEBOOK)"
+            )
         bw.put_bits(total, 14)
         # Code-length code: literal sizes only (run codes are optional).
         cl_freqs = [0] * 21
@@ -655,12 +660,49 @@ def quantize_etc1s(
     return params.reshape(nby, nbx, 4), sel.reshape(nby, nbx, 16)
 
 
+# Real basis_universal caps codebooks at 16128 clusters (basisu_comp's
+# max endpoint/selector cluster limits); our Huffman table header also
+# has a 14-bit symbol-count field (16383). Richer-than-toy content (a
+# 512^2 noisy texture) overflows a naive dedup, so cap + merge.
+ETC1S_MAX_CODEBOOK = 16128
+
+
+def _cap_codebook(keys: np.ndarray, counts: np.ndarray, cap: int):
+    """Keep the `cap` most frequent rows of (N, C) u8 `keys`; return
+    (kept (K, C), remap (N,) u32) mapping every original row to its
+    kept row — rare rows to the L1-nearest frequent row (greedy
+    frequency clustering; adequate rate-distortion for an encoder whose
+    role is authoring fixtures, not production compression)."""
+    n = len(keys)
+    if n <= cap:
+        return keys, np.arange(n, dtype=np.uint32)
+    order = np.argsort(-counts, kind="stable")
+    kept_ids = np.sort(order[:cap])
+    rare_ids = np.setdiff1d(np.arange(n), kept_ids, assume_unique=True)
+    kept = keys[kept_ids]
+    remap = np.zeros(n, np.uint32)
+    remap[kept_ids] = np.arange(cap, dtype=np.uint32)
+    # chunked L1 nearest (rare x kept x C int16 work)
+    rare = keys[rare_ids].astype(np.int16)
+    k16 = kept.astype(np.int16)
+    step = max(1, (1 << 24) // (len(k16) * keys.shape[1] + 1))
+    for i in range(0, len(rare), step):
+        d = np.abs(rare[i : i + step, None, :] - k16[None, :, :]).sum(-1)
+        remap[rare_ids[i : i + step]] = np.argmin(d, axis=1).astype(np.uint32)
+    return kept, remap
+
+
 def build_codebooks(
-    level_params: List[Tuple[np.ndarray, np.ndarray]]
+    level_params: List[Tuple[np.ndarray, np.ndarray]],
+    max_codebook: int = ETC1S_MAX_CODEBOOK,
 ) -> Tuple[np.ndarray, np.ndarray, List[Tuple[np.ndarray, np.ndarray]]]:
-    """Dedupe per-block params across all slices into palettes + indices."""
+    """Dedupe per-block params across all slices into palettes + indices,
+    merging the rarest entries into their nearest neighbours when a
+    palette would exceed `max_codebook` (the basisu cluster cap)."""
     ep_map: dict = {}
     sel_map: dict = {}
+    ep_counts: List[int] = []
+    sel_counts: List[int] = []
     indices = []
     for params, sels in level_params:
         nby, nbx = params.shape[:2]
@@ -670,11 +712,26 @@ def build_codebooks(
             for bx in range(nbx):
                 ek = tuple(int(v) for v in params[by, bx])
                 sk = tuple(int(v) for v in sels[by, bx])
-                ep_idx[by, bx] = ep_map.setdefault(ek, len(ep_map))
-                sel_idx[by, bx] = sel_map.setdefault(sk, len(sel_map))
+                e = ep_map.setdefault(ek, len(ep_map))
+                s = sel_map.setdefault(sk, len(sel_map))
+                if e == len(ep_counts):
+                    ep_counts.append(0)
+                if s == len(sel_counts):
+                    sel_counts.append(0)
+                ep_counts[e] += 1
+                sel_counts[s] += 1
+                ep_idx[by, bx] = e
+                sel_idx[by, bx] = s
         indices.append((ep_idx, sel_idx))
     endpoints = np.array(list(ep_map.keys()), np.uint8).reshape(-1, 4)
     selectors = np.array(list(sel_map.keys()), np.uint8).reshape(-1, 16)
+    endpoints, ep_remap = _cap_codebook(
+        endpoints, np.asarray(ep_counts), max_codebook
+    )
+    selectors, sel_remap = _cap_codebook(
+        selectors, np.asarray(sel_counts), max_codebook
+    )
+    indices = [(ep_remap[e], sel_remap[s]) for e, s in indices]
     return endpoints, selectors, indices
 
 

@@ -40,6 +40,7 @@ from .texture import (
     sample_bilinear_level,
     sample_lightmap_sh,
     sample_lightvol_sh,
+    sample_material_interleaved,
 )
 from .tonemap import aces_filmic, linear_to_srgb_approx
 
@@ -371,6 +372,21 @@ def _material_rows(m: dict, mat):
     return pf, pi, mtm, None
 
 
+def _material_rows_mq(m: dict, mat):
+    """(pf (P,12) f32, pi (P,8) i32, meta (P,4) i32, owh (P,L,3) i32)
+    from ONE mat_row_mq gather — the interleaved-pool twin of
+    _material_rows (scene.py device_matq row layout)."""
+    row = m["mat_row_mq"][mat]
+    pf = row[..., 0:12]
+    pi = jax.lax.bitcast_convert_type(row[..., 12:20], jnp.int32)
+    meta = jax.lax.bitcast_convert_type(row[..., 20:24], jnp.int32)
+    L = (row.shape[-1] - 24) // 3
+    owh = jax.lax.bitcast_convert_type(
+        row[..., 24 : 24 + 3 * L], jnp.int32
+    ).reshape(*row.shape[:-1], L, 3)
+    return pf, pi, meta, owh
+
+
 def shade(
     gbuf: GBuffer,
     scene: dict,
@@ -391,30 +407,46 @@ def shade(
     m = scene["materials"]
     mat = gbuf.material
 
-    # The pixel's ENTIRE material state in ONE gather: factors
-    # (packed_f), texture ids/flags (packed_i, bitcast), all four
-    # textures' sampling descriptors (mat_tex_meta, bitcast) and their
-    # mip tables — see scene.py device_materials. Falls back to the
-    # separate packed rows for hand-built test scenes.
-    pf, pi, mtm, mlv = _material_rows(m, mat)
-
-    # Every material texture samples with aniso/trilinear LOD derived from
-    # its OWN mip-0 dimensions (sample_anisotropic computes it from the
-    # analytic uv derivatives) — matching the reference, where one GL
-    # sampler with anisotropy_clamp serves all four bindings
-    # (texture_loading.rs:140-158) and LOD is per-texture by construction.
-    def material_sample(slot):
-        meta = mtm[..., 6 * slot : 6 * slot + 6] if mtm is not None else None
-        lv = mlv[..., slot, :, :] if mlv is not None else None
-        return sample_anisotropic(
-            texels, tex, pi[..., slot], gbuf.uv,
-            gbuf.duvdx, gbuf.duvdy, aniso_taps, meta=meta, levels_owh=lv,
+    if "texels_mq" in scene and "mat_row_mq" in m:
+        # Interleaved material pool: the pixel's material state is ONE
+        # row gather and all four textures' trilinear samples are TWO
+        # pool gathers (Scene.device_matq) — the per-pixel fetch count
+        # drops from ~10 rows to 3 (the stage is gather-row-bound).
+        pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat)
+        s16 = sample_material_interleaved(
+            scene["texels_mq"], mq_meta, mq_owh, gbuf.uv,
+            gbuf.duvdx, gbuf.duvdy, aniso_taps,
         )
+        albedo = s16[..., 0:4] * pf[..., 0:4]
+        normal_tex = s16[..., 4:8]
+        mr = s16[..., 8:12]
+        emissive_tex = s16[..., 12:16]
+    else:
+        # The pixel's ENTIRE material state in ONE gather: factors
+        # (packed_f), texture ids/flags (packed_i, bitcast), all four
+        # textures' sampling descriptors (mat_tex_meta, bitcast) and their
+        # mip tables — see scene.py device_materials. Falls back to the
+        # separate packed rows for hand-built test scenes.
+        pf, pi, mtm, mlv = _material_rows(m, mat)
 
-    albedo = material_sample(0) * pf[..., 0:4]
-    mr = material_sample(2)
-    emissive_tex = material_sample(3)
-    normal_tex = material_sample(1)
+        # Every material texture samples with aniso/trilinear LOD derived
+        # from its OWN mip-0 dimensions (sample_anisotropic computes it
+        # from the analytic uv derivatives) — matching the reference, where
+        # one GL sampler with anisotropy_clamp serves all four bindings
+        # (texture_loading.rs:140-158) and LOD is per-texture by
+        # construction.
+        def material_sample(slot):
+            meta = mtm[..., 6 * slot : 6 * slot + 6] if mtm is not None else None
+            lv = mlv[..., slot, :, :] if mlv is not None else None
+            return sample_anisotropic(
+                texels, tex, pi[..., slot], gbuf.uv,
+                gbuf.duvdx, gbuf.duvdy, aniso_taps, meta=meta, levels_owh=lv,
+            )
+
+        albedo = material_sample(0) * pf[..., 0:4]
+        mr = material_sample(2)
+        emissive_tex = material_sample(3)
+        normal_tex = material_sample(1)
 
     metallic = mr[..., 2] * pf[..., 7]
     roughness = mr[..., 1] * pf[..., 8]
@@ -483,6 +515,14 @@ def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
     tex = scene["tex"]
     m = scene["materials"]
     mat = gbuf.material
+    if "texels_mq" in scene and "mat_row_mq" in m:
+        pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat)
+        s16 = sample_material_interleaved(
+            scene["texels_mq"], mq_meta, mq_owh, gbuf.uv,
+            gbuf.duvdx, gbuf.duvdy, aniso_taps,
+        )
+        albedo = s16[..., 0:4] * pf[..., 0:4]
+        return albedo[..., 3], pf[..., 10]
     pf, pi, mtm, mlv = _material_rows(m, mat)
     meta = mtm[..., 0:6] if mtm is not None else None
     lv = mlv[..., 0, :, :] if mlv is not None else None

@@ -385,6 +385,104 @@ def _sh_bilinear(q, fx, fy):
     )
 
 
+def _matq_bilinear(texels_mq, owh, wrap_mode, uv):
+    """One bilinear tap of the material-interleaved pool -> raw (P, 16)
+    f32 (not yet normalized/decoded): all four material slots' bilinear
+    results from ONE (P, 64) row gather (Scene.device_matq). Address
+    math and lerp are _bilinear_core's, applied per slot with the shared
+    footprint (equal dims are the pool's capability precondition)."""
+    off, w, h = owh[..., 0], owh[..., 1], owh[..., 2]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None, None]
+    fy = (y - y0)[..., None, None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    xi = _wrap(x0, w, wrap_mode)
+    yi = _wrap(y0, h, wrap_mode)
+    clamped = wrap_mode == WRAP_CLAMP
+    fx = jnp.where((clamped & (x0 < 0))[..., None, None], 0.0, fx)
+    fy = jnp.where((clamped & (y0 < 0))[..., None, None], 0.0, fy)
+    q = texels_mq[off + yi * w + xi].astype(jnp.float32)  # (P, 64)
+    qr = q.reshape(*q.shape[:-1], 4, 4, 4)  # (P, slot, corner, ch)
+    t00, t10, t01, t11 = qr[..., 0, :], qr[..., 1, :], qr[..., 2, :], qr[..., 3, :]
+    out = (
+        t00 * (1 - fx) * (1 - fy)
+        + t10 * fx * (1 - fy)
+        + t01 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+    return out.reshape(*q.shape[:-1], 16)
+
+
+def _matq_srgb(out16, mask):
+    """Per-slot sRGB decode by mask bit (bit s = slot s), alpha linear —
+    the per-slot twin of _srgb_decode."""
+    o = out16.reshape(*out16.shape[:-1], 4, 4)
+    srgb = (mask[..., None] & jnp.asarray([1, 2, 4, 8], jnp.int32)) != 0
+    rgb = jnp.where(
+        srgb[..., None], srgb_to_linear_exact(o[..., :3]), o[..., :3]
+    )
+    out = jnp.concatenate([rgb, o[..., 3:]], axis=-1)
+    return out.reshape(*out16.shape[:-1], 16)
+
+
+def sample_material_interleaved(
+    texels_mq, meta, owh, uv, duvdx, duvdy, taps: int, decode_srgb=True,
+):
+    """All four material textures of each pixel in TWO gathers (one per
+    trilinear level) from the interleaved pool.
+
+    meta: (P, 4) i32 [wrap, srgb_mask, count, pad] (mat_row_mq);
+    owh: (P, L, 3) i32 per-level (offset, w, h). Returns (P, 16) f32:
+    [albedo | normal | mr | emissive] RGBA each, identical math to four
+    sample_anisotropic calls on equal-dims textures (shared uv ->
+    shared footprint, lod, and level selection)."""
+    wrap_mode, mask, count = meta[..., 0], meta[..., 1], meta[..., 2]
+    w = owh[..., 0, 1].astype(jnp.float32)
+    h = owh[..., 0, 2].astype(jnp.float32)
+    dx2 = (duvdx[..., 0] * w) ** 2 + (duvdx[..., 1] * h) ** 2
+    dy2 = (duvdy[..., 0] * w) ** 2 + (duvdy[..., 1] * h) ** 2
+
+    def trilinear(uv_t, lod):
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        f = (lod - jnp.floor(lod))[..., None]
+        lvl = jnp.clip(l0, 0, count - 1)
+        f = jnp.where((l0 < 0)[..., None], 0.0, f)
+        a_owh = _select_level(owh, lvl)
+        b_owh = _select_level(owh, jnp.clip(l0 + 1, 0, count - 1))
+        a = _matq_bilinear(texels_mq, a_owh, wrap_mode, uv_t)
+        b = _matq_bilinear(texels_mq, b_owh, wrap_mode, uv_t)
+        a = a * (1.0 / 255.0)
+        b = b * (1.0 / 255.0)
+        if decode_srgb:
+            a = _matq_srgb(a, mask)
+            b = _matq_srgb(b, mask)
+        return a * (1 - f) + b * f
+
+    if taps <= 1:
+        lod = jnp.maximum(
+            0.5 * jnp.log2(jnp.maximum(jnp.maximum(dx2, dy2), 1e-12)), 0.0
+        )
+        return trilinear(uv, lod)
+    major_is_x = dx2 >= dy2
+    rho_maj2 = jnp.maximum(dx2, dy2)
+    rho_min2 = jnp.minimum(dx2, dy2)
+    ratio2 = jnp.clip(
+        rho_maj2 / jnp.maximum(rho_min2, 1e-12), 1.0, float(taps) ** 2
+    )
+    lod = jnp.maximum(0.5 * jnp.log2(jnp.maximum(rho_maj2 / ratio2, 1e-12)), 0.0)
+    major = jnp.where(major_is_x[..., None], duvdx, duvdy)
+    out = None
+    for i in range(taps):
+        t = (i + 0.5) / taps - 0.5
+        s = trilinear(uv + major * t, lod)
+        out = s if out is None else out + s
+    return out / taps
+
+
 def sample_anisotropic(
     texels, tex_desc, tex_id, uv, duvdx, duvdy, taps: int, decode_srgb=True,
     meta=None, levels_owh=None,

@@ -44,6 +44,8 @@ log = logging.getLogger(__name__)
 _BUILD_QUAD_JIT = None
 # Jitted SH-interleaved lightvol builder (see Scene.device_lightvol_sh).
 _BUILD_LV_SH_JIT = None
+# Jitted interleaved-material-pool builder (see Scene.device_matq).
+_BUILD_MATQ_JIT = None
 
 
 def _identity_similarity():
@@ -493,6 +495,16 @@ class Scene:
         # 4x pool HBM (+ the i32 neighbor table); disable to trade the
         # shade speed back for memory (texture_memory_report shows both).
         self.quad_pools: bool = True
+        # Publish the material-interleaved quad pool when the scene
+        # qualifies (see matq_plan): the deferred shade's four texture
+        # samples collapse to ONE gather per mip level. Costs 64 B per
+        # interleaved texel; first rung of the budget degrade ladder.
+        # SC_MATQ=0 disables it process-wide (A/B experiments).
+        import os as _os
+
+        self.matq_pools: bool = _os.environ.get("SC_MATQ", "1") != "0"
+        self._matq_cache = None
+        self._matq_key = None
         # Device texture residency budget (bytes) over texel pools +
         # quad pools + SH-interleaved pools. None = unlimited. When a
         # publish would exceed it, enforce_texture_budget() degrades
@@ -503,7 +515,9 @@ class Scene:
         # (textures.rs:609-614). Already-resident texels are never
         # evicted (matching the reference, which has no eviction either).
         self.texture_budget_bytes: Optional[int] = None
-        self._budget_state: dict = {"quad_dropped": False, "max_size_set": None}
+        self._budget_state: dict = {
+            "quad_dropped": False, "matq_dropped": False, "max_size_set": None,
+        }
         self._add_dummy_textures()
 
         # Materials.
@@ -762,6 +776,7 @@ class Scene:
 
         report = {"ldr": pool(self.textures), "hdr": pool(self.textures_hdr)}
         report["sh_pool_bytes"] = self._sh_pool_bytes()
+        report["matq_pool_bytes"] = self.matq_bytes()
         report["total_device_bytes"] = self.projected_texture_bytes()
         report["budget_bytes"] = self.texture_budget_bytes
         if self.texture_budget_bytes:
@@ -798,6 +813,8 @@ class Scene:
             total += cap * itemsize
             if use_quad:
                 total += cap * (itemsize * 4 + 12)
+        if use_quad:
+            total += self.matq_bytes()
         if use_quad and self.lightvol is not None:
             w, h, z = self.lightvol_dims()
             total += w * h * z * 48 * 2
@@ -825,6 +842,17 @@ class Scene:
             return
         if self.projected_texture_bytes() <= budget:
             return
+        if self.matq_pools and self.matq_bytes():
+            log.warning(
+                "texture budget %.1f MB exceeded (%.1f MB projected): "
+                "dropping the interleaved material pool (per-slot "
+                "quad-pool sampling)",
+                budget / 1e6, self.projected_texture_bytes() / 1e6,
+            )
+            self.matq_pools = False
+            self._budget_state["matq_dropped"] = True
+        if self.projected_texture_bytes() <= budget:
+            return
         if self.quad_pools:
             log.warning(
                 "texture budget %.1f MB exceeded (%.1f MB projected): "
@@ -850,6 +878,185 @@ class Scene:
             )
             self.max_texture_size = new_max
             self._budget_state["max_size_set"] = new_max
+
+    # ------------------------------------------------------------------
+    # Interleaved material pool ("matq"): ONE gather fetches the 2x2
+    # bilinear footprints of ALL FOUR material textures of a pixel.
+    # ------------------------------------------------------------------
+    def matq_plan(self) -> Optional[dict]:
+        """Plan the material-interleaved quad pool, or None if the scene
+        can't use it.
+
+        The deferred shade's four material samples (albedo, normal, mr,
+        emissive) always share the SAME uv and, when the four textures
+        have identical per-level dimensions, the same footprint and mip
+        level — so their texel fetches can ride ONE wide row: pool row i
+        carries four quad footprints, 64 u8 channels (the stage is
+        gather-ROW-bound and row width is nearly free, docs/TIMING.md).
+        Real authored PBR sets ship uniform texture sizes (DamagedHelmet:
+        2048^2 across all slots), so the common case qualifies.
+
+        Capability per material: every non-constant slot has the same
+        FULL-chain mip dims, count, and wrap mode; 1x1 single-level slots
+        (the dummy textures, freed textures) count as constant and are
+        broadcast-baked. One incapable material disables the pool for
+        the whole scene (per-pixel path divergence would cost both
+        paths), falling back to the classic per-slot sampling. Full
+        chains (not streaming mip views) size the layout so the row
+        width — and therefore the compiled frame program — is stable;
+        device_matq additionally withholds the pool while any slot is
+        mid-stream (set_mip_view active), so streaming scenes shade on
+        the classic path and flip to matq once content settles (one
+        recompile, same class of event as capacity growth).
+        """
+        pool = self.textures
+        mats = self.materials or [MaterialSettings()]
+        chains: Dict[tuple, int] = {}  # slot-id tuple -> chain index
+        chain_specs = []  # per chain: (slot_ids, levels [(h, w)], wrap)
+        mat_chain = []
+
+        def viewed(t):
+            if t in pool._full_view:
+                return pool._full_view[t]
+            return pool.tex_mip_base[t], pool.tex_mip_count[t]
+
+        def is_const(t):
+            base, count = viewed(t)
+            return count == 1 and pool.mip_w[base] == 1 and pool.mip_h[base] == 1
+
+        for m in mats:
+            ids = (m.albedo_tex, m.normal_tex,
+                   m.metallic_roughness_tex, m.emissive_tex)
+            if ids in chains:
+                mat_chain.append(chains[ids])
+                continue
+            real = [t for t in ids if not is_const(t)]
+            if real:
+                b0, c0 = viewed(real[0])
+                dims = [(pool.mip_h[b0 + l], pool.mip_w[b0 + l])
+                        for l in range(c0)]
+                wrap = pool.tex_wrap[real[0]]
+                for t in real[1:]:
+                    b, c = viewed(t)
+                    if c != c0 or pool.tex_wrap[t] != wrap:
+                        return None
+                    if any((pool.mip_h[b + l], pool.mip_w[b + l]) != dims[l]
+                           for l in range(c)):
+                        return None
+            else:
+                dims = [(1, 1)]
+                wrap = WRAP_REPEAT
+            chains[ids] = len(chain_specs)
+            chain_specs.append((ids, dims, wrap))
+            mat_chain.append(chains[ids])
+
+        # Layout: chains laid out sequentially, finest level first.
+        offsets = []  # per chain: [row offset per level]
+        total = 0
+        for _, dims, _ in chain_specs:
+            offs = []
+            for h, w in dims:
+                offs.append(total)
+                total += h * w
+            offsets.append(offs)
+        L = max(len(dims) for _, dims, _ in chain_specs)
+
+        srgb_masks = []
+        for ids, _, _ in chain_specs:
+            mask = 0
+            for s, t in enumerate(ids):
+                if pool.tex_flags[t] & TEXFLAG_SRGB:
+                    mask |= 1 << s
+            srgb_masks.append(mask)
+
+        return {
+            "chains": chain_specs, "offsets": offsets, "total_rows": total,
+            "L": L, "mat_chain": mat_chain, "srgb_masks": srgb_masks,
+        }
+
+    def matq_bytes(self, plan: Optional[dict] = None) -> int:
+        """Device bytes of the interleaved material pool if published."""
+        if not (self.quad_pools and self.matq_pools):
+            return 0
+        plan = plan if plan is not None else self.matq_plan()
+        return plan["total_rows"] * 64 if plan else 0
+
+    def device_matq(self):
+        """(texels_mq (N, 64) u8 device array, mat_row_mq (M, 24+3L) f32)
+        or None. Built on device from the quad pool (four row gathers) —
+        no host texel traffic; rebuilt when the quad pool or descriptors
+        change (streaming pumps, material edits)."""
+        if not (self.quad_pools and self.matq_pools):
+            return None
+        plan = self.matq_plan()
+        if plan is None:
+            return None
+        # Withhold while any material slot is mid-stream: the interleaved
+        # rows bake final-content texels, and the plan's layout is sized
+        # by full chains (see matq_plan docstring).
+        for ids, _, _ in plan["chains"]:
+            if any(t in self.textures._full_view for t in ids):
+                return None
+        import jax
+        import jax.numpy as jnp
+
+        quad = self.textures.device_quad()
+        desc_key = id(self.textures.device_descriptors())
+        # device_materials() rebuilds on material/descriptor changes; its
+        # identity in the key makes this cache follow the same epochs.
+        key = (id(quad), desc_key, id(self.device_materials()))
+        if self._matq_cache is not None and self._matq_key == key:
+            return self._matq_cache
+
+        pool = self.textures
+        total = plan["total_rows"]
+        idx = np.empty((4, total), np.int32)
+        for c, (ids, dims, _) in enumerate(plan["chains"]):
+            for l, (h, w) in enumerate(dims):
+                off = plan["offsets"][c][l]
+                for s, t in enumerate(ids):
+                    base, count = pool.tex_mip_base[t], pool.tex_mip_count[t]
+                    if count == 1 and pool.mip_w[base] == 1 \
+                            and pool.mip_h[base] == 1:
+                        idx[s, off:off + h * w] = pool.mip_offset[base]
+                    else:
+                        idx[s, off:off + h * w] = pool.mip_offset[base + l] \
+                            + np.arange(h * w, dtype=np.int32)
+        global _BUILD_MATQ_JIT
+        if _BUILD_MATQ_JIT is None:
+            _BUILD_MATQ_JIT = jax.jit(
+                lambda q, i: jnp.concatenate(
+                    [q[i[0]], q[i[1]], q[i[2]], q[i[3]]], axis=1
+                )
+            )
+        texels_mq = _BUILD_MATQ_JIT(quad, jax.device_put(idx))
+
+        # mat_row_mq: [packed_f(12) | packed_i(8) | meta(4: wrap,
+        # srgb_mask, count, pad) | L x (offset, w, h)] — the pixel's
+        # whole material state for the interleaved path in one gather.
+        arrays = self.material_arrays()
+        L = plan["L"]
+        mrows = []
+        for mi, c in enumerate(plan["mat_chain"]):
+            _, dims, wrap = plan["chains"][c]
+            meta = np.array(
+                [wrap, plan["srgb_masks"][c], len(dims), 0], np.int32
+            )
+            owh = np.zeros((L, 3), np.int32)
+            for l in range(L):
+                ll = min(l, len(dims) - 1)
+                h, w = dims[ll]
+                owh[l] = (plan["offsets"][c][ll], w, h)
+            mrows.append(np.concatenate([
+                arrays["packed_f"][mi],
+                arrays["packed_i"][mi].view(np.float32),
+                meta.view(np.float32),
+                owh.reshape(-1).view(np.float32),
+            ]))
+        mat_row_mq = jax.device_put(np.stack(mrows).astype(np.float32))
+        self._matq_cache = (texels_mq, mat_row_mq)
+        self._matq_key = key
+        return self._matq_cache
 
     def lightvol_dims(self):
         """(w, h, z_layers) of the SH lightvol, or None. All four volumes
@@ -967,4 +1174,9 @@ class Scene:
                 d["lv_sh"] = self.device_lightvol_sh()
             if self.lightmap_tex is not None:
                 d["lm_sh"] = self.device_lightmap_sh()
+            mq = self.device_matq()
+            if mq is not None:
+                d["texels_mq"] = mq[0]
+                d["materials"] = dict(d["materials"])
+                d["materials"]["mat_row_mq"] = mq[1]
         return d

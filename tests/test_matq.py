@@ -1,0 +1,224 @@
+"""Interleaved material pool (Scene.device_matq): plan capability rules
+and sampling parity vs the classic per-slot path.
+
+The deferred shade's four material samples share uv, footprint, and —
+when the textures have equal dims — mip level; device_matq interleaves
+their quad footprints into one (N, 64) u8 pool so the four trilinear
+samples cost TWO gathers instead of eight (docs/KERNELS.md: the stage
+is gather-row-bound). Parity target: identical math to four
+sample_anisotropic calls; exact for real-texture slots, and within
+float associativity for constant (1x1 dummy) slots, whose classic path
+lerps on a 1x1 grid while matq lerps equal values on the shared grid.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import superconductor_tpu as sc
+from superconductor_tpu.ops.shade import _material_rows, _material_rows_mq
+from superconductor_tpu.ops.texture import (
+    ldr_pool,
+    sample_anisotropic,
+    sample_material_interleaved,
+)
+from superconductor_tpu.scene.scene import (
+    MaterialSettings,
+    TEXFLAG_SRGB,
+    WRAP_CLAMP,
+    build_mip_chain,
+)
+
+
+def _add_tex(scene, size, seed, flags=0, wrap=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (size, size, 4), np.uint8)
+    return scene.textures.add_texture(build_mip_chain(img), wrap=wrap,
+                                      flags=flags)
+
+
+def _full_material_scene(size=64, wrap=0):
+    scene = sc.Scene()
+    a = _add_tex(scene, size, 1, flags=TEXFLAG_SRGB, wrap=wrap)
+    n = _add_tex(scene, size, 2, wrap=wrap)
+    mr = _add_tex(scene, size, 3, wrap=wrap)
+    e = _add_tex(scene, size, 4, flags=TEXFLAG_SRGB, wrap=wrap)
+    scene.add_material(MaterialSettings(
+        albedo_tex=a, normal_tex=n, metallic_roughness_tex=mr,
+        emissive_tex=e,
+    ))
+    return scene
+
+
+def test_plan_equal_dims_capable():
+    scene = _full_material_scene()
+    plan = scene.matq_plan()
+    assert plan is not None
+    assert plan["total_rows"] == sum(
+        (64 >> l) * (64 >> l) for l in range(7)
+    )
+    assert plan["srgb_masks"] == [0b1001]  # albedo + emissive sRGB
+
+
+def test_plan_mixed_dims_incapable():
+    scene = sc.Scene()
+    a = _add_tex(scene, 64, 1)
+    n = _add_tex(scene, 32, 2)
+    scene.add_material(MaterialSettings(albedo_tex=a, normal_tex=n))
+    assert scene.matq_plan() is None
+
+
+def test_plan_mixed_wrap_incapable():
+    scene = sc.Scene()
+    a = _add_tex(scene, 64, 1, wrap=0)
+    n = _add_tex(scene, 64, 2, wrap=WRAP_CLAMP)
+    scene.add_material(MaterialSettings(albedo_tex=a, normal_tex=n))
+    assert scene.matq_plan() is None
+
+
+def test_plan_dummy_slots_are_constant():
+    scene = sc.Scene()
+    a = _add_tex(scene, 64, 1, flags=TEXFLAG_SRGB)
+    scene.add_material(MaterialSettings(albedo_tex=a))  # rest are dummies
+    plan = scene.matq_plan()
+    assert plan is not None and plan["L"] == 7
+
+
+def test_plan_dedups_shared_chains():
+    scene = _full_material_scene()
+    m0 = scene.materials[0]
+    scene.add_material(m0)  # identical slot tuple
+    plan = scene.matq_plan()
+    assert len(plan["chains"]) == 1 and plan["mat_chain"] == [0, 0]
+
+
+def test_withheld_while_streaming():
+    scene = _full_material_scene()
+    assert scene.device_matq() is not None
+    tid = scene.materials[0].albedo_tex
+    count = scene.textures.tex_mip_count[tid]
+    scene.textures.set_mip_view(tid, count - 1, 1)
+    assert scene.device_matq() is None
+    scene.textures.restore_mip_view(tid)
+    assert scene.device_matq() is not None
+    assert "texels_mq" in scene.device_arrays()
+
+
+def _sample_both(scene, P=4096, taps=1, seed=9):
+    dev = scene.device_arrays()
+    assert "texels_mq" in dev
+    m = dev["materials"]
+    rng = np.random.default_rng(seed)
+    n_mats = len(scene.materials)
+    mat = jnp.asarray(rng.integers(0, n_mats, (P,), np.int32))
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (P, 2)).astype(np.float32))
+    duvdx = jnp.asarray(rng.uniform(-0.2, 0.2, (P, 2)).astype(np.float32))
+    duvdy = jnp.asarray(rng.uniform(-0.2, 0.2, (P, 2)).astype(np.float32))
+
+    pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat)
+    got16 = sample_material_interleaved(
+        dev["texels_mq"], mq_meta, mq_owh, uv, duvdx, duvdy, taps
+    )
+
+    pfc, pic, mtm, mlv = _material_rows(m, mat)
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pfc))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(pic))
+    texels = ldr_pool(dev)
+    want = []
+    for slot in range(4):
+        meta = mtm[..., 6 * slot : 6 * slot + 6]
+        lv = mlv[..., slot, :, :]
+        want.append(sample_anisotropic(
+            texels, dev["tex"], pic[..., slot], uv, duvdx, duvdy, taps,
+            meta=meta, levels_owh=lv,
+        ))
+    return np.asarray(got16), [np.asarray(w) for w in want]
+
+
+def test_sampling_exact_vs_classic_real_slots():
+    scene = _full_material_scene(size=64)
+    got16, want = _sample_both(scene)
+    for slot in range(4):
+        np.testing.assert_array_equal(
+            got16[:, 4 * slot : 4 * slot + 4], want[slot],
+            err_msg=f"slot {slot}",
+        )
+
+
+def test_sampling_exact_clamp_wrap_and_taps():
+    scene = _full_material_scene(size=32, wrap=WRAP_CLAMP)
+    for taps in (1, 4):
+        got16, want = _sample_both(scene, taps=taps, seed=11)
+        for slot in range(4):
+            np.testing.assert_array_equal(
+                got16[:, 4 * slot : 4 * slot + 4], want[slot],
+                err_msg=f"taps {taps} slot {slot}",
+            )
+
+
+def test_sampling_constant_slots_close():
+    """Dummy (1x1) slots: classic lerps on the dummy's own 1x1 grid,
+    matq lerps the broadcast constant on the shared grid — equal up to
+    float associativity of the lerp weights."""
+    scene = sc.Scene()
+    a = _add_tex(scene, 64, 1, flags=TEXFLAG_SRGB)
+    scene.add_material(MaterialSettings(albedo_tex=a))
+    got16, want = _sample_both(scene, seed=12)
+    np.testing.assert_array_equal(got16[:, 0:4], want[0])
+    for slot in range(1, 4):
+        np.testing.assert_allclose(
+            got16[:, 4 * slot : 4 * slot + 4], want[slot],
+            rtol=0, atol=1e-6, err_msg=f"slot {slot}",
+        )
+
+
+def test_full_frame_image_parity():
+    """End-to-end: the same scene rendered with and without the matq
+    pool produces the same image (constant dummy slots may differ by
+    lerp associativity, everything else exact)."""
+    from superconductor_tpu.render.draws import build_frame_state
+    from superconductor_tpu.utils.procgen import add_pbr_sphere
+
+    scene = sc.Scene()
+    tex = {
+        "albedo": _add_tex(scene, 64, 21, flags=TEXFLAG_SRGB),
+        "normal": _add_tex(scene, 64, 22),
+        "mr": _add_tex(scene, 64, 23),
+        "emissive": _add_tex(scene, 64, 24, flags=TEXFLAG_SRGB),
+    }
+    model = add_pbr_sphere(scene, name="s")
+    ms = scene.materials[model.primitives[0].material]
+    ms.albedo_tex = tex["albedo"]
+    ms.normal_tex = tex["normal"]
+    ms.metallic_roughness_tex = tex["mr"]
+    ms.emissive_tex = tex["emissive"]
+    scene._materials_dirty = True
+
+    cam = sc.Camera(position=np.array([0.0, 0.3, 2.4], np.float32))
+    uni = sc.make_uniforms(cam, 96, 64)
+    cfg = sc.RenderConfig(width=96, height=64, raster="ref")
+    state = build_frame_state(scene, [(model, sc.Similarity())], uni)
+
+    dev = scene.device_arrays()
+    assert "texels_mq" in dev
+    img_mq = np.asarray(sc.render_frame(dev, state, cfg, sc.EnvBindings()))
+
+    scene.matq_pools = False
+    scene._matq_cache = None
+    dev2 = scene.device_arrays()
+    assert "texels_mq" not in dev2
+    img_classic = np.asarray(
+        sc.render_frame(dev2, state, cfg, sc.EnvBindings())
+    )
+    np.testing.assert_allclose(img_mq, img_classic, rtol=0, atol=2e-6)
+
+
+def test_budget_drops_matq_first():
+    scene = _full_material_scene(size=64)
+    base = scene.projected_texture_bytes()
+    assert scene.matq_bytes() > 0
+    scene.texture_budget_bytes = base - 1
+    scene.enforce_texture_budget()
+    assert scene._budget_state["matq_dropped"]
+    assert scene.matq_bytes() == 0
+    report = scene.texture_memory_report()
+    assert report["matq_pool_bytes"] == 0

@@ -34,7 +34,9 @@ def test_report_carries_totals_and_budget():
     scene.texture_budget_bytes = 1
     rep = scene.texture_memory_report()
     assert rep["over_budget"] is True
-    assert rep["degrade"] == {"quad_dropped": False, "max_size_set": None}
+    assert rep["degrade"] == {
+        "quad_dropped": False, "matq_dropped": False, "max_size_set": None,
+    }
 
 
 def test_projected_bytes_quad_factor():

@@ -16,9 +16,10 @@ models.rs).
 Content: a sci-fi helmet — an elongated dome with surface ridge bands and
 a flattened neck rim, a front faceplate cut as a SECOND material with an
 emissive visor stripe. Three LODs (~15.5k / ~3.8k / ~0.9k tris — LOD0
-matches DamagedHelmet's 15.4k). Albedo 512² ETC1S (sRGB, full mip chain),
-metallic-roughness 256² ETC1S (linear), emissive 256² ETC1S (sRGB),
-normal map 512² RGBA8 KTX2 (linear, full mip chain).
+matches DamagedHelmet's 15.4k). Uniform 512² texture set (DamagedHelmet
+ships all four slots at one size, 2048²): albedo ETC1S (sRGB, full mip
+chain), metallic-roughness ETC1S (linear), emissive ETC1S (sRGB),
+normal map RGBA8 KTX2 (linear, full mip chain).
 
 Deterministic: re-running reproduces the file byte-for-byte.
 """
@@ -186,8 +187,12 @@ def make_textures():
         axis=-1,
     ).astype(np.uint8)
 
-    # -- metallic-roughness (B = metallic, G = roughness per glTF)
-    sm = 256
+    # -- metallic-roughness (B = metallic, G = roughness per glTF).
+    # Same size as the albedo/normal maps: real DamagedHelmet-class assets
+    # ship a uniform texture set (DamagedHelmet itself is 2048^2 across all
+    # slots), and the equal-dims set also exercises the interleaved
+    # material pool (Scene.device_matq) on the headline scene.
+    sm = 512
     vm, um = np.mgrid[0:sm, 0:sm].astype(np.float64) / sm
     rough = 0.35 + 0.4 * (((um * 8).astype(int) + (vm * 5).astype(int)) % 2)
     rough = np.clip(rough + rng.uniform(-0.05, 0.05, (sm, sm)), 0.05, 1.0)
