@@ -62,6 +62,12 @@ class GBuffer(NamedTuple):
     dpdy: jax.Array  # (P, 3)
     duvdx: jax.Array  # (P, 2)
     duvdy: jax.Array  # (P, 2)
+    # Optional pre-fetched material row (P, 24+3L): when the scene uses
+    # the interleaved material pool, render_view folds mat_row_mq into
+    # the per-triangle shade_row, so the pixel's material state arrives
+    # with the SAME gather that fetched setup+attrs — shade() then pays
+    # zero extra rows for materials (_material_rows_mq layout).
+    mat_tail: Optional[jax.Array] = None
 
 
 def interpolate_gbuffer(
@@ -87,10 +93,13 @@ def interpolate_gbuffer(
     valid = pair >= 0
     p = jnp.maximum(pair, 0)
     av32 = None
+    mat_tail = None
     if shade_row is not None:
-        row = shade_row[p]  # (P, 48) — one gather for setup AND attrs
-        setup = row[:, 0:16]
+        row = shade_row[p]  # (P, 48[+mat]) — ONE gather for setup, attrs,
+        setup = row[:, 0:16]  # and (matq scenes) the material row tail
         av32 = row[:, 16:48]
+        if row.shape[-1] > 48:
+            mat_tail = row[:, 48:]
     else:
         setup = tri.setup[p]  # (P, 16)
         if attrs.packed is not None:
@@ -164,6 +173,7 @@ def interpolate_gbuffer(
         dpdy=dpdy,
         duvdx=duvdx,
         duvdy=duvdy,
+        mat_tail=mat_tail,
     )
 
 
@@ -372,11 +382,9 @@ def _material_rows(m: dict, mat):
     return pf, pi, mtm, None
 
 
-def _material_rows_mq(m: dict, mat):
-    """(pf (P,12) f32, pi (P,8) i32, meta (P,4) i32, owh (P,L,3) i32)
-    from ONE mat_row_mq gather — the interleaved-pool twin of
-    _material_rows (scene.py device_matq row layout)."""
-    row = m["mat_row_mq"][mat]
+def _unpack_mq_row(row):
+    """Split a (P, 24+3L) mat_row_mq row (scene.py device_matq layout)
+    into (pf (P,12) f32, pi (P,8) i32, meta (P,4) i32, owh (P,L,3))."""
     pf = row[..., 0:12]
     pi = jax.lax.bitcast_convert_type(row[..., 12:20], jnp.int32)
     meta = jax.lax.bitcast_convert_type(row[..., 20:24], jnp.int32)
@@ -385,6 +393,14 @@ def _material_rows_mq(m: dict, mat):
         row[..., 24 : 24 + 3 * L], jnp.int32
     ).reshape(*row.shape[:-1], L, 3)
     return pf, pi, meta, owh
+
+
+def _material_rows_mq(m: dict, mat, gbuf=None):
+    """mat_row_mq unpacked — from the shade_row tail when render_view
+    already folded it in (zero extra gathers), else one row gather."""
+    if gbuf is not None and gbuf.mat_tail is not None:
+        return _unpack_mq_row(gbuf.mat_tail)
+    return _unpack_mq_row(m["mat_row_mq"][mat])
 
 
 def shade(
@@ -412,7 +428,7 @@ def shade(
         # row gather and all four textures' trilinear samples are TWO
         # pool gathers (Scene.device_matq) — the per-pixel fetch count
         # drops from ~10 rows to 3 (the stage is gather-row-bound).
-        pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat)
+        pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat, gbuf)
         s16 = sample_material_interleaved(
             scene["texels_mq"], mq_meta, mq_owh, gbuf.uv,
             gbuf.duvdx, gbuf.duvdy, aniso_taps,
@@ -516,7 +532,7 @@ def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
     m = scene["materials"]
     mat = gbuf.material
     if "texels_mq" in scene and "mat_row_mq" in m:
-        pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat)
+        pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat, gbuf)
         s16 = sample_material_interleaved(
             scene["texels_mq"], mq_meta, mq_owh, gbuf.uv,
             gbuf.duvdx, gbuf.duvdy, aniso_taps,

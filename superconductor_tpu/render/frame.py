@@ -487,13 +487,17 @@ def render_view(
     px, py = _pixel_centers(config, band_height, y_offset)
     mats = scene["materials"]
     blend_mode = mats["blend_mode"][merged_attrs.material]
-    # One (T, 48) row per pair: the deferred stages' setup + attrs fetch
-    # becomes a single per-pixel gather (see interpolate_gbuffer).
-    shade_row = (
-        jnp.concatenate([merged_tri.setup, merged_attrs.packed], axis=1)
-        if merged_attrs.packed is not None
-        else None
-    )
+    # One (T, 48[+24+3L]) row per pair: the deferred stages' setup +
+    # attrs fetch becomes a single per-pixel gather (interpolate_gbuffer)
+    # — and on matq scenes the per-triangle material row rides the same
+    # row (materials are per-triangle-static), so shade() pays ZERO
+    # extra gathers for material state (GBuffer.mat_tail).
+    shade_row = None
+    if merged_attrs.packed is not None:
+        parts = [merged_tri.setup, merged_attrs.packed]
+        if "texels_mq" in scene and "mat_row_mq" in mats:
+            parts.append(mats["mat_row_mq"][merged_attrs.material])
+        shade_row = jnp.concatenate(parts, axis=1)
 
     def gbuffer_of(pair):
         return interpolate_gbuffer(
