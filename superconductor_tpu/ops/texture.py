@@ -417,6 +417,94 @@ def _matq_bilinear(texels_mq, owh, wrap_mode, uv):
     return out.reshape(*q.shape[:-1], 16)
 
 
+def _mq3_levels(texels_mq3, a_owh, b_owh, self_pair, wrap_mode, uv):
+    """Both trilinear levels of all four material slots from ONE gather
+    of the wide (N, 208) interleaved pool (Scene.device_matq mq3 rows:
+    level-L quad + level-(L+1) 3x3, self-paired at the chain end).
+
+    Returns (a16, b16) raw (P, 16) f32, bit-matching _bilinear_core at
+    a_owh/b_owh: the level-b 2x2 is selected from the baked 3x3 by the
+    floor(x/2) grid correspondence (requires clean halving chains —
+    matq_plan mq3_ok).
+    """
+    off, w, h = a_owh[..., 0], a_owh[..., 1], a_owh[..., 2]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - jnp.floor(x))[..., None, None]
+    fy = (y - jnp.floor(y))[..., None, None]
+    xi = _wrap(x0, w, wrap_mode)
+    yi = _wrap(y0, h, wrap_mode)
+    clamped = wrap_mode == WRAP_CLAMP
+    fx = jnp.where((clamped & (x0 < 0))[..., None, None], 0.0, fx)
+    fy = jnp.where((clamped & (y0 < 0))[..., None, None], 0.0, fy)
+    row = texels_mq3[off + yi * w + xi].astype(jnp.float32)  # (P, 208)
+
+    qr = row[..., :64].reshape(*row.shape[:-1], 4, 4, 4)
+    t00, t10, t01, t11 = qr[..., 0, :], qr[..., 1, :], qr[..., 2, :], qr[..., 3, :]
+    a16 = (
+        t00 * (1 - fx) * (1 - fy)
+        + t10 * fx * (1 - fy)
+        + t01 * (1 - fx) * fy
+        + t11 * fx * fy
+    ).reshape(*row.shape[:-1], 16)
+
+    # --- level b from the baked 3x3 ---
+    wb, hb = b_owh[..., 1], b_owh[..., 2]
+    xb = uv[..., 0] * wb - 0.5
+    yb = uv[..., 1] * hb - 0.5
+    x1 = jnp.floor(xb).astype(jnp.int32)
+    y1 = jnp.floor(yb).astype(jnp.int32)
+    fx1 = (xb - jnp.floor(xb))[..., None, None]
+    fy1 = (yb - jnp.floor(yb))[..., None, None]
+    fx1 = jnp.where((clamped & (x1 < 0))[..., None, None], 0.0, fx1)
+    fy1 = jnp.where((clamped & (y1 < 0))[..., None, None], 0.0, fy1)
+
+    def window_pos(v1, v0, vi, vb_dim):
+        # position of the level-b tap inside the baked 3-window, for the
+        # REPEAT (unwrapped-consistent) and CLAMP (edge-duplicated)
+        # conventions; p0 in {0,1}, p1 in {1,2} by construction.
+        c_rep = jnp.where(self_pair, v0, v0 >> 1)
+        p0_rep = v1 - (c_rep - 1)
+        p1_rep = p0_rep + 1
+        c_cl = jnp.where(self_pair, vi, vi >> 1)
+        p0_cl = jnp.clip(v1, 0, vb_dim - 1) - (c_cl - 1)
+        p1_cl = jnp.clip(v1 + 1, 0, vb_dim - 1) - (c_cl - 1)
+        p0 = jnp.clip(jnp.where(clamped, p0_cl, p0_rep), 0, 2)
+        p1 = jnp.clip(jnp.where(clamped, p1_cl, p1_rep), 0, 2)
+        return p0, p1
+
+    px0, px1 = window_pos(x1, x0, xi, wb)
+    py0, py1 = window_pos(y1, y0, yi, hb)
+
+    t3 = row[..., 64:].reshape(*row.shape[:-1], 4, 3, 3, 4)  # slot,yy,xx,ch
+
+    def at(py, px):  # dynamic window coords -> (P, 4slots, 4ch)
+        ry = jnp.where(
+            (py == 0)[..., None, None, None], t3[..., 0, :, :],
+            jnp.where((py == 1)[..., None, None, None], t3[..., 1, :, :],
+                      t3[..., 2, :, :]),
+        )
+        return jnp.where(
+            (px == 0)[..., None, None], ry[..., 0, :],
+            jnp.where((px == 1)[..., None, None], ry[..., 1, :],
+                      ry[..., 2, :]),
+        )
+
+    b00 = at(py0, px0)
+    b10 = at(py0, px1)
+    b01 = at(py1, px0)
+    b11 = at(py1, px1)
+    b16 = (
+        b00 * (1 - fx1) * (1 - fy1)
+        + b10 * fx1 * (1 - fy1)
+        + b01 * (1 - fx1) * fy1
+        + b11 * fx1 * fy1
+    ).reshape(*row.shape[:-1], 16)
+    return a16, b16
+
+
 def _matq_srgb(out16, mask):
     """Per-slot sRGB decode by mask bit (bit s = slot s), alpha linear —
     the per-slot twin of _srgb_decode."""
@@ -445,6 +533,7 @@ def sample_material_interleaved(
     h = owh[..., 0, 2].astype(jnp.float32)
     dx2 = (duvdx[..., 0] * w) ** 2 + (duvdx[..., 1] * h) ** 2
     dy2 = (duvdy[..., 0] * w) ** 2 + (duvdy[..., 1] * h) ** 2
+    wide = texels_mq.shape[-1] == 208  # mq3 rows: quad(L) + 3x3(L+1)
 
     def trilinear(uv_t, lod):
         l0 = jnp.floor(lod).astype(jnp.int32)
@@ -453,8 +542,13 @@ def sample_material_interleaved(
         f = jnp.where((l0 < 0)[..., None], 0.0, f)
         a_owh = _select_level(owh, lvl)
         b_owh = _select_level(owh, jnp.clip(l0 + 1, 0, count - 1))
-        a = _matq_bilinear(texels_mq, a_owh, wrap_mode, uv_t)
-        b = _matq_bilinear(texels_mq, b_owh, wrap_mode, uv_t)
+        if wide:
+            a, b = _mq3_levels(
+                texels_mq, a_owh, b_owh, l0 >= count - 1, wrap_mode, uv_t
+            )
+        else:
+            a = _matq_bilinear(texels_mq, a_owh, wrap_mode, uv_t)
+            b = _matq_bilinear(texels_mq, b_owh, wrap_mode, uv_t)
         a = a * (1.0 / 255.0)
         b = b * (1.0 / 255.0)
         if decode_srgb:

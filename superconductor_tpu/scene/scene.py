@@ -44,8 +44,9 @@ log = logging.getLogger(__name__)
 _BUILD_QUAD_JIT = None
 # Jitted SH-interleaved lightvol builder (see Scene.device_lightvol_sh).
 _BUILD_LV_SH_JIT = None
-# Jitted interleaved-material-pool builder (see Scene.device_matq).
+# Jitted interleaved-material-pool builders (see Scene.device_matq).
 _BUILD_MATQ_JIT = None
+_BUILD_MQ3_JIT = None
 
 
 def _identity_similarity():
@@ -503,6 +504,13 @@ class Scene:
         import os as _os
 
         self.matq_pools: bool = _os.environ.get("SC_MATQ", "1") != "0"
+        # Wide interleaved rows (208 B): level-L quad + level-(L+1) 3x3
+        # per slot, so a full trilinear sample of all four textures is
+        # ONE gather (wide rows also gather faster per row —
+        # docs/TIMING.md gather characterization). Needs clean halving
+        # chains (matq_plan mq3_ok); SC_MATQ3=0 falls back to the 64 B
+        # two-gather rows.
+        self.matq3x3: bool = _os.environ.get("SC_MATQ3", "1") != "0"
         self._matq_cache = None
         self._matq_key = None
         # Device texture residency budget (bytes) over texel pools +
@@ -516,7 +524,8 @@ class Scene:
         # evicted (matching the reference, which has no eviction either).
         self.texture_budget_bytes: Optional[int] = None
         self._budget_state: dict = {
-            "quad_dropped": False, "matq_dropped": False, "max_size_set": None,
+            "quad_dropped": False, "matq_dropped": False,
+            "mq3_dropped": False, "max_size_set": None,
         }
         self._add_dummy_textures()
 
@@ -842,6 +851,17 @@ class Scene:
             return
         if self.projected_texture_bytes() <= budget:
             return
+        if self.matq3x3 and self.matq_bytes():
+            log.warning(
+                "texture budget %.1f MB exceeded (%.1f MB projected): "
+                "dropping the wide (208 B) interleaved rows (two-gather "
+                "64 B interleaved sampling)",
+                budget / 1e6, self.projected_texture_bytes() / 1e6,
+            )
+            self.matq3x3 = False
+            self._budget_state["mq3_dropped"] = True
+        if self.projected_texture_bytes() <= budget:
+            return
         if self.matq_pools and self.matq_bytes():
             log.warning(
                 "texture budget %.1f MB exceeded (%.1f MB projected): "
@@ -969,9 +989,24 @@ class Scene:
                     mask |= 1 << s
             srgb_masks.append(mask)
 
+        # mq3 (single-gather trilinear) additionally requires clean
+        # halving chains: level l+1 dims exactly half of EVEN level-l
+        # dims (or 1) — the in-register level-(l+1) footprint selection
+        # relies on floor(x/2) grid correspondence (ops/texture.py
+        # sample_material_interleaved, mq3 path). Pow2 textures qualify.
+        def halves(dims):
+            for (h, w), (h2, w2) in zip(dims, dims[1:]):
+                for a, b in ((h, h2), (w, w2)):
+                    if not (a == 1 and b == 1 or a % 2 == 0 and b == a // 2):
+                        return False
+            return True
+
+        mq3_ok = all(halves(dims) for _, dims, _ in chain_specs)
+
         return {
             "chains": chain_specs, "offsets": offsets, "total_rows": total,
             "L": L, "mat_chain": mat_chain, "srgb_masks": srgb_masks,
+            "mq3_ok": mq3_ok,
         }
 
     def matq_bytes(self, plan: Optional[dict] = None) -> int:
@@ -979,7 +1014,10 @@ class Scene:
         if not (self.quad_pools and self.matq_pools):
             return 0
         plan = plan if plan is not None else self.matq_plan()
-        return plan["total_rows"] * 64 if plan else 0
+        if not plan:
+            return 0
+        per_row = 208 if (self.matq3x3 and plan["mq3_ok"]) else 64
+        return plan["total_rows"] * per_row
 
     def device_matq(self):
         """(texels_mq (N, 64) u8 device array, mat_row_mq (M, 24+3L) f32)
@@ -1010,6 +1048,7 @@ class Scene:
 
         pool = self.textures
         total = plan["total_rows"]
+        mq3 = self.matq3x3 and plan["mq3_ok"]
         idx = np.empty((4, total), np.int32)
         for c, (ids, dims, _) in enumerate(plan["chains"]):
             for l, (h, w) in enumerate(dims):
@@ -1022,14 +1061,64 @@ class Scene:
                     else:
                         idx[s, off:off + h * w] = pool.mip_offset[base + l] \
                             + np.arange(h * w, dtype=np.int32)
-        global _BUILD_MATQ_JIT
-        if _BUILD_MATQ_JIT is None:
-            _BUILD_MATQ_JIT = jax.jit(
-                lambda q, i: jnp.concatenate(
-                    [q[i[0]], q[i[1]], q[i[2]], q[i[3]]], axis=1
-                )
+        if mq3:
+            # Tail indices: per level-l texel (y, x), the 3x3 of level
+            # l+1 around (y>>1, x>>1) (self-paired last level: around
+            # (y, x)), wrap baked — the in-register trilinear's level-b
+            # footprint (ops/texture.py mq3 path).
+            idx3 = np.empty((4, 9, total), np.int32)
+            for c, (ids, dims, wrap) in enumerate(plan["chains"]):
+                count = len(dims)
+                for l, (h, w) in enumerate(dims):
+                    off = plan["offsets"][c][l]
+                    lb = l + 1 if l + 1 < count else l
+                    hb, wb = dims[lb]
+                    y, x = np.mgrid[0:h, 0:w].astype(np.int32)
+                    cy = (y >> 1) if lb != l else y
+                    cx = (x >> 1) if lb != l else x
+                    for dy in range(3):
+                        for dx in range(3):
+                            ys, xs = cy + dy - 1, cx + dx - 1
+                            if wrap == WRAP_REPEAT:
+                                ys, xs = ys % hb, xs % wb
+                            else:
+                                ys = np.clip(ys, 0, hb - 1)
+                                xs = np.clip(xs, 0, wb - 1)
+                            flat = (ys * wb + xs).reshape(-1)
+                            for s, t in enumerate(ids):
+                                tb = pool.tex_mip_base[t]
+                                tc = pool.tex_mip_count[t]
+                                if tc == 1 and pool.mip_w[tb] == 1 \
+                                        and pool.mip_h[tb] == 1:
+                                    idx3[s, dy * 3 + dx, off:off + h * w] = \
+                                        pool.mip_offset[tb]
+                                else:
+                                    idx3[s, dy * 3 + dx, off:off + h * w] = \
+                                        pool.mip_offset[tb + lb] + flat
+            global _BUILD_MQ3_JIT
+            if _BUILD_MQ3_JIT is None:
+                def _build_mq3(q, b, i4, i36):
+                    parts = [q[i4[s]] for s in range(4)]
+                    for s in range(4):
+                        for p in range(9):
+                            parts.append(b[i36[s * 9 + p]])
+                    return jnp.concatenate(parts, axis=1)
+
+                _BUILD_MQ3_JIT = jax.jit(_build_mq3)
+            texels_mq = _BUILD_MQ3_JIT(
+                quad, self.textures.texels.device(),
+                jax.device_put(idx),
+                jax.device_put(idx3.reshape(36, total)),
             )
-        texels_mq = _BUILD_MATQ_JIT(quad, jax.device_put(idx))
+        else:
+            global _BUILD_MATQ_JIT
+            if _BUILD_MATQ_JIT is None:
+                _BUILD_MATQ_JIT = jax.jit(
+                    lambda q, i: jnp.concatenate(
+                        [q[i[0]], q[i[1]], q[i[2]], q[i[3]]], axis=1
+                    )
+                )
+            texels_mq = _BUILD_MATQ_JIT(quad, jax.device_put(idx))
 
         # mat_row_mq: [packed_f(12) | packed_i(8) | meta(4: wrap,
         # srgb_mask, count, pad) | L x (offset, w, h)] — the pixel's

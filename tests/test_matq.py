@@ -103,7 +103,7 @@ def test_withheld_while_streaming():
     assert "texels_mq" in scene.device_arrays()
 
 
-def _sample_both(scene, P=4096, taps=1, seed=9):
+def _sample_both(scene, P=4096, taps=1, seed=9, dscale=0.2):
     dev = scene.device_arrays()
     assert "texels_mq" in dev
     m = dev["materials"]
@@ -111,8 +111,12 @@ def _sample_both(scene, P=4096, taps=1, seed=9):
     n_mats = len(scene.materials)
     mat = jnp.asarray(rng.integers(0, n_mats, (P,), np.int32))
     uv = jnp.asarray(rng.uniform(-1.5, 2.5, (P, 2)).astype(np.float32))
-    duvdx = jnp.asarray(rng.uniform(-0.2, 0.2, (P, 2)).astype(np.float32))
-    duvdy = jnp.asarray(rng.uniform(-0.2, 0.2, (P, 2)).astype(np.float32))
+    duvdx = jnp.asarray(
+        rng.uniform(-dscale, dscale, (P, 2)).astype(np.float32)
+    )
+    duvdy = jnp.asarray(
+        rng.uniform(-dscale, dscale, (P, 2)).astype(np.float32)
+    )
 
     pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat)
     got16 = sample_material_interleaved(
@@ -135,7 +139,22 @@ def _sample_both(scene, P=4096, taps=1, seed=9):
 
 
 def test_sampling_exact_vs_classic_real_slots():
+    # default = wide mq3 rows (single-gather trilinear)
     scene = _full_material_scene(size=64)
+    assert scene.device_arrays()["texels_mq"].shape[-1] == 208
+    got16, want = _sample_both(scene)
+    for slot in range(4):
+        np.testing.assert_array_equal(
+            got16[:, 4 * slot : 4 * slot + 4], want[slot],
+            err_msg=f"slot {slot}",
+        )
+
+
+def test_sampling_exact_narrow_rows():
+    # SC_MATQ3 off: two-gather 64 B rows, same values
+    scene = _full_material_scene(size=64)
+    scene.matq3x3 = False
+    assert scene.device_arrays()["texels_mq"].shape[-1] == 64
     got16, want = _sample_both(scene)
     for slot in range(4):
         np.testing.assert_array_equal(
@@ -145,14 +164,32 @@ def test_sampling_exact_vs_classic_real_slots():
 
 
 def test_sampling_exact_clamp_wrap_and_taps():
-    scene = _full_material_scene(size=32, wrap=WRAP_CLAMP)
-    for taps in (1, 4):
-        got16, want = _sample_both(scene, taps=taps, seed=11)
-        for slot in range(4):
-            np.testing.assert_array_equal(
-                got16[:, 4 * slot : 4 * slot + 4], want[slot],
-                err_msg=f"taps {taps} slot {slot}",
-            )
+    for mq3 in (True, False):
+        scene = _full_material_scene(size=32, wrap=WRAP_CLAMP)
+        scene.matq3x3 = mq3
+        for taps in (1, 4):
+            got16, want = _sample_both(scene, taps=taps, seed=11)
+            for slot in range(4):
+                np.testing.assert_array_equal(
+                    got16[:, 4 * slot : 4 * slot + 4], want[slot],
+                    err_msg=f"mq3 {mq3} taps {taps} slot {slot}",
+                )
+
+
+def test_sampling_exact_chain_end_self_pair():
+    """Huge derivatives push lod past the chain end: the level-b tap
+    self-pairs with the last level (baked same-grid 3x3) — exact for
+    both wrap modes and both row widths."""
+    for wrap in (0, WRAP_CLAMP):
+        for mq3 in (True, False):
+            scene = _full_material_scene(size=32, wrap=wrap)
+            scene.matq3x3 = mq3
+            got16, want = _sample_both(scene, seed=13, dscale=4.0)
+            for slot in range(4):
+                np.testing.assert_array_equal(
+                    got16[:, 4 * slot : 4 * slot + 4], want[slot],
+                    err_msg=f"wrap {wrap} mq3 {mq3} slot {slot}",
+                )
 
 
 def test_sampling_constant_slots_close():
@@ -212,11 +249,22 @@ def test_full_frame_image_parity():
     np.testing.assert_allclose(img_mq, img_classic, rtol=0, atol=2e-6)
 
 
-def test_budget_drops_matq_first():
+def test_budget_drops_mq3_then_matq():
     scene = _full_material_scene(size=64)
+    wide = scene.matq_bytes()
+    scene.matq3x3 = False
+    narrow = scene.matq_bytes()
+    scene.matq3x3 = True
+    assert wide == narrow * 208 // 64 > 0
     base = scene.projected_texture_bytes()
-    assert scene.matq_bytes() > 0
-    scene.texture_budget_bytes = base - 1
+    # budget that fits after the mq3->64B rung alone
+    scene.texture_budget_bytes = base - (wide - narrow) // 2
+    scene.enforce_texture_budget()
+    assert scene._budget_state["mq3_dropped"]
+    assert not scene._budget_state["matq_dropped"]
+    assert scene.matq_bytes() == narrow
+    # tighter: the matq rung fires too
+    scene.texture_budget_bytes = base - wide - 1
     scene.enforce_texture_budget()
     assert scene._budget_state["matq_dropped"]
     assert scene.matq_bytes() == 0

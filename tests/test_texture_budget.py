@@ -35,7 +35,8 @@ def test_report_carries_totals_and_budget():
     rep = scene.texture_memory_report()
     assert rep["over_budget"] is True
     assert rep["degrade"] == {
-        "quad_dropped": False, "matq_dropped": False, "max_size_set": None,
+        "quad_dropped": False, "matq_dropped": False, "mq3_dropped": False,
+        "max_size_set": None,
     }
 
 
