@@ -506,11 +506,14 @@ class Scene:
         self.matq_pools: bool = _os.environ.get("SC_MATQ", "1") != "0"
         # Wide interleaved rows (208 B): level-L quad + level-(L+1) 3x3
         # per slot, so a full trilinear sample of all four textures is
-        # ONE gather (wide rows also gather faster per row —
-        # docs/TIMING.md gather characterization). Needs clean halving
-        # chains (matq_plan mq3_ok); SC_MATQ3=0 falls back to the 64 B
-        # two-gather rows.
-        self.matq3x3: bool = _os.environ.get("SC_MATQ3", "1") != "0"
+        # ONE gather. OFF by default: the standalone gather probe favors
+        # wide rows (docs/TIMING.md), but the fused headline frame
+        # measured SLOWER with them (90.6 vs 72.1 ms, 2026-08-19 —
+        # docs/KERNELS.md "Rejected after measurement"); the in-register
+        # 3x3 select ladders and the 3.25x row materialization lose to
+        # the second 64 B gather. Kept as a knob (SC_MATQ3=1): it also
+        # needs clean halving chains (matq_plan mq3_ok).
+        self.matq3x3: bool = _os.environ.get("SC_MATQ3", "0") == "1"
         self._matq_cache = None
         self._matq_key = None
         # Device texture residency budget (bytes) over texel pools +

@@ -139,9 +139,10 @@ def _sample_both(scene, P=4096, taps=1, seed=9, dscale=0.2):
 
 
 def test_sampling_exact_vs_classic_real_slots():
-    # default = wide mq3 rows (single-gather trilinear)
+    # default = two-gather 64 B rows (the wide mq3 rows measured slower
+    # in the fused frame — scene.py matq3x3 docstring)
     scene = _full_material_scene(size=64)
-    assert scene.device_arrays()["texels_mq"].shape[-1] == 208
+    assert scene.device_arrays()["texels_mq"].shape[-1] == 64
     got16, want = _sample_both(scene)
     for slot in range(4):
         np.testing.assert_array_equal(
@@ -150,11 +151,11 @@ def test_sampling_exact_vs_classic_real_slots():
         )
 
 
-def test_sampling_exact_narrow_rows():
-    # SC_MATQ3 off: two-gather 64 B rows, same values
+def test_sampling_exact_wide_rows():
+    # matq3x3: single-gather trilinear from 208 B rows, same values
     scene = _full_material_scene(size=64)
-    scene.matq3x3 = False
-    assert scene.device_arrays()["texels_mq"].shape[-1] == 64
+    scene.matq3x3 = True
+    assert scene.device_arrays()["texels_mq"].shape[-1] == 208
     got16, want = _sample_both(scene)
     for slot in range(4):
         np.testing.assert_array_equal(
@@ -251,6 +252,7 @@ def test_full_frame_image_parity():
 
 def test_budget_drops_mq3_then_matq():
     scene = _full_material_scene(size=64)
+    scene.matq3x3 = True
     wide = scene.matq_bytes()
     scene.matq3x3 = False
     narrow = scene.matq_bytes()
