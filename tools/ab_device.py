@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--calls", type=int, default=3)
     ap.add_argument("--ns", default="1,2,8",
                     help="comma-separated dispatch counts (>=2)")
+    ap.add_argument("--row-chunks", type=int, default=0,
+                    help="override RenderConfig.row_chunks (4K HBM bound)")
+    ap.add_argument("--no-opaque-compact", action="store_true",
+                    help="opaque_px_cap=None: full-screen opaque shade")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -61,7 +65,15 @@ def main():
     else:
         dev, build, config, env = bench.all_passes_scene(sc, width, height)
     state0 = build(0.0)
+    if args.row_chunks:
+        from dataclasses import replace
+
+        config = replace(config, row_chunks=args.row_chunks)
     config = bench.fit_caps(dev, state0, config, env)
+    if args.no_opaque_compact:
+        from dataclasses import replace
+
+        config = replace(config, opaque_px_cap=None)
 
     t0 = time.time()
     fn = bench.make_unrolled(dev, state0, config, env, 1)

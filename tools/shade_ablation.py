@@ -82,16 +82,23 @@ def main():
     no_sky = timed(dataclasses.replace(env, ibl_cubemap_base=-1), "sky=clear")
 
     orig_aniso = shade_mod.sample_anisotropic
+    orig_mq = shade_mod.sample_material_interleaved
 
     def const_aniso(texels, tex_desc, tex_id, uv, duvdx, duvdy, taps,
                     decode_srgb=True, meta=None, levels_owh=None):
         return jnp.ones(uv.shape[:-1] + (4,), jnp.float32)
 
+    def const_mq(texels_mq, meta, owh, uv, duvdx, duvdy, taps,
+                 decode_srgb=True):
+        return jnp.ones(uv.shape[:-1] + (16,), jnp.float32)
+
     shade_mod.sample_anisotropic = const_aniso
+    shade_mod.sample_material_interleaved = const_mq
     try:
         no_taps = timed(env, "mat_taps=const")
     finally:
         shade_mod.sample_anisotropic = orig_aniso
+        shade_mod.sample_material_interleaved = orig_mq
 
     orig_sh = shade_mod.sample_spherical_harmonics
 
