@@ -105,6 +105,13 @@ class RenderConfig:
     # stage + per-view setup) is hoisted out of the band loop; each band
     # re-pays only binning + raster + shading. 1 = whole frame at once.
     row_chunks: int = 1
+    # Pallas raster tile shape. Mosaic runs grid steps sequentially with a
+    # fixed per-step cost, so fewer/larger tiles trade per-step overhead
+    # against wasted edge evaluations on small triangles (a triangle pays
+    # VPU work over the WHOLE tile it binned into). (32, 128) measured
+    # best on v5e at 1080p (docs/KERNELS.md tile sweep).
+    tile_h: int = 32
+    tile_w: int = 128
 
     def resolve_raster(self) -> str:
         if self.raster != "auto":
@@ -197,7 +204,8 @@ def _rasterize(
     from ..ops.raster_pallas import rasterize_pallas
 
     bins = bin_triangles(
-        tri, config.width, band_height, config.p_cap, y_offset=y_offset
+        tri, config.width, band_height, config.p_cap,
+        tile_h=config.tile_h, tile_w=config.tile_w, y_offset=y_offset,
     )
     sorted_setup = gather_sorted_setup(tri, bins)
     vis = rasterize_pallas(
@@ -207,6 +215,8 @@ def _rasterize(
         config.width,
         reverse_z=config.reverse_z,
         init=init,
+        tile_h=config.tile_h,
+        tile_w=config.tile_w,
         y_offset=y_offset,
     )
     return vis, bins.num_pairs
@@ -250,7 +260,8 @@ def _rasterize_kbuffer(
     from ..ops.raster_pallas import kbuffer_pallas
 
     bins = bin_triangles(
-        tri, config.width, band_height, config.p_cap, y_offset=y_offset
+        tri, config.width, band_height, config.p_cap,
+        tile_h=config.tile_h, tile_w=config.tile_w, y_offset=y_offset,
     )
     sorted_setup = gather_sorted_setup(tri, bins)
     kb, layers = kbuffer_pallas(
@@ -261,6 +272,8 @@ def _rasterize_kbuffer(
         k=k,
         reverse_z=config.reverse_z,
         depth_floor=depth_floor,
+        tile_h=config.tile_h,
+        tile_w=config.tile_w,
         y_offset=y_offset,
         want_depth=want_depth,
     )

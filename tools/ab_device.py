@@ -51,6 +51,8 @@ def main():
                     help="override RenderConfig.row_chunks (4K HBM bound)")
     ap.add_argument("--no-opaque-compact", action="store_true",
                     help="opaque_px_cap=None: full-screen opaque shade")
+    ap.add_argument("--tile", default=None,
+                    help="Pallas raster tile shape, e.g. 64x256")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -74,6 +76,11 @@ def main():
         from dataclasses import replace
 
         config = replace(config, opaque_px_cap=None)
+    if args.tile:
+        from dataclasses import replace
+
+        th, tw = map(int, args.tile.split("x"))
+        config = replace(config, tile_h=th, tile_w=tw)
 
     t0 = time.time()
     fn = bench.make_unrolled(dev, state0, config, env, 1)
