@@ -53,6 +53,8 @@ def main():
                     help="opaque_px_cap=None: full-screen opaque shade")
     ap.add_argument("--tile", default=None,
                     help="Pallas raster tile shape, e.g. 64x256")
+    ap.add_argument("--opaque-cap", type=int, default=0,
+                    help="override opaque_px_cap after fit_caps (margin A/B)")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -81,6 +83,10 @@ def main():
 
         th, tw = map(int, args.tile.split("x"))
         config = replace(config, tile_h=th, tile_w=tw)
+    if args.opaque_cap:
+        from dataclasses import replace
+
+        config = replace(config, opaque_px_cap=args.opaque_cap)
 
     t0 = time.time()
     fn = bench.make_unrolled(dev, state0, config, env, 1)

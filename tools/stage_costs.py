@@ -1,22 +1,27 @@
 #!/usr/bin/env python3
 """Honest per-stage cost attribution for the headline frame (TPU).
 
-Times PARTIAL frame pipelines (each its own jit, chained-dependency
-calls with a readback barrier per call — docs/TIMING.md) so stage cost
-falls out of differences:
+Times PARTIAL frame pipelines so stage cost falls out of differences:
 
     geometry  = t(geom)
     binning   = t(geom+bin)   - t(geom)
     raster    = t(to_vis)     - t(geom+bin)
     shading   = t(full frame) - t(to_vis)   (gbuffer+shade+sky+tonemap)
 
-Caveat: partial pipelines fuse differently than the full frame (the
-whole point of one-jit frames, docs/KERNELS.md), so deltas are
-attribution-grade, not exact. The full-frame number is the honest
-bench.py device_delta_ms methodology at k=1 (absolute includes ~1 RTT,
-subtracted via bench._probe_rtt).
+Each partial pipeline is ONE jitted program measured as a
+DISPATCH-COUNT SLOPE (t(n=8) - t(n=1)) / 7 with an honest 4-byte
+readback after the last dispatch — the same metric as tools/ab_device.py
+(~2% precision; the old k=1-minus-RTT form here had +-5 ms noise, which
+once attributed 15 ms to a ~3 ms raster pass). Uses the real bench
+headline scene (bench.headline_scene + fit_caps), so capacities match
+what bench.py times.
 
-Usage: python tools/stage_costs.py [--size 1920x1080] [--calls 4]
+Caveat: partial pipelines fuse differently than the full frame (the
+whole point of one-jit frames, docs/KERNELS.md), and the scalar-reduced
+outputs of the partial stages can de-optimize layouts — deltas are
+attribution-grade, not exact.
+
+Usage: python tools/stage_costs.py [--size 1920x1080] [--calls 3]
 """
 
 import argparse
@@ -34,9 +39,11 @@ os.environ.setdefault(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1920x1080")
-    ap.add_argument("--calls", type=int, default=4)
+    ap.add_argument("--calls", type=int, default=3)
+    ap.add_argument("--ns", default="1,2,8")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
+    ns = tuple(int(n) for n in args.ns.split(","))
 
     from superconductor_tpu.utils.cache import enable_compile_cache
 
@@ -49,56 +56,13 @@ def main():
     from superconductor_tpu.ops.raster_pallas import rasterize_pallas
     from superconductor_tpu.render.frame import _merged_geometry, render_frame_impl
 
-    orig = B._measure
+    dev, build, config, env = B.headline_scene(sc, width, height)
+    state = build(0.0)
+    config = B.fit_caps(dev, state, config, env)
 
-    def fm(frame_fn, device_fn=None, **kw):
-        img = frame_fn(0.0)
-        img.block_until_ready()
-        return {"fps": 0.0, "compile_s": 0.0, "img": img,
-                "device_ms": None, "device_spread": None}
-
-    B._measure = fm
-    cap = {}
-    ob = B.bench_headline
-    import functools
-
-    def capture_headline(sc_, width=1920, height=1080):
-        r = ob(sc_, width=width, height=height)
-        return r
-
-    # rebuild the scene pieces exactly as bench_headline does
-    from superconductor_tpu.math3d import (
-        look_at, mat3_to_quat, mat4_inverse,
-    )
-    from superconductor_tpu.render.draws import build_frame_state
-    from superconductor_tpu.utils.procgen import (
-        add_pbr_sphere, default_ambient_sh, gradient_cubemap,
-    )
-
-    scene = sc.Scene()
-    model = add_pbr_sphere(scene)
-    cubemap_base = gradient_cubemap(scene)
-    import numpy as np
-
-    cam = sc.Camera(position=np.array([0.0, 0.3, 2.4], np.float32))
-    B._aim(cam, [0, 0, 0], look_at, mat4_inverse, mat3_to_quat)
-    uniforms = sc.make_uniforms(cam, width, height)
-    env = sc.EnvBindings(
-        ibl_cubemap_base=cubemap_base, ambient_sh=default_ambient_sh()
-    )
-    config = sc.RenderConfig(
-        width=width, height=height, t_cap=1 << 15, t_cap_anim=1 << 6,
-        p_cap=1 << 17, raster="auto",
-    )
-    dev = scene.device_arrays()
-    state = build_frame_state(scene, [(model, sc.Similarity())], uniforms)
-    B._measure = orig
-
-    # --- partial pipelines (scalar-reduced outputs keep transfer tiny;
-    # a scalar output can de-optimize the frame body (bench.make_unrolled
-    # docstring), but within ONE pipeline the comparison is still valid —
-    # each stage's time is measured under the same output convention,
-    # except `frame` which keeps the image output like production).
+    # Perturb uniforms per dispatch so back-to-back calls cannot be
+    # served from any result cache (they are distinct executions anyway,
+    # but keep the inputs honest).
     def eps(u, i):
         uu = dict(u)
         uu["view_proj"] = uu["view_proj"] * (1.0 + jnp.float32(i) * 1e-6)
@@ -117,7 +81,10 @@ def main():
         st = state._replace(uniforms=eps(state.uniforms, i))
         vp = st.uniforms["view_proj"][0]
         tri, attrs = _merged_geometry(dev, st, vp, config)
-        bins = bin_triangles(tri, config.width, config.height, config.p_cap)
+        bins = bin_triangles(
+            tri, config.width, config.height, config.p_cap,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+        )
         ss = gather_sorted_setup(tri, bins)
         return ss.sum() + bins.tile_count.sum()
 
@@ -126,10 +93,14 @@ def main():
         st = state._replace(uniforms=eps(state.uniforms, i))
         vp = st.uniforms["view_proj"][0]
         tri, attrs = _merged_geometry(dev, st, vp, config)
-        bins = bin_triangles(tri, config.width, config.height, config.p_cap)
+        bins = bin_triangles(
+            tri, config.width, config.height, config.p_cap,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+        )
         ss = gather_sorted_setup(tri, bins)
         vis = rasterize_pallas(ss, bins, config.height, config.width,
-                               reverse_z=config.reverse_z)
+                               reverse_z=config.reverse_z,
+                               tile_h=config.tile_h, tile_w=config.tile_w)
         return vis.depth.sum() + vis.pair.sum()
 
     @jax.jit
@@ -139,46 +110,43 @@ def main():
             config=config, env=env,
         )
 
-    def timed(fn, name):
+    def slope(fn, name):
         t0 = time.time()
         jax.device_get(jnp.ravel(fn(dev, state, 0))[0])
         compile_s = time.time() - t0
-        ts = []
-        for i in range(args.calls):
-            t0 = time.perf_counter()
-            jax.device_get(jnp.ravel(fn(dev, state, i + 1))[0])
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        med = ts[len(ts) // 2] * 1e3
-        row = {"stage": name, "ms": round(med, 1),
-               "min_ms": round(ts[0] * 1e3, 1),
+        meds = {n: [] for n in ns}
+        for c in range(args.calls):
+            for n in ns:
+                t0 = time.perf_counter()
+                out = None
+                for i in range(n):
+                    out = fn(dev, state, c * 31 + i + 1)
+                jax.device_get(jnp.ravel(out)[0])
+                meds[n].append(time.perf_counter() - t0)
+        t = {n: sorted(v)[len(v) // 2] * 1e3 for n, v in meds.items()}
+        n1, nl = ns[0], ns[-1]
+        d = (t[nl] - t[n1]) / (nl - n1)
+        row = {"stage": name, "device_ms": round(d, 1),
                "compile_s": round(compile_s, 1)}
+        if len(ns) >= 3:
+            nm = ns[1]
+            row["check_ms"] = [round((t[nm] - t[n1]) / (nm - n1), 1),
+                               round((t[nl] - t[nm]) / (nl - nm), 1)]
         print(json.dumps(row), flush=True)
-        return med
+        return d
 
-    # RTT floor to subtract from absolutes
-    x = jnp.zeros((4,), jnp.float32)
-    jax.device_get(x[0])
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.device_get(x[0])
-        ts.append(time.perf_counter() - t0)
-    rtt = sorted(ts)[2] * 1e3
-    print(json.dumps({"rtt_ms": round(rtt, 1)}), flush=True)
-
-    tg = timed(geom, "geometry")
-    tgb = timed(geom_bin, "geometry+binning")
-    tv = timed(to_vis, "geometry+binning+raster")
-    tf = timed(frame, "full frame (image out)")
+    tg = slope(geom, "geometry")
+    tgb = slope(geom_bin, "geometry+binning")
+    tv = slope(to_vis, "geometry+binning+raster")
+    tf = slope(frame, "full frame (image out)")
 
     print(json.dumps({
         "attribution_ms": {
-            "geometry": round(tg - rtt, 1),
+            "geometry": round(tg, 1),
             "binning": round(tgb - tg, 1),
             "raster": round(tv - tgb, 1),
             "shade+sky+tonemap": round(tf - tv, 1),
-            "full_frame_minus_rtt": round(tf - rtt, 1),
+            "full_frame": round(tf, 1),
         },
         "size": f"{width}x{height}",
     }))
