@@ -100,6 +100,22 @@ class RenderConfig:
     # fit_caps, demo capacity probe) seed DEFAULT_OPAQUE_PX_CAP and grow
     # from the opaque_px_needed stat.
     opaque_px_cap: Optional[int] = None
+    # Compact the opaque worklist at 128-pixel GRANULE granularity (128
+    # contiguous pixels of a screen row) instead of per pixel, whenever
+    # width % 128 == 0. Same never-drop contract and bit-identical output;
+    # the worklist machinery changes from per-pixel sorts/gathers (a
+    # 2M-key sort + a 2M-row composite gather at 1080p) to a ~16k-key
+    # granule sort and ~6k FAT-row (512 B) gathers — gather cost on TPU is
+    # per ROW nearly independent of row width (docs/TIMING.md gather
+    # characterization: 512 B rows move 30x the payload of 4 B lanes at
+    # HIGHER rows/s), so the compaction/composite machinery becomes ~free.
+    # Flat row-granules keep the screen layout (no transposes) and dilate
+    # less than 2D tiles. Granule dilation (a granule is in the worklist
+    # if ANY of its 128 pixels is covered) costs extra shade lanes only on
+    # sparse/scattered coverage; opaque_px_needed reports the
+    # granule-dilated pixel count so growth sizes the cap for this path's
+    # true need.
+    opaque_granules: bool = True
     # Render each view in this many horizontal bands, sequentially (lax.map)
     # — bounds peak HBM for large resolutions (4K+). Geometry (vertex
     # stage + per-view setup) is hoisted out of the band loop; each band
@@ -316,6 +332,16 @@ def _compact_px(mask: jax.Array, cap: int):
     live = idx < npx
     safe = jnp.minimum(idx, npx - 1)
     return idx, safe, live, jnp.sum(mask.astype(jnp.int32)), ranks
+
+
+OPAQUE_GRANULE = 128
+
+
+def _use_opaque_granules(config: RenderConfig) -> bool:
+    """Whether the opaque worklist compacts 128-px row-granules instead of
+    pixels (RenderConfig.opaque_granules). Pure shape gate — the cap-vs-npx
+    selection between compacted and full-screen shading stays separate."""
+    return bool(config.opaque_granules) and config.width % OPAQUE_GRANULE == 0
 
 
 def _compose_worklist(dst, mask, ranks, rows, cap, idx):
@@ -598,7 +624,57 @@ def render_view(
     # --- shade the winning opaque/clip surface ---
     npx = band_height * config.width
     opaque_px_needed = jnp.int32(0)
-    if 0 < (config.opaque_px_cap or 0) < npx:
+    if 0 < (config.opaque_px_cap or 0) < npx and _use_opaque_granules(config):
+        # Granule-compacted: the worklist holds 128-px row-granules, not
+        # pixels. The compaction sort shrinks 128x (16k keys at 1080p) and
+        # every worklist-machinery gather (pair fetch, sky fetch,
+        # composite) moves FAT 512 B+ rows — near-free on this hardware
+        # (docs/TIMING.md) — while the per-lane shading math is unchanged
+        # and bit-exact vs the full-screen path. Dead lanes inside a live
+        # granule (pair < 0) composite the sky row they gather anyway.
+        gr = OPAQUE_GRANULE
+        ngr = npx // gr
+        pair_g = vis.pair.reshape(ngr, gr)
+        gmask = (pair_g >= 0).any(axis=1)
+        cap_g = max(1, config.opaque_px_cap // gr)
+        gidx, gsafe, glive, gneed, granks = _compact_px(gmask, cap_g)
+        # granule-dilated coverage: what THIS path's cap must hold
+        opaque_px_needed = gneed * gr
+        pair_w = jnp.where(glive[:, None], pair_g[gsafe], -1)
+        flat_w = (
+            gsafe[:, None] * gr + jnp.arange(gr, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        opx, opy = _px_py_at(flat_w, config.width, y_offset)
+        g = interpolate_gbuffer(
+            pair_w.reshape(-1),
+            opx,
+            opy,
+            merged_tri,
+            merged_attrs,
+            shade_row=shade_row,
+        )
+        rgb_w, _ = shade(
+            g,
+            scene,
+            u,
+            view_index,
+            env=env,
+            inline_tonemapping=config.inline_tonemapping,
+            inline_srgb=config.inline_srgb,
+            aniso_taps=config.aniso_taps,
+        )
+        sky_g = sky.reshape(ngr, gr * 3)
+        sky_w = sky_g[gsafe].reshape(-1, 3)
+        rows = jnp.where(g.valid[..., None], rgb_w, sky_w)
+        rgb = _compose_worklist(
+            sky_g,
+            gmask,
+            granks,
+            rows.reshape(-1, gr * 3),
+            gidx.shape[0],
+            gidx,
+        ).reshape(npx, 3)
+    elif 0 < (config.opaque_px_cap or 0) < npx:
         # Compacted: gbuffer interpolation + the full material/lighting
         # evaluation run only on the worklist of covered pixels; sky pixels
         # never pay a texture tap. Identical per-lane math to the
@@ -640,8 +716,15 @@ def render_view(
         # Report coverage here too (one cheap reduction): nothing can be
         # dropped on this path, but the stat lets a host size opaque_px_cap
         # from a single full-screen stats frame (coverage <= npx <= any
-        # cap that selects this path, so growth still self-limits).
-        opaque_px_needed = jnp.sum(gbuf.valid.astype(jnp.int32))
+        # cap that selects this path, so growth still self-limits). When
+        # the sized cap will select the granule path, report the
+        # granule-DILATED count — that path's true need.
+        if _use_opaque_granules(config):
+            gr = OPAQUE_GRANULE
+            gmask = gbuf.valid.reshape(npx // gr, gr).any(axis=1)
+            opaque_px_needed = jnp.sum(gmask.astype(jnp.int32)) * gr
+        else:
+            opaque_px_needed = jnp.sum(gbuf.valid.astype(jnp.int32))
         rgb, alpha = shade(
             gbuf,
             scene,

@@ -372,6 +372,49 @@ def test_opaque_compact_matches_fullscreen():
     assert np.array_equal(np.asarray(img_full), np.asarray(img_c))
 
 
+def test_opaque_granule_compact_matches_fullscreen():
+    """Granule-compacted opaque shading (OPAQUE_GRANULE=128 row-granules,
+    used when width % 128 == 0) is pixel-exact vs both the full-screen
+    shade and the per-pixel compacted path, and the coverage stat reports
+    the granule-DILATED pixel count consistently on the full-screen and
+    granule paths (so a host sizes the cap for the path it will select)."""
+    from superconductor_tpu.render.frame import render_frame_stats
+
+    dev, state, env = _pbr_sphere_frame_inputs()
+    # width divisible by the granule -> granule path active when compacted
+    base = dict(width=256, height=96, t_cap=2048, t_cap_anim=8, raster="ref")
+
+    img_full, st_full = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=0, **base), env
+    )
+    dilated = int(st_full["opaque_px_needed"])
+    assert dilated % 128 == 0 and 0 < dilated < 256 * 96
+
+    img_g, st_g = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=dilated, **base), env
+    )
+    assert int(st_g["opaque_px_needed"]) == dilated
+    assert np.array_equal(np.asarray(img_full), np.asarray(img_g))
+
+    # per-pixel path (opaque_granules=False): also exact, smaller stat
+    img_p, st_p = render_frame_stats(
+        dev,
+        state,
+        RenderConfig(opaque_px_cap=dilated, opaque_granules=False, **base),
+        env,
+    )
+    assert 0 < int(st_p["opaque_px_needed"]) <= dilated
+    assert np.array_equal(np.asarray(img_full), np.asarray(img_p))
+
+    # overflow: a cap below the dilated need drops granules (image differs)
+    # and reports the same dilated need — the host's grow signal
+    img_of, st_of = render_frame_stats(
+        dev, state, RenderConfig(opaque_px_cap=dilated // 4, **base), env
+    )
+    assert int(st_of["opaque_px_needed"]) == dilated
+    assert not np.array_equal(np.asarray(img_full), np.asarray(img_of))
+
+
 def test_opaque_compact_overflow_grows_and_recovers():
     """When coverage exceeds opaque_px_cap the stat exceeds the cap (the
     host's grow-and-re-render signal) and growing the cap exactly as the
