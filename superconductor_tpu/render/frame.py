@@ -100,22 +100,23 @@ class RenderConfig:
     # fit_caps, demo capacity probe) seed DEFAULT_OPAQUE_PX_CAP and grow
     # from the opaque_px_needed stat.
     opaque_px_cap: Optional[int] = None
-    # Compact the opaque worklist at 128-pixel GRANULE granularity (128
-    # contiguous pixels of a screen row) instead of per pixel, whenever
+    # Compact ALL shading worklists (opaque, clip resolve, per-layer
+    # blend/particle) at 128-pixel GRANULE granularity (128 contiguous
+    # pixels of a screen row) instead of per pixel, whenever
     # width % 128 == 0. Same never-drop contract and bit-identical output;
     # the worklist machinery changes from per-pixel sorts/gathers (a
-    # 2M-key sort + a 2M-row composite gather at 1080p) to a ~16k-key
-    # granule sort and ~6k FAT-row (512 B) gathers — gather cost on TPU is
-    # per ROW nearly independent of row width (docs/TIMING.md gather
-    # characterization: 512 B rows move 30x the payload of 4 B lanes at
-    # HIGHER rows/s), so the compaction/composite machinery becomes ~free.
-    # Flat row-granules keep the screen layout (no transposes) and dilate
-    # less than 2D tiles. Granule dilation (a granule is in the worklist
-    # if ANY of its 128 pixels is covered) costs extra shade lanes only on
-    # sparse/scattered coverage; opaque_px_needed reports the
-    # granule-dilated pixel count so growth sizes the cap for this path's
-    # true need.
-    opaque_granules: bool = True
+    # 2M-key sort + a 2M-row composite gather at 1080p, PER worklist —
+    # the all-passes frame builds ~9 of them) to a ~16k-key granule sort
+    # and FAT-row (512 B+) gathers — gather cost on TPU is per ROW nearly
+    # independent of row width (docs/TIMING.md gather characterization:
+    # 512 B rows move 30x the payload of 4 B lanes at HIGHER rows/s), so
+    # the compaction/composite machinery becomes ~free. Flat row-granules
+    # keep the screen layout (no transposes) and dilate less than 2D
+    # tiles. Granule dilation (a granule is in the worklist if ANY of its
+    # 128 pixels is covered) costs extra shade lanes only on
+    # sparse/scattered coverage; the *_needed stats report granule-dilated
+    # pixel counts so growth sizes each cap for this path's true need.
+    worklist_granules: bool = True
     # Render each view in this many horizontal bands, sequentially (lax.map)
     # — bounds peak HBM for large resolutions (4K+). Geometry (vertex
     # stage + per-view setup) is hoisted out of the band loop; each band
@@ -334,14 +335,88 @@ def _compact_px(mask: jax.Array, cap: int):
     return idx, safe, live, jnp.sum(mask.astype(jnp.int32)), ranks
 
 
-OPAQUE_GRANULE = 128
+WORKLIST_GRANULE = 128
 
 
-def _use_opaque_granules(config: RenderConfig) -> bool:
-    """Whether the opaque worklist compacts 128-px row-granules instead of
-    pixels (RenderConfig.opaque_granules). Pure shape gate — the cap-vs-npx
+def _worklist_granule(config: RenderConfig, npx: int) -> int:
+    """Lanes per worklist granule: 128 when the shading worklists compact
+    row-granules (RenderConfig.worklist_granules and the band shape
+    divides), else 1 (per-pixel). Pure shape gate — the cap-vs-npx
     selection between compacted and full-screen shading stays separate."""
-    return bool(config.opaque_granules) and config.width % OPAQUE_GRANULE == 0
+    gr = WORKLIST_GRANULE
+    if config.worklist_granules and config.width % gr == 0 and npx % gr == 0:
+        return gr
+    return 1
+
+
+class _Worklist(NamedTuple):
+    """A compacted shading worklist at granule granularity (gr lanes per
+    granule; gr == 1 is the per-pixel form). Call sites gather their
+    per-pixel inputs through take() (FAT rows in granule mode), shade the
+    expanded lanes, and write back with compose() — never-drop: lanes past
+    the cap keep the destination, and `need` (granule-dilated pixel count)
+    tells the host what cap would have sufficed."""
+
+    idx: jax.Array  # (cap_g,) granule indices, sentinel = n_granules
+    safe: jax.Array  # (cap_g,) clamped for gathers
+    live: jax.Array  # (cap_g,) bool
+    need: jax.Array  # () i32 — granule-dilated covered PIXEL count
+    ranks: jax.Array  # (n_granules,) granule -> worklist slot
+    mask: jax.Array  # (n_granules,) granule coverage
+    gr: int
+    npx: int
+
+    @property
+    def lanes(self) -> int:
+        return self.idx.shape[0] * self.gr
+
+    def lane_safe(self) -> jax.Array:
+        """Flat pixel index of each worklist lane (arithmetic, no gather)."""
+        if self.gr == 1:
+            return self.safe
+        off = jnp.arange(self.gr, dtype=jnp.int32)[None, :]
+        return (self.safe[:, None] * self.gr + off).reshape(-1)
+
+    def lane_live(self) -> jax.Array:
+        if self.gr == 1:
+            return self.live
+        return jnp.repeat(self.live, self.gr)
+
+    def take(self, x: jax.Array) -> jax.Array:
+        """Gather flat per-pixel data (npx,) or (npx, C) to worklist lanes
+        — ONE fat row per granule in granule mode."""
+        if self.gr == 1:
+            return x[self.safe]
+        if x.ndim == 1:
+            return x.reshape(-1, self.gr)[self.safe].reshape(-1)
+        c = x.shape[-1]
+        return x.reshape(-1, self.gr, c)[self.safe].reshape(-1, c)
+
+    def compose(self, dst: jax.Array, rows: jax.Array) -> jax.Array:
+        """Write lane rows (lanes,) / (lanes, C) into flat per-pixel dst at
+        the masked pixels (overflowed/dead lanes keep dst)."""
+        if self.gr == 1:
+            return _compose_worklist(
+                dst, self.mask, self.ranks, rows, self.idx.shape[0], self.idx
+            )
+        c = 1 if dst.ndim == 1 else dst.shape[-1]
+        dst_g = dst.reshape(self.npx // self.gr, self.gr * c)
+        rows_g = rows.reshape(-1, self.gr * c)
+        out = _compose_worklist(
+            dst_g, self.mask, self.ranks, rows_g, self.idx.shape[0], self.idx
+        )
+        return out.reshape(dst.shape)
+
+
+def _compact_worklist(mask: jax.Array, cap: int, config: RenderConfig):
+    """Compact a flat (npx,) coverage mask into a _Worklist of at most
+    `cap` shading lanes (rounded down to whole granules in granule mode)."""
+    npx = mask.shape[0]
+    gr = _worklist_granule(config, npx)
+    gmask = mask.reshape(-1, gr).any(axis=1) if gr > 1 else mask
+    cap_g = max(1, min(cap, npx) // gr)
+    idx, safe, live, gneed, ranks = _compact_px(gmask, cap_g)
+    return _Worklist(idx, safe, live, gneed * gr, ranks, gmask, gr, npx)
 
 
 def _compose_worklist(dst, mask, ranks, rows, cap, idx):
@@ -366,7 +441,7 @@ def _compose_worklist(dst, mask, ranks, rows, cap, idx):
     return jnp.where(keep, rows[take], dst)
 
 
-def _composite_layers(rgb, pair_planes, caps, needed_k, shade_fn):
+def _composite_layers(rgb, pair_planes, caps, needed_k, shade_fn, config):
     """Back-to-front per-layer compact -> shade -> composite-scatter.
 
     The shared worklist/composite contract of the particle and blend
@@ -375,20 +450,22 @@ def _composite_layers(rgb, pair_planes, caps, needed_k, shade_fn):
     — RenderConfig.shade_px_caps), shades only the worklist via
     shade_fn(pair_worklist, safe, live) -> (rgb, alpha), and alpha-blends
     straight into the image. needed_k accumulates (max) the per-layer
-    true coverage for the never-drop growth loop.
+    true (granule-dilated) coverage for the never-drop growth loop.
 
     rgb: (npx, 3); pair_planes: (K, ...) layer pair ids, -1 = empty.
     Returns (rgb, needed_k)."""
     for k in range(len(caps) - 1, -1, -1):
         mask_k = (pair_planes[k] >= 0).reshape(-1)
-        idx, safe, live, need, ranks = _compact_px(mask_k, caps[k])
-        needed_k = needed_k.at[k].max(need)
+        wl = _compact_worklist(mask_k, caps[k], config)
+        needed_k = needed_k.at[k].max(wl.need)
         srgb, sa = shade_fn(
-            jnp.where(live, pair_planes[k].reshape(-1)[safe], -1), safe, live
+            jnp.where(wl.lane_live(), wl.take(pair_planes[k].reshape(-1)), -1),
+            wl.lane_safe(),
+            wl.lane_live(),
         )
-        cur = rgb[safe]
+        cur = wl.take(rgb)
         rows = srgb * sa[..., None] + cur * (1.0 - sa[..., None])
-        rgb = _compose_worklist(rgb, mask_k, ranks, rows, idx.shape[0], idx)
+        rgb = wl.compose(rgb, rows)
     return rgb, needed_k
 
 
@@ -572,15 +649,16 @@ def render_view(
         pairs_needed = jnp.maximum(pairs_needed, clip_pairs)
         clip_layers_needed = jnp.maximum(clip_layers_needed, clip_layers)
         anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
-        idx, safe, live, need, ranks = _compact_px(anyhit, config.shade_px_cap)
-        shade_px_needed = jnp.maximum(shade_px_needed, need)
-        pxc, pyc = _px_py_at(safe, config.width, y_offset)
+        wl = _compact_worklist(anyhit, config.shade_px_cap, config)
+        shade_px_needed = jnp.maximum(shade_px_needed, wl.need)
+        live = wl.lane_live()
+        pxc, pyc = _px_py_at(wl.lane_safe(), config.width, y_offset)
         vshape = vis.pair.shape
-        chosen_pair = jnp.full(idx.shape, -1, jnp.int32)
-        chosen_depth = vis.depth.reshape(-1)[safe]
-        found = jnp.zeros(idx.shape, bool)
+        chosen_pair = jnp.full((wl.lanes,), -1, jnp.int32)
+        chosen_depth = wl.take(vis.depth.reshape(-1))
+        found = jnp.zeros((wl.lanes,), bool)
         for k in range(config.resolve_clip_layers()):
-            pair_k = jnp.where(live, kb.pair[k].reshape(-1)[safe], -1)
+            pair_k = jnp.where(live, wl.take(kb.pair[k].reshape(-1)), -1)
             g = interpolate_gbuffer(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
                 shade_row=shade_row,
@@ -588,7 +666,9 @@ def render_view(
             a, cutoff = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
             ok = g.valid & (a >= cutoff) & ~found
             chosen_pair = jnp.where(ok, pair_k, chosen_pair)
-            chosen_depth = jnp.where(ok, kb.depth[k].reshape(-1)[safe], chosen_depth)
+            chosen_depth = jnp.where(
+                ok, wl.take(kb.depth[k].reshape(-1)), chosen_depth
+            )
             found = found | ok
         # write the winning clip surfaces back into the visibility buffer
         # (unfound worklist lanes rewrite their original values; overflowed
@@ -596,13 +676,11 @@ def render_view(
         flat = lambda a: a.reshape(-1)  # noqa: E731
 
         def put(full, values):
-            return _compose_worklist(
-                flat(full), anyhit, ranks, values, idx.shape[0], idx
-            ).reshape(vshape)
+            return wl.compose(flat(full), values).reshape(vshape)
 
         vis = VisibilityBuffer(
             depth=put(vis.depth, chosen_depth),
-            pair=put(vis.pair, jnp.where(found, chosen_pair, flat(vis.pair)[safe])),
+            pair=put(vis.pair, jnp.where(found, chosen_pair, wl.take(flat(vis.pair)))),
         )
 
     # --- skybox for misses (depth GreaterEqual at the far plane in the
@@ -624,69 +702,22 @@ def render_view(
     # --- shade the winning opaque/clip surface ---
     npx = band_height * config.width
     opaque_px_needed = jnp.int32(0)
-    if 0 < (config.opaque_px_cap or 0) < npx and _use_opaque_granules(config):
-        # Granule-compacted: the worklist holds 128-px row-granules, not
-        # pixels. The compaction sort shrinks 128x (16k keys at 1080p) and
-        # every worklist-machinery gather (pair fetch, sky fetch,
-        # composite) moves FAT 512 B+ rows — near-free on this hardware
-        # (docs/TIMING.md) — while the per-lane shading math is unchanged
-        # and bit-exact vs the full-screen path. Dead lanes inside a live
-        # granule (pair < 0) composite the sky row they gather anyway.
-        gr = OPAQUE_GRANULE
-        ngr = npx // gr
-        pair_g = vis.pair.reshape(ngr, gr)
-        gmask = (pair_g >= 0).any(axis=1)
-        cap_g = max(1, config.opaque_px_cap // gr)
-        gidx, gsafe, glive, gneed, granks = _compact_px(gmask, cap_g)
-        # granule-dilated coverage: what THIS path's cap must hold
-        opaque_px_needed = gneed * gr
-        pair_w = jnp.where(glive[:, None], pair_g[gsafe], -1)
-        flat_w = (
-            gsafe[:, None] * gr + jnp.arange(gr, dtype=jnp.int32)[None, :]
-        ).reshape(-1)
-        opx, opy = _px_py_at(flat_w, config.width, y_offset)
-        g = interpolate_gbuffer(
-            pair_w.reshape(-1),
-            opx,
-            opy,
-            merged_tri,
-            merged_attrs,
-            shade_row=shade_row,
-        )
-        rgb_w, _ = shade(
-            g,
-            scene,
-            u,
-            view_index,
-            env=env,
-            inline_tonemapping=config.inline_tonemapping,
-            inline_srgb=config.inline_srgb,
-            aniso_taps=config.aniso_taps,
-        )
-        sky_g = sky.reshape(ngr, gr * 3)
-        sky_w = sky_g[gsafe].reshape(-1, 3)
-        rows = jnp.where(g.valid[..., None], rgb_w, sky_w)
-        rgb = _compose_worklist(
-            sky_g,
-            gmask,
-            granks,
-            rows.reshape(-1, gr * 3),
-            gidx.shape[0],
-            gidx,
-        ).reshape(npx, 3)
-    elif 0 < (config.opaque_px_cap or 0) < npx:
+    if 0 < (config.opaque_px_cap or 0) < npx:
         # Compacted: gbuffer interpolation + the full material/lighting
         # evaluation run only on the worklist of covered pixels; sky pixels
         # never pay a texture tap. Identical per-lane math to the
-        # full-screen path (bit-exact; tests/test_render.py parity test).
+        # full-screen path (bit-exact; tests/test_render.py parity tests).
+        # In granule mode (worklist_granules) the worklist holds 128-px
+        # row-granules: the compaction sort shrinks 128x and the pair /
+        # sky / composite moves become fat-row gathers — near-free
+        # (docs/TIMING.md). Dead lanes inside a live granule (pair < 0)
+        # composite the sky row they gather anyway.
         hit_mask = (vis.pair >= 0).reshape(-1)
-        oidx, osafe, olive, need, oranks = _compact_px(
-            hit_mask, config.opaque_px_cap
-        )
-        opaque_px_needed = need
-        opx, opy = _px_py_at(osafe, config.width, y_offset)
+        wl = _compact_worklist(hit_mask, config.opaque_px_cap, config)
+        opaque_px_needed = wl.need
+        opx, opy = _px_py_at(wl.lane_safe(), config.width, y_offset)
         g = interpolate_gbuffer(
-            jnp.where(olive, vis.pair.reshape(-1)[osafe], -1),
+            jnp.where(wl.lane_live(), wl.take(vis.pair.reshape(-1)), -1),
             opx,
             opy,
             merged_tri,
@@ -703,13 +734,8 @@ def render_view(
             inline_srgb=config.inline_srgb,
             aniso_taps=config.aniso_taps,
         )
-        rgb = _compose_worklist(
-            sky,
-            hit_mask,
-            oranks,
-            jnp.where(g.valid[..., None], rgb_w, sky[osafe]),
-            oidx.shape[0],
-            oidx,
+        rgb = wl.compose(
+            sky, jnp.where(g.valid[..., None], rgb_w, wl.take(sky))
         )
     else:
         gbuf = gbuffer_of(vis.pair)
@@ -719,8 +745,8 @@ def render_view(
         # cap that selects this path, so growth still self-limits). When
         # the sized cap will select the granule path, report the
         # granule-DILATED count — that path's true need.
-        if _use_opaque_granules(config):
-            gr = OPAQUE_GRANULE
+        gr = _worklist_granule(config, npx)
+        if gr > 1:
             gmask = gbuf.valid.reshape(npx // gr, gr).any(axis=1)
             opaque_px_needed = jnp.sum(gmask.astype(jnp.int32)) * gr
         else:
@@ -819,7 +845,7 @@ def render_view(
         rgb, shade_px_needed_k = _composite_layers(
             rgb, pkb.pair,
             config.layer_caps(config.resolve_particle_layers()),
-            shade_px_needed_k, shade_particle_layer,
+            shade_px_needed_k, shade_particle_layer, config,
         )
 
     # --- pass 3: alpha-blend composite (K nearest blended layers, shaded
@@ -854,7 +880,7 @@ def render_view(
 
         rgb, shade_px_needed_k = _composite_layers(
             rgb, kb.pair, config.layer_caps(), shade_px_needed_k,
-            shade_blend_layer,
+            shade_blend_layer, config,
         )
 
     # Non-inline path: the reference renders linear HDR to an intermediate

@@ -81,6 +81,30 @@ def test_split_k_image_parity():
     assert np.array_equal(img_u, img_s)
 
 
+def test_transparent_granule_worklists_image_parity():
+    """At a granule-compatible width (128) the clip resolve and per-layer
+    blend worklists compact 128-px row-granules; the image must be
+    identical to the per-pixel worklist form (worklist_granules=False) —
+    the granule machinery changes only HOW lanes are gathered/composited,
+    never which pixels shade."""
+    dev, state = _mixed_scene()
+    # uniforms were built for 48x48; rebuild the frame for 128x64
+    scene = None  # state carries the device scene; only config changes
+    base = dict(width=128, height=64, t_cap=64, t_cap_anim=8, raster="ref",
+                enable_clip=True, enable_blend=True, blend_layers=8,
+                shade_px_cap=4096)
+    img_g = np.asarray(
+        render_frame(dev, state, RenderConfig(**base), EnvBindings())
+    )
+    img_p = np.asarray(
+        render_frame(
+            dev, state, RenderConfig(worklist_granules=False, **base),
+            EnvBindings(),
+        )
+    )
+    assert np.array_equal(img_g, img_p)
+
+
 def test_split_k_stats_per_pass():
     from superconductor_tpu.render.frame import (
         render_frame_stats,

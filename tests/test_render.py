@@ -400,7 +400,7 @@ def test_opaque_granule_compact_matches_fullscreen():
     img_p, st_p = render_frame_stats(
         dev,
         state,
-        RenderConfig(opaque_px_cap=dilated, opaque_granules=False, **base),
+        RenderConfig(opaque_px_cap=dilated, worklist_granules=False, **base),
         env,
     )
     assert 0 < int(st_p["opaque_px_needed"]) <= dilated
