@@ -66,23 +66,40 @@ def start_loading_models(world: World) -> None:
     scene = world.resource(SceneResource).scene
     client = world.resource(HttpClientResource).client
 
+    res = world.resource(HttpClientResource)
     for ctype, animated in ((ModelUrl, False), (AnimatedModelUrl, True)):
         for entity, url in list(world.components.get(ctype, {}).items()):
             if world.get(entity, PendingModel) or world.get(entity, ModelComponent):
                 continue
 
-            def job(u=url.url, anim=animated):
+            def job(u=url.url, anim=animated,
+                    mts=scene.max_texture_size,
+                    defer=res.streamer is not None):
                 data = client.fetch_bytes(u)
-                # Parsing/insertion mutates the scene; the executor only
-                # fetches bytes — decode happens on the main thread at
-                # finish time to keep scene mutation single-threaded.
-                return data, anim, u
+                # The whole DECODE runs here on the executor (GLB parse,
+                # meshopt, image decode, mip chains) — the reference runs
+                # all of Model::load on its executor (models.rs:280 via
+                # spawn, renderer-core/src/lib.rs:248). Only scene
+                # MUTATION stays on the frame thread (insert_model at
+                # finish time), so a large model never hitches the
+                # present loop. max_texture_size is captured at submit;
+                # insert_model re-applies the scene's current value.
+                from ..assets.models import decode_model
+
+                return decode_model(
+                    data, url=u, client=client, animated=anim,
+                    max_texture_size=mts, defer_external=defer,
+                ), anim, u
 
             world.insert(entity, PendingModel(client.submit(job)))
 
 
 def finish_loading_models(world: World) -> None:
-    """Swap finished loads into ModelComponent (systems.rs:1112-1123)."""
+    """Swap finished loads into ModelComponent (systems.rs:1112-1123).
+    The future holds a DecodedModel; only insert_model (mega-buffer +
+    texture-pool copies) runs here on the frame thread."""
+    from ..assets.models import insert_model
+
     scene = world.resource(SceneResource).scene
     res = world.resource(HttpClientResource)
     for entity, pending in list(world.components.get(PendingModel, {}).items()):
@@ -90,14 +107,9 @@ def finish_loading_models(world: World) -> None:
             continue
         world.remove(entity, PendingModel)
         try:
-            data, animated, url = pending.future.result()
-            model = load_model(
-                scene,
-                data,
-                url=url,
-                client=res.client,
-                animated=animated,
-                streamer=res.streamer,
+            decoded, animated, url = pending.future.result()
+            model = insert_model(
+                scene, decoded, streamer=res.streamer
             )
             world.insert(entity, ModelComponent(model))
         except Exception:

@@ -72,3 +72,54 @@ def test_unload_model_frees_ranges(box_glb):
     # freed space is reused by the next load
     m3 = load_model(scene, box_glb, name="c")
     assert scene.positions.alloc.used() == 2 * used_after_one
+
+
+def test_decode_insert_split_matches_load_model():
+    """decode_model (worker-thread half) + insert_model (frame-thread
+    half) must produce the same scene state as the one-shot load_model —
+    the async asset path's correctness contract (VERDICT r4 #6; the
+    reference runs all of Model::load on its executor, models.rs:280)."""
+    import os
+
+    from superconductor_tpu.assets.models import decode_model, insert_model
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures",
+        "hero_helmet.glb",
+    )
+    with open(fixture, "rb") as f:
+        data = f.read()
+
+    s1 = Scene()
+    m1 = load_model(s1, data, name="hero")
+
+    # Decode off-scene (worker-safe: touches no Scene), insert separately.
+    decoded = decode_model(data)
+    assert decoded.textures and decoded.materials and decoded.primitives
+    s2 = Scene()
+    m2 = insert_model(s2, decoded, name="hero")
+
+    assert len(m1.primitives) == len(m2.primitives)
+    for p1, p2 in zip(m1.primitives, m2.primitives):
+        assert p1.material == p2.material
+        assert p1.blend_mode == p2.blend_mode
+        assert len(p1.lods) == len(p2.lods)
+        for l1, l2 in zip(p1.lods, p2.lods):
+            assert (l1.first_index, l1.index_count, l1.first_vertex,
+                    l1.vertex_count) == (
+                l2.first_index, l2.index_count, l2.first_vertex,
+                l2.vertex_count)
+    assert m1.bounding_sphere_radius == m2.bounding_sphere_radius
+    np.testing.assert_array_equal(s1.positions.host, s2.positions.host)
+    np.testing.assert_array_equal(s1.indices.host, s2.indices.host)
+    # Texture pools byte-identical (same chains, same placement).
+    np.testing.assert_array_equal(
+        s1.textures.texels.host, s2.textures.texels.host
+    )
+    # Material rows identical.
+    d1, d2 = s1.device_arrays(), s2.device_arrays()
+    for k in d1["materials"]:
+        np.testing.assert_array_equal(
+            np.asarray(d1["materials"][k]), np.asarray(d2["materials"][k]),
+            err_msg=k,
+        )
