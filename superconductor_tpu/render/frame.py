@@ -163,6 +163,12 @@ class RenderConfig:
 # the ECS render system, bench.fit_caps, and the demo capacity probe.
 DEFAULT_OPAQUE_PX_CAP = 1 << 17
 
+# Sorted-pair mode switch (see render_view): tests flip this to compare
+# the sorted-table path against the classic full-screen id remap on the
+# SAME Pallas kernel (trace under a fresh jax.jit when flipping — the
+# flag is captured at trace time, not part of the config hash).
+SORTED_PAIR_MODE = True
+
 
 def size_worklist_cap(need: int, floor: int = 512) -> int:
     """Size a pixel-worklist capacity (shade_px_cap / shade_px_caps /
@@ -203,10 +209,21 @@ def _rasterize(
     band_height: int,
     y_offset,
     init=None,
+    remap=True,
 ):
-    """-> (VisibilityBuffer, pairs_needed i32). pairs_needed is the bin-pair
-    count this pass would need (0 on the unbinned ref path); the host checks
-    it against p_cap so overflow grows capacity instead of dropping work."""
+    """-> (VisibilityBuffer, pairs_needed i32, order). pairs_needed is the
+    bin-pair count this pass would need (0 on the unbinned ref path); the
+    host checks it against p_cap so overflow grows capacity instead of
+    dropping work.
+
+    remap=False (pallas path only) leaves SORTED bin positions in
+    vis.pair and returns the (p_cap,) order array so the caller can
+    instead gather its per-pair tables into sorted order — a p_cap-row
+    gather instead of the full-screen sorted-pos -> pair-id remap, which
+    measured 15.6 ms at 1080p (tools/raster_probe.py: the Pallas kernel
+    itself is 0.5 ms; the 2.07M-pixel 4-byte remap gather dominated the
+    whole raster stage). order is None when vis.pair already holds
+    original ids (ref path, or remap=True)."""
     method = config.resolve_raster()
     if method == "ref":
         vis = rasterize_ref(
@@ -217,26 +234,42 @@ def _rasterize(
             init=init,
             y_offset=y_offset,
         )
-        return vis, jnp.int32(0)
-    from ..ops.raster_pallas import rasterize_pallas
+        return vis, jnp.int32(0), None
+    from ..ops.raster_pallas import rasterize_pallas, rasterize_pallas_sorted
 
     bins = bin_triangles(
         tri, config.width, band_height, config.p_cap,
         tile_h=config.tile_h, tile_w=config.tile_w, y_offset=y_offset,
     )
     sorted_setup = gather_sorted_setup(tri, bins)
-    vis = rasterize_pallas(
+    if remap:
+        vis = rasterize_pallas(
+            sorted_setup,
+            bins,
+            band_height,
+            config.width,
+            reverse_z=config.reverse_z,
+            init=init,
+            tile_h=config.tile_h,
+            tile_w=config.tile_w,
+            y_offset=y_offset,
+        )
+        return vis, bins.num_pairs, None
+    interpret = jax.default_backend() != "tpu"
+    vis = rasterize_pallas_sorted(
         sorted_setup,
-        bins,
+        bins.tile_start,
+        bins.tile_count,
         band_height,
         config.width,
-        reverse_z=config.reverse_z,
-        init=init,
         tile_h=config.tile_h,
         tile_w=config.tile_w,
+        reverse_z=config.reverse_z,
+        init=init,
+        interpret=interpret,
         y_offset=y_offset,
     )
-    return vis, bins.num_pairs
+    return vis, bins.num_pairs, bins.order
 
 
 def _rasterize_kbuffer(
@@ -247,8 +280,11 @@ def _rasterize_kbuffer(
     depth_floor,
     want_depth: bool = True,
     k: Optional[int] = None,
+    remap=True,
 ):
-    """-> (KBuffer, pairs_needed i32, layers_needed i32); see _rasterize.
+    """-> (KBuffer, pairs_needed i32, layers_needed i32, order); see
+    _rasterize (remap=False leaves sorted positions in kb.pair and
+    returns bins.order).
     layers_needed is the max accepted-fragment count any pixel saw — when
     it exceeds k (this pass's k-buffer depth: blend_layers, clip_layers or
     particle_layers) the k-buffer dropped a surface and the host must grow
@@ -273,28 +309,46 @@ def _rasterize_kbuffer(
             depth_floor=depth_floor,
             y_offset=y_offset,
         )
-        return kb, jnp.int32(0), layers.max()
-    from ..ops.raster_pallas import kbuffer_pallas
+        return kb, jnp.int32(0), layers.max(), None
+    from ..ops.raster_pallas import kbuffer_pallas, kbuffer_pallas_sorted
 
     bins = bin_triangles(
         tri, config.width, band_height, config.p_cap,
         tile_h=config.tile_h, tile_w=config.tile_w, y_offset=y_offset,
     )
     sorted_setup = gather_sorted_setup(tri, bins)
-    kb, layers = kbuffer_pallas(
+    if remap:
+        kb, layers = kbuffer_pallas(
+            sorted_setup,
+            bins,
+            band_height,
+            config.width,
+            k=k,
+            reverse_z=config.reverse_z,
+            depth_floor=depth_floor,
+            tile_h=config.tile_h,
+            tile_w=config.tile_w,
+            y_offset=y_offset,
+            want_depth=want_depth,
+        )
+        return kb, bins.num_pairs, layers.max(), None
+    interpret = jax.default_backend() != "tpu"
+    kb, layers = kbuffer_pallas_sorted(
         sorted_setup,
-        bins,
+        bins.tile_start,
+        bins.tile_count,
         band_height,
         config.width,
         k=k,
-        reverse_z=config.reverse_z,
-        depth_floor=depth_floor,
         tile_h=config.tile_h,
         tile_w=config.tile_w,
+        reverse_z=config.reverse_z,
+        depth_floor=depth_floor,
+        interpret=interpret,
         y_offset=y_offset,
         want_depth=want_depth,
     )
-    return kb, bins.num_pairs, layers.max()
+    return kb, bins.num_pairs, layers.max(), bins.order
 
 
 def _compact_px(mask: jax.Array, cap: int):
@@ -615,15 +669,35 @@ def render_view(
             parts.append(mats["mat_row_mq"][merged_attrs.material])
         shade_row = jnp.concatenate(parts, axis=1)
 
-    def gbuffer_of(pair):
-        return interpolate_gbuffer(
-            pair.reshape(-1), px, py, merged_tri, merged_attrs,
-            shade_row=shade_row,
-        )
+    # Sorted-pair mode (pallas raster + packed shade rows): the raster
+    # passes leave SORTED bin positions in their pair planes and the
+    # per-pair shade-row table is gathered into sorted order instead —
+    # a (p_cap,) row gather per pass replaces the full-screen
+    # sorted-pos -> pair-id remap, which measured 15.6 ms of the
+    # headline's 15.8 ms "raster" stage at 1080p (tools/raster_probe.py;
+    # the Pallas kernel itself is 0.5 ms). The clip pass's sorted
+    # positions are offset by p_cap and its table concatenated after the
+    # opaque one, so the merged visibility buffer after the clip resolve
+    # still indexes ONE table (vis_row).
+    sorted_mode = (
+        SORTED_PAIR_MODE
+        and shade_row is not None
+        and config.resolve_raster() == "pallas"
+    )
 
     # --- pass 1: opaque visibility ---
     opaque_tri = merged_tri._replace(valid=merged_tri.valid & (blend_mode == 0))
-    vis, pairs_needed = _rasterize(opaque_tri, config, band_height, y_offset)
+    vis, pairs_needed, op_order = _rasterize(
+        opaque_tri, config, band_height, y_offset, remap=not sorted_mode
+    )
+    vis_row = shade_row[op_order] if sorted_mode else shade_row
+
+    def gbuffer_of(pair):
+        return interpolate_gbuffer(
+            pair.reshape(-1), px, py, merged_tri, merged_attrs,
+            shade_row=vis_row,
+        )
+
     clip_layers_needed = jnp.int32(0)
     blend_layers_needed = jnp.int32(0)
     particle_layers_needed = jnp.int32(0)
@@ -642,10 +716,15 @@ def render_view(
         clip_tri = merged_tri._replace(
             valid=merged_tri.valid & (blend_mode == 1)
         )
-        kb, clip_pairs, clip_layers = _rasterize_kbuffer(
+        kb, clip_pairs, clip_layers, clip_order = _rasterize_kbuffer(
             clip_tri, config, band_height, y_offset, vis.depth,
-            k=config.resolve_clip_layers(),
+            k=config.resolve_clip_layers(), remap=not sorted_mode,
         )
+        if sorted_mode:
+            # Unified table: opaque rows at [0, p_cap), clip rows at
+            # [p_cap, 2*p_cap); clip sorted positions shift by p_cap.
+            vis_row = jnp.concatenate([vis_row, shade_row[clip_order]])
+        clip_off = config.p_cap if sorted_mode else 0
         pairs_needed = jnp.maximum(pairs_needed, clip_pairs)
         clip_layers_needed = jnp.maximum(clip_layers_needed, clip_layers)
         anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
@@ -658,10 +737,13 @@ def render_view(
         chosen_depth = wl.take(vis.depth.reshape(-1))
         found = jnp.zeros((wl.lanes,), bool)
         for k in range(config.resolve_clip_layers()):
-            pair_k = jnp.where(live, wl.take(kb.pair[k].reshape(-1)), -1)
+            raw_k = wl.take(kb.pair[k].reshape(-1))
+            pair_k = jnp.where(
+                live & (raw_k >= 0), raw_k + clip_off, -1
+            )
             g = interpolate_gbuffer(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
-                shade_row=shade_row,
+                shade_row=vis_row,
             )
             a, cutoff = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
             ok = g.valid & (a >= cutoff) & ~found
@@ -722,7 +804,7 @@ def render_view(
             opy,
             merged_tri,
             merged_attrs,
-            shade_row=shade_row,
+            shade_row=vis_row,
         )
         rgb_w, _ = shade(
             g,
@@ -783,9 +865,15 @@ def render_view(
             depth=vis.depth,
             pair=jnp.full_like(vis.pair, -1),
         )
-        lvis, line_pairs = _rasterize(
-            line_tri, config, band_height, y_offset, init=line_init
+        # Sorted positions + a p_cap-row color reindex avoid a second
+        # full-screen id remap (same trick as vis_row above).
+        sorted_lines = SORTED_PAIR_MODE and config.resolve_raster() == "pallas"
+        lvis, line_pairs, l_order = _rasterize(
+            line_tri, config, band_height, y_offset, init=line_init,
+            remap=not sorted_lines,
         )
+        if sorted_lines:
+            line_colors = line_colors[l_order]
         pairs_needed = jnp.maximum(pairs_needed, line_pairs)
         lhit = (lvis.pair >= 0).reshape(-1)
         lcol = line_colors[jnp.maximum(lvis.pair.reshape(-1), 0)]
@@ -807,10 +895,21 @@ def render_view(
             config.height,
             flip_viewport=config.flip_viewport,
         )
-        pkb, p_pairs, p_layers = _rasterize_kbuffer(
+        sorted_p = (
+            SORTED_PAIR_MODE
+            and p_attrs.packed is not None
+            and config.resolve_raster() == "pallas"
+        )
+        pkb, p_pairs, p_layers, p_order = _rasterize_kbuffer(
             p_tri, config, band_height, y_offset, depth_floor,
             want_depth=False, k=config.resolve_particle_layers(),
+            remap=not sorted_p,
         )
+        if sorted_p:
+            # Same sorted-position trick as vis_row: one p_cap-row
+            # reindex of the packed particle rows instead of a
+            # full-screen id remap per layer plane.
+            p_attrs = p_attrs._replace(packed=p_attrs.packed[p_order])
         pairs_needed = jnp.maximum(pairs_needed, p_pairs)
         particle_layers_needed = jnp.maximum(particle_layers_needed, p_layers)
 
@@ -854,17 +953,18 @@ def render_view(
         blend_tri = merged_tri._replace(
             valid=merged_tri.valid & (blend_mode == 2)
         )
-        kb, blend_pairs, blend_layers_seen = _rasterize_kbuffer(
+        kb, blend_pairs, blend_layers_seen, blend_order = _rasterize_kbuffer(
             blend_tri, config, band_height, y_offset, depth_floor,
-            want_depth=False,
+            want_depth=False, remap=not sorted_mode,
         )
+        blend_row = shade_row[blend_order] if sorted_mode else shade_row
         pairs_needed = jnp.maximum(pairs_needed, blend_pairs)
         blend_layers_needed = jnp.maximum(blend_layers_needed, blend_layers_seen)
         def shade_blend_layer(pair_w, safe, live):
             bpx, bpy = _px_py_at(safe, config.width, y_offset)
             g = interpolate_gbuffer(
                 pair_w, bpx, bpy, merged_tri, merged_attrs,
-                shade_row=shade_row,
+                shade_row=blend_row,
             )
             lrgb, la = shade(
                 g,

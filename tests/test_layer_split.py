@@ -199,3 +199,25 @@ def test_ecs_tighten_is_stable():
     _, cfg1 = _ecs_mixed(k_init=8, updates=4)
     _, cfg2 = _ecs_mixed(k_init=8, updates=6)
     assert cfg1 == cfg2
+
+
+def test_sorted_pair_mode_matches_ref_all_passes():
+    """Sorted-pair mode (pallas raster leaves sorted bin positions; shade
+    tables gathered into sorted order — no full-screen id remap) must be
+    image-exact vs the ref raster on a scene exercising opaque + clip +
+    blend passes. Guards the vis_row offset bookkeeping (clip rows at
+    [p_cap, 2*p_cap)) and the per-pass table reindexing."""
+    dev, state = _mixed_scene()
+    base = dict(
+        width=48, height=48, t_cap=64, p_cap=256,
+        enable_clip=True, enable_blend=True, blend_layers=8,
+    )
+    ref = np.asarray(
+        render_frame(dev, state, RenderConfig(raster="ref", **base),
+                     EnvBindings())
+    )
+    pal = np.asarray(
+        render_frame(dev, state, RenderConfig(raster="pallas", **base),
+                     EnvBindings())
+    )
+    np.testing.assert_array_equal(ref, pal)

@@ -97,3 +97,67 @@ def test_particles_behind_opaque_hidden(box_glb):
     )[0]
     # The box (unlit red) hides the particle at the center.
     assert img[32, 32, 0] == 255 and img[32, 32, 1] < 130
+
+
+def test_sorted_pair_mode_matches_remap_lines_particles(box_glb):
+    """Pallas sorted-pair mode (lines pass reindexes line_colors by
+    bins.order; particle pass reindexes ParticleAttrs.packed) must match
+    the classic full-screen-remap path ON THE SAME KERNEL bit-exactly —
+    guards the per-pass sorted-table plumbing of render_view. (vs-ref
+    comparison is not used here: the pallas and ref rasters differ by
+    ulps on particle quads regardless of this feature.)"""
+    import jax
+
+    from superconductor_tpu.assets.models import load_model
+    from superconductor_tpu.render import frame as frame_mod
+    from superconductor_tpu.render.draws import pack_lines
+
+    scene = Scene()
+    model = load_model(scene, box_glb, name="box")
+    camera = Camera(position=np.array([0.3, 0.4, 2.0], np.float32))
+    uniforms = make_uniforms(camera, 64, 64)
+    particles = pack_particles(
+        [
+            {
+                "center": [0.6, 0.2, 0.5],
+                "scale": [0.8, 0.8],
+                "colour": [1.0, 0.2, 0.2],
+                "emissive_colour": [2.0, 2.0, 2.0],
+            },
+            {
+                "center": [-0.5, -0.3, 0.8],
+                "scale": [0.6, 0.6],
+                "colour": [0.2, 1.0, 0.2],
+                "emissive_colour": [1.0, 2.0, 1.0],
+            },
+        ]
+    )
+    lines = pack_lines(
+        [[[-1, 0.8, 0], [1, 0.8, 0]], [[-0.8, -1, 0], [-0.8, 1, 0]]],
+        [0, 5],
+    )
+    state = build_frame_state(
+        scene, [(model, Similarity())], uniforms,
+        particles=particles, lines=lines,
+    )
+    config = RenderConfig(
+        width=64, height=64, t_cap=32, t_cap_anim=8, p_cap=256,
+        enable_particles=True, enable_lines=True, raster="pallas",
+    )
+    env = EnvBindings(ambient_sh=default_ambient_sh())
+    dev = scene.device_arrays()
+
+    def run():
+        # fresh jit per flag value: the flag is read at trace time
+        return np.asarray(jax.jit(
+            frame_mod.render_frame_impl, static_argnames=("config", "env")
+        )(dev, state, config, env))
+
+    assert frame_mod.SORTED_PAIR_MODE
+    srt = run()
+    frame_mod.SORTED_PAIR_MODE = False
+    try:
+        classic = run()
+    finally:
+        frame_mod.SORTED_PAIR_MODE = True
+    np.testing.assert_array_equal(srt, classic)
