@@ -175,20 +175,22 @@ def size_worklist_cap(need: int, floor: int = 512) -> int:
     opaque_px_cap) from a measured need.
 
     Worklist caps multiply per-frame shading cost directly — every lane
-    is paid whether live or not — so sizing matters more here than for
-    the geometry capacities: ``next_pow2(2 * need)`` can overshoot the
-    true need by 4x, and past the band pixel count it silently abandons
-    compaction for the full-screen path (the headline sphere's 563k-px
-    coverage sized to 2^21 > 1080p's 2,073,600 px that way). This uses a
-    1.5x headroom margin rounded up to a quarter-pow2 boundary
-    (m * 2^e, m in {5,6,7,8}) — worst-case ~1.9x the need — while still
-    bucketing shapes coarsely enough that growth converges in O(1)
-    recompiles and repeated frames reuse the jit cache."""
-    n = int(need) + (int(need) >> 1)  # 1.5x margin
+    is paid whether live or not (measured r5: cutting the headline's
+    opaque cap from 917504 to 655360 lanes took 45.2 -> 36.1 ms, ~35 ns
+    per excess lane) — so sizing matters more here than for the geometry
+    capacities, and overshoot is paid every frame while undershoot costs
+    one re-render+recompile. This uses a 1.125x headroom margin rounded
+    up to a sixteenth-pow2 boundary (m * 2^e, m in (16..32]) —
+    worst-case ~1.22x the need — fine enough that the margin dominates
+    the bucket granularity, coarse enough that growth converges in O(1)
+    recompiles and repeated frames reuse the jit cache. (The r3-r4
+    sizing was 1.5x on quarter-pow2 boundaries: worst-case 1.9x, i.e.
+    up to ~9 ms of dead lanes on the headline.)"""
+    n = int(need) + (int(need) >> 3)  # 1.125x margin
     if n <= floor:
         return floor
-    e = max((n - 1).bit_length() - 3, 0)
-    m = -(-n >> e)  # ceil(n / 2^e), in (4..8]
+    e = max((n - 1).bit_length() - 5, 0)
+    m = -(-n >> e)  # ceil(n / 2^e), in (16..32]
     return m << e
 
 

@@ -254,3 +254,73 @@ def make_skinned_glb() -> bytes:
 @pytest.fixture
 def skinned_glb():
     return make_skinned_glb()
+
+
+# ---------------------------------------------------------------------------
+# Test tiers. The full suite takes ~17-35 min on an 8-virtual-CPU host
+# (jit-heavy frame tests + interpret-mode Pallas), which stops it being a
+# usable regression gate (VERDICT r4 weak #4). Tests measured >= ~7 s
+# are marked `slow` and excluded by the default `pytest` run (addopts in
+# pyproject.toml); run the full suite with `python -m pytest -m ""`.
+# Measured 2026-08-20 with `--durations=0` on this host.
+_SLOW_TESTS = {
+    "tests/test_bench_harness.py::test_slope_three_point",
+    "tests/test_bench_harness.py::test_slope_two_point",
+    "tests/test_blend.py::test_alpha_blend_composites",
+    "tests/test_blend.py::test_blend_layers_grow_never_drop",
+    "tests/test_blend.py::test_ecs_tightens_per_layer_caps",
+    "tests/test_blend.py::test_first_sighting_overflow_sizes_layers_from_needs",
+    "tests/test_blend.py::test_shade_px_cap_grow_never_drop",
+    "tests/test_blend.py::test_shade_px_caps_per_layer_exact",
+    "tests/test_cubemap_static.py::test_skybox_render_uses_static_and_matches",
+    "tests/test_ecs.py::test_debug_line_systems",
+    "tests/test_frame_parity.py::test_frame_pallas_vs_ref_psnr",
+    "tests/test_fuzz.py::test_fuzz_ktx2_and_block_decoders_never_crash",
+    "tests/test_gl_oracle.py::test_engine_alpha_blend_matches_gl_oracle",
+    "tests/test_gl_oracle.py::test_engine_alpha_clip_matches_gl_oracle",
+    "tests/test_gl_oracle.py::test_engine_lightvol_matches_gl_oracle",
+    "tests/test_gl_oracle.py::test_engine_lines_match_gl_oracle",
+    "tests/test_gl_oracle.py::test_engine_matches_gl_oracle[diffuse]",
+    "tests/test_gl_oracle.py::test_engine_matches_gl_oracle[unlit]",
+    "tests/test_gl_oracle.py::test_engine_normal_mapping_matches_gl_oracle",
+    "tests/test_gl_oracle.py::test_engine_particles_match_gl_oracle",
+    "tests/test_gl_oracle.py::test_engine_skinning_matches_gl_oracle",
+    "tests/test_gl_oracle.py::test_engine_skybox_matches_gl_oracle",
+    "tests/test_gl_oracle.py::test_engine_texture_sampling_matches_gl_oracle[tex_unlit]",
+    "tests/test_hero_fixture.py::test_generator_is_deterministic",
+    "tests/test_hero_fixture.py::test_renders_with_visor_glow",
+    "tests/test_layer_split.py::test_ecs_grows_blend_and_tightens_clip",
+    "tests/test_layer_split.py::test_split_k_image_parity",
+    "tests/test_layer_split.py::test_split_k_stats_per_pass",
+    "tests/test_layer_split.py::test_transparent_granule_worklists_image_parity",
+    "tests/test_layer_split.py::test_sorted_pair_mode_matches_ref_all_passes",
+    "tests/test_lightmap.py::test_lightmap_lighting_renders",
+    "tests/test_lightmap.py::test_lightmap_sh_packed_matches_layered",
+    "tests/test_lines_particles.py::test_particles_render_and_blend",
+    "tests/test_lines_particles.py::test_sorted_pair_mode_matches_remap_lines_particles",
+    "tests/test_matq.py::test_full_frame_image_parity",
+    "tests/test_multichip.py::test_sharded_pallas_raster_matches_single_device_default",
+    "tests/test_multichip.py::test_sharded_view_band_mesh_matches_single_device",
+    "tests/test_raster_pallas.py::test_pallas_matches_ref[size0]",
+    "tests/test_render.py::test_khr_texture_transform_tiles_uv",
+    "tests/test_render.py::test_non_inline_tonemap_matches_inline_for_lit",
+    "tests/test_render.py::test_opaque_compact_matches_fullscreen",
+    "tests/test_render.py::test_opaque_compact_overflow_grows_and_recovers",
+    "tests/test_render.py::test_opaque_granule_compact_matches_fullscreen",
+    "tests/test_robustness.py::test_blend_material_renders_with_default_config",
+    "tests/test_robustness.py::test_clip_material_renders_with_default_config",
+    "tests/test_robustness.py::test_ecs_grows_p_cap_on_pallas_overflow",
+    "tests/test_robustness.py::test_frame_stats_report_bin_pair_need",
+    "tests/test_robustness.py::test_triangle_capacity_grows_instead_of_truncating",
+    "tests/test_texture_budget.py::test_degraded_scene_still_renders",
+    "tests/test_texture_quad.py::test_quad_bilinear_bit_exact",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if nodeid in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

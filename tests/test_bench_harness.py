@@ -100,30 +100,31 @@ def test_fit_caps_grows_all_four(monkeypatch):
                        opaque_px_cap=1 << 17)
     out = bench.fit_caps("dev", "state", cfg, "env")
     # grown to next_pow2(100000 * 2) = 2^18, then tightened on the first
-    # clean frame to size_worklist_cap(100000) = 5*2^15 (binning sorts
-    # p_cap rows live or not, so the overshoot taxes every raster pass)
-    assert out.p_cap == 163840
+    # clean frame to size_worklist_cap(100000) (binning sorts p_cap rows
+    # live or not, so the overshoot taxes every raster pass)
+    assert out.p_cap == 114688  # size_worklist_cap(100000): 28*2^12
     assert out.blend_layers == 8  # next_pow2(6)
-    assert out.shade_px_cap == 327680  # size_worklist_cap(200000): 5*2^16
-    assert out.opaque_px_cap == 229376  # size_worklist_cap(150000): 7*2^15
+    assert out.shade_px_cap == 229376  # size_worklist_cap(200000): 28*2^13
+    assert out.opaque_px_cap == 172032  # size_worklist_cap(150000): 21*2^13
     assert len(calls) == 3  # grew, tightened p_cap, then clean stats frame
 
 
 def test_size_worklist_cap():
-    """Quarter-pow2 sizing with 1.5x margin: covers the need, never
-    overshoots it by more than ~1.9x (pow2-of-2x could hit 4x and blow
-    past the band pixel count — the full-screen fallback the compacted
-    shade exists to avoid)."""
+    """Sixteenth-pow2 sizing with 1.125x margin: covers the need, never
+    overshoots it by more than ~1.22x. Every dead lane is paid every
+    frame (~35 ns/lane measured r5: cutting the headline's cap 917504 ->
+    655360 took 45.2 -> 36.1 ms), so the margin is deliberately thin;
+    undershoot costs one re-render+recompile via the growth loop."""
     from superconductor_tpu.render.frame import size_worklist_cap
 
     assert size_worklist_cap(0) == 512
     assert size_worklist_cap(300) == 512  # floor
     for need in (1000, 4096, 563_874, 1_047_557, 123_456_789):
         cap = size_worklist_cap(need)
-        assert cap >= need * 1.5 - 1
-        assert cap <= need * 1.9
-        # quarter-pow2 boundary: at most 3 significant bits
-        assert cap % (1 << max(cap.bit_length() - 3, 0)) == 0, (need, cap)
+        assert cap >= need * 1.125 - 1
+        assert cap <= need * 1.23
+        # sixteenth-pow2 boundary: at most 5 significant bits
+        assert cap % (1 << max(cap.bit_length() - 5, 0)) == 0, (need, cap)
     # the motivating case: the 1080p headline sphere's 563,874-px coverage
     # must size BELOW the 2,073,600-px screen (pow2-of-2x gave 2^21 above
     # it, silently reverting to the full-screen shade)

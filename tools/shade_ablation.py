@@ -32,6 +32,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1920x1080")
     ap.add_argument("--calls", type=int, default=4)
+    ap.add_argument("--fine", action="store_true",
+                    help="finer in-shade component stubs only")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -79,7 +81,44 @@ def main():
 
     full = timed(env, "full")
 
-    no_sky = timed(dataclasses.replace(env, ibl_cubemap_base=-1), "sky=clear")
+    if args.fine:
+        # Finer stubs inside shade(): each isolates one component of the
+        # non-tap shading cost (the coarse pass measured ~19 ms beyond
+        # the material taps on the r5 headline).
+        from superconductor_tpu.ops import texture as tex_mod
+
+        def sub(label, module, name, repl):
+            orig = getattr(module, name)
+            setattr(module, name, repl)
+            try:
+                return timed(env, label)
+            finally:
+                setattr(module, name, orig)
+
+        sub("sh_eval=const", shade_mod, "eval_sh_nonlinear",
+            lambda sh, normal: jnp.ones_like(sh[:, 0, :]) * 0.5)
+        sub("specular=0", shade_mod, "sh_specular_approximation",
+            lambda sh, n, v, r, f0, f90: jnp.zeros_like(n))
+        sub("cotangent=geo", shade_mod, "compute_cotangent_frame_normal",
+            lambda geo_n, m, dpdx, dpdy, duvdx, duvdy: geo_n)
+        sub("srgb_decode=linear", tex_mod, "_matq_srgb",
+            lambda out16, mask: out16)
+        # shade.py binds these by name at import: patch ITS references.
+        sub("aces=identity", shade_mod, "aces_filmic", lambda x: x)
+        sub("srgb_enc=identity", shade_mod, "linear_to_srgb_approx",
+            lambda x: x)
+        orig_gb = frame_mod.interpolate_gbuffer
+
+        def zero_deriv_gbuf(pair, px, py, tri, attrs, shade_row=None):
+            g = orig_gb(pair, px, py, tri, attrs, shade_row=shade_row)
+            z3 = jnp.zeros_like(g.dpdx)
+            z2 = jnp.full_like(g.duvdx, 1e-3)
+            return g._replace(dpdx=z3, dpdy=z3, duvdx=z2, duvdy=z2)
+
+        # frame.py binds interpolate_gbuffer by name: patch ITS reference.
+        sub("gbuf_derivs=const", frame_mod, "interpolate_gbuffer",
+            zero_deriv_gbuf)
+        return
 
     orig_aniso = shade_mod.sample_anisotropic
     orig_mq = shade_mod.sample_material_interleaved
