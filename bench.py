@@ -35,9 +35,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
 primary, with the all-passes numbers as extra keys.
 """
 
+import hashlib
 import json
 import os
 import sys
+import threading
 import time
 
 os.environ.setdefault(
@@ -47,6 +49,73 @@ os.environ.setdefault(
 import numpy as np
 
 REF_ASSETS = "/root/reference/demo/web/assets"
+
+HEADLINE_METRIC = (
+    "true device FPS 1920x1080 PBR+IBL authored asset "
+    "(hero_helmet.glb 16k-tri meshopt+ETC1S-KTX2, 2 PBR "
+    "materials; TPU v5e via axon tunnel, at-spec executor "
+    "r4 re-characterization — docs/TIMING.md)"
+)
+
+# --- Fitted-capacity cache -------------------------------------------------
+# fit_caps compiles a stats frame per growth round; on a cold compile cache
+# behind the (queue-dominated, 1-4 min/compile) remote compiler that alone
+# can eat the driver's kill window before the primary metric even starts
+# (BENCH_r04 died exactly this way). The bench scenes are deterministic, so
+# the fitted caps are too: cache them in a committed JSON keyed by scene
+# tag + size + a version salt + the content hash of the fixture assets, and
+# skip the stats frames entirely on a hit. SC_BENCH_REFIT=1 forces a refit
+# (bump CAPS_VERSION instead when worklist/cap semantics change).
+CAPS_VERSION = 1
+CAPS_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_caps.json"
+)
+_CAPS_FIELDS = (
+    "p_cap", "blend_layers", "clip_layers", "particle_layers",
+    "shade_px_cap", "shade_px_caps", "opaque_px_cap",
+)
+
+
+def _caps_cache_key(tag, width, height, fixtures=()):
+    h = hashlib.sha1()
+    for f in fixtures:
+        try:
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(b"missing:" + f.encode())
+    return f"{tag}-{width}x{height}-v{CAPS_VERSION}-{h.hexdigest()[:12]}"
+
+
+def _caps_cache_load(key):
+    if os.environ.get("SC_BENCH_REFIT"):
+        return None
+    try:
+        with open(CAPS_CACHE_PATH) as fh:
+            entry = json.load(fh).get(key)
+    except (OSError, ValueError):
+        return None
+    if entry is None:
+        return None
+    if entry.get("shade_px_caps") is not None:
+        entry["shade_px_caps"] = tuple(entry["shade_px_caps"])
+    return entry
+
+
+def _caps_cache_store(key, config):
+    entry = {f: getattr(config, f) for f in _CAPS_FIELDS}
+    if entry.get("shade_px_caps") is not None:
+        entry["shade_px_caps"] = list(entry["shade_px_caps"])
+    try:
+        data = {}
+        if os.path.exists(CAPS_CACHE_PATH):
+            with open(CAPS_CACHE_PATH) as fh:
+                data = json.load(fh)
+        data[key] = entry
+        with open(CAPS_CACHE_PATH, "w") as fh:
+            json.dump(data, fh, indent=1, sort_keys=True)
+    except (OSError, ValueError) as e:
+        print(f"# caps cache write failed: {e!r}", file=sys.stderr)
 
 
 def _aim(cam, target, look_at, mat4_inverse, mat3_to_quat):
@@ -607,7 +676,7 @@ def all_passes_scene(sc, width=1920, height=1080, n_spheres=8):
     return dev, build, config, env
 
 
-def fit_caps(dev, state0, config, env, max_rounds=8):
+def fit_caps(dev, state0, config, env, max_rounds=8, cache_key=None):
     """Right-size the never-drop capacities for a bench scene.
 
     Runs one stats frame (honest readback) and grows any exceeded cap
@@ -616,7 +685,12 @@ def fit_caps(dev, state0, config, env, max_rounds=8):
     worklist -> shade_px_cap. Without this, a bench scene whose
     transparent coverage exceeds shade_px_cap would silently leave
     pixels unshaded — and the timed executable would be measuring a
-    frame that drops work. Returns the (possibly grown) config."""
+    frame that drops work. Returns the (possibly grown) config.
+
+    cache_key (from _caps_cache_key): reuse/record the fitted caps in the
+    committed bench_caps.json — the scenes are deterministic, and on a
+    cold compile cache the stats-frame compiles alone can outlast the
+    driver's kill window."""
     import jax
 
     from superconductor_tpu.ecs.systems import _next_pow2
@@ -625,6 +699,13 @@ def fit_caps(dev, state0, config, env, max_rounds=8):
         render_frame_stats,
         size_worklist_cap,
     )
+
+    if cache_key is not None:
+        cached = _caps_cache_load(cache_key)
+        if cached is not None:
+            print(f"# fit_caps: cache hit {cache_key} -> {cached}",
+                  file=sys.stderr, flush=True)
+            return replace_config(config, **cached)
 
     if config.opaque_px_cap is None:
         # Seed the compacted opaque shade (growth below right-sizes it;
@@ -713,6 +794,8 @@ def fit_caps(dev, state0, config, env, max_rounds=8):
         print(f"# fit_caps: {stats} grow={grow or None}",
               file=sys.stderr, flush=True)
         if not grow:
+            if cache_key is not None:
+                _caps_cache_store(cache_key, config)
             return config
         config = replace_config(config, **grow)
     return config
@@ -845,7 +928,8 @@ def bench_stereo_animated(sc, width=1920, height=1080, n_tubes=6, n_spheres=6):
         )
 
     state0 = build_fixed()
-    config = fit_caps(dev, state0, config, env)
+    config = fit_caps(dev, state0, config, env, cache_key=_caps_cache_key(
+        "stereo", config.width, config.height))
     r = _measure(frame, lambda: sc.render_frame(dev, state0, config, env))
     r["tag"] = "stereo"
     r["delta_fns"] = tuple(
@@ -875,6 +959,37 @@ def main():
     t_bench0 = time.time()
     budget_s = float(os.environ.get("SC_BENCH_BUDGET_S", "1000"))
 
+    # Last-resort JSON guarantee: if the primary metric has not landed by
+    # the deadline (cold compile cache + the queue-dominated remote
+    # compiler can exceed the driver's kill window all by themselves —
+    # BENCH_r04 recorded nothing for exactly this reason), print an
+    # honest value-0 line so the round still records a parseable result.
+    # The real line, if it lands later, prints after and wins (the driver
+    # takes the LAST parseable line); the lock closes the race where the
+    # watchdog could interleave after a just-landed primary.
+    deadline_s = float(os.environ.get("SC_BENCH_DEADLINE_S", "900"))
+    primary_landed = threading.Event()
+    emit_lock = threading.Lock()
+
+    def watchdog():
+        if primary_landed.wait(deadline_s):
+            return
+        with emit_lock:
+            if primary_landed.is_set():
+                return
+            print(json.dumps({
+                "metric": HEADLINE_METRIC,
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": (
+                    f"primary metric did not land within {deadline_s:.0f}s "
+                    "(compile queue / tunnel degradation) — see stderr"
+                ),
+            }), flush=True)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     def progress(msg):
         print(f"# [{time.time() - t_bench0:7.1f}s] {msg}",
               file=sys.stderr, flush=True)
@@ -887,7 +1002,10 @@ def main():
     progress("headline scene (load + fit_caps)...")
     dev, build, config, env = headline_scene(sc)
     state0 = build(0.0)
-    config = fit_caps(dev, state0, config, env)
+    config = fit_caps(dev, state0, config, env, cache_key=_caps_cache_key(
+        "headline", config.width, config.height,
+        [os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tests", "fixtures", "hero_helmet.glb")]))
     head = {"tag": "headline", "device_ms": None, "device_spread": None,
             "fps": None}
     k1 = make_unrolled(dev, state0, config, env, 1)
@@ -896,10 +1014,7 @@ def main():
 
     fps = 1e3 / head["frame_ms"] if head["frame_ms"] > 0 else 0.0
     out = {
-        "metric": "true device FPS 1920x1080 PBR+IBL authored asset "
-                  "(hero_helmet.glb 16k-tri meshopt+ETC1S-KTX2, 2 PBR "
-                  "materials; TPU v5e via axon tunnel, at-spec executor "
-                  "r4 re-characterization — docs/TIMING.md)",
+        "metric": HEADLINE_METRIC,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
@@ -953,7 +1068,9 @@ def main():
     add("", head)
     # FIRST emit: the primary metric is now on record no matter what the
     # driver does to the rest of this run.
-    print(json.dumps(out), flush=True)
+    with emit_lock:
+        primary_landed.set()
+        print(json.dumps(out), flush=True)
 
     if os.environ.get("SC_BENCH_SAVE"):
         import imageio.v3 as iio
@@ -970,7 +1087,13 @@ def main():
             progress("all-passes scene (load + fit_caps + one compile)...")
             adev, abuild, acfg, aenv = all_passes_scene(sc)
             astate0 = abuild(0.0)
-            acfg = fit_caps(adev, astate0, acfg, aenv)
+            _root = os.path.dirname(os.path.abspath(__file__))
+            acfg = fit_caps(adev, astate0, acfg, aenv,
+                            cache_key=_caps_cache_key(
+                                "allpasses", acfg.width, acfg.height,
+                                [os.path.join(_root, "tests", "fixtures",
+                                              "dense_terrain.glb"),
+                                 f"{REF_ASSETS}/models/sponza_cubes.glb"]))
             ak1 = make_unrolled(adev, astate0, acfg, aenv, 1)
             progress("all-passes dispatch-count slope...")
             allp = {"tag": "all_passes"}

@@ -73,7 +73,18 @@ def main():
         from dataclasses import replace
 
         config = replace(config, row_chunks=args.row_chunks)
-    config = bench.fit_caps(dev, state0, config, env)
+    fixtures = {
+        "headline": ["tests/fixtures/hero_helmet.glb"],
+        "allpasses": ["tests/fixtures/dense_terrain.glb",
+                      f"{bench.REF_ASSETS}/models/sponza_cubes.glb"],
+    }[args.scene]
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    config = bench.fit_caps(
+        dev, state0, config, env,
+        cache_key=bench._caps_cache_key(
+            args.scene, width, height,
+            [f if os.path.isabs(f) else os.path.join(repo, f)
+             for f in fixtures]))
     if args.no_opaque_compact:
         from dataclasses import replace
 
