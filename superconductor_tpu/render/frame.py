@@ -117,6 +117,14 @@ class RenderConfig:
     # sparse/scattered coverage; the *_needed stats report granule-dilated
     # pixel counts so growth sizes each cap for this path's true need.
     worklist_granules: bool = True
+    # Lanes per worklist granule (power of two dividing the band width).
+    # Smaller granules dilate less on scattered coverage (a granule joins
+    # the worklist if ANY of its pixels is covered) but shrink the
+    # fat-row amortization of the worklist gathers and grow the
+    # compaction sort key count; 128 measured best overall at 1080p, 64
+    # is the first thing to A/B when dilation dominates (the *_needed
+    # stats report granule-dilated counts, so the dilation is visible).
+    granule_px: int = 128
     # Render each view in this many horizontal bands, sequentially (lax.map)
     # — bounds peak HBM for large resolutions (4K+). Geometry (vertex
     # stage + per-view setup) is hoisted out of the band loop; each band
@@ -391,15 +399,13 @@ def _compact_px(mask: jax.Array, cap: int):
     return idx, safe, live, jnp.sum(mask.astype(jnp.int32)), ranks
 
 
-WORKLIST_GRANULE = 128
-
-
 def _worklist_granule(config: RenderConfig, npx: int) -> int:
-    """Lanes per worklist granule: 128 when the shading worklists compact
-    row-granules (RenderConfig.worklist_granules and the band shape
-    divides), else 1 (per-pixel). Pure shape gate — the cap-vs-npx
-    selection between compacted and full-screen shading stays separate."""
-    gr = WORKLIST_GRANULE
+    """Lanes per worklist granule: config.granule_px when the shading
+    worklists compact row-granules (RenderConfig.worklist_granules and the
+    band shape divides), else 1 (per-pixel). Pure shape gate — the
+    cap-vs-npx selection between compacted and full-screen shading stays
+    separate."""
+    gr = config.granule_px
     if config.worklist_granules and config.width % gr == 0 and npx % gr == 0:
         return gr
     return 1
@@ -791,11 +797,11 @@ def render_view(
         # evaluation run only on the worklist of covered pixels; sky pixels
         # never pay a texture tap. Identical per-lane math to the
         # full-screen path (bit-exact; tests/test_render.py parity tests).
-        # In granule mode (worklist_granules) the worklist holds 128-px
-        # row-granules: the compaction sort shrinks 128x and the pair /
-        # sky / composite moves become fat-row gathers — near-free
-        # (docs/TIMING.md). Dead lanes inside a live granule (pair < 0)
-        # composite the sky row they gather anyway.
+        # In granule mode (worklist_granules) the worklist holds
+        # granule_px-wide row-granules: the compaction sort shrinks by the
+        # granule size and the pair / sky / composite moves become fat-row
+        # gathers — near-free (docs/TIMING.md). Dead lanes inside a live
+        # granule (pair < 0) composite the sky row they gather anyway.
         hit_mask = (vis.pair >= 0).reshape(-1)
         wl = _compact_worklist(hit_mask, config.opaque_px_cap, config)
         opaque_px_needed = wl.need

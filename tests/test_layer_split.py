@@ -103,6 +103,14 @@ def test_transparent_granule_worklists_image_parity():
         )
     )
     assert np.array_equal(img_g, img_p)
+    # A non-default granule size (64: two granules per 128-px row) must
+    # also be exact — RenderConfig.granule_px only regroups lanes.
+    img_g64 = np.asarray(
+        render_frame(
+            dev, state, RenderConfig(granule_px=64, **base), EnvBindings()
+        )
+    )
+    assert np.array_equal(img_g64, img_p)
 
 
 def test_split_k_stats_per_pass():

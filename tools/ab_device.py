@@ -55,6 +55,8 @@ def main():
                     help="Pallas raster tile shape, e.g. 64x256")
     ap.add_argument("--opaque-cap", type=int, default=0,
                     help="override opaque_px_cap after fit_caps (margin A/B)")
+    ap.add_argument("--granule", type=int, default=0,
+                    help="override RenderConfig.granule_px (dilation A/B)")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -98,6 +100,15 @@ def main():
         from dataclasses import replace
 
         config = replace(config, opaque_px_cap=args.opaque_cap)
+    if args.granule:
+        from dataclasses import replace
+
+        # Caps were fitted at the cached granule size; re-fit the opaque
+        # cap for this granule's dilation from one stats frame (reset it
+        # first — fit_caps only grows it, and a 128-granule cap would
+        # bury a smaller granule's win under dead margin lanes).
+        config = replace(config, granule_px=args.granule, opaque_px_cap=None)
+        config = bench.fit_caps(dev, state0, config, env)
 
     t0 = time.time()
     fn = bench.make_unrolled(dev, state0, config, env, 1)
