@@ -66,13 +66,13 @@ HEADLINE_METRIC = (
 # tag + size + a version salt + the content hash of the fixture assets, and
 # skip the stats frames entirely on a hit. SC_BENCH_REFIT=1 forces a refit
 # (bump CAPS_VERSION instead when worklist/cap semantics change).
-CAPS_VERSION = 1
+CAPS_VERSION = 2  # v2: sky_px_cap joined the fitted fields
 CAPS_CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_caps.json"
 )
 _CAPS_FIELDS = (
     "p_cap", "blend_layers", "clip_layers", "particle_layers",
-    "shade_px_cap", "shade_px_caps", "opaque_px_cap",
+    "shade_px_cap", "shade_px_caps", "opaque_px_cap", "sky_px_cap",
 )
 
 
@@ -717,6 +717,10 @@ def fit_caps(dev, state0, config, env, max_rounds=8, cache_key=None):
         config = replace_config(
             config, opaque_px_cap=frame_mod.DEFAULT_OPAQUE_PX_CAP
         )
+    if config.sky_px_cap is None:
+        config = replace_config(
+            config, sky_px_cap=frame_mod.DEFAULT_SKY_PX_CAP
+        )
     from superconductor_tpu.render.frame import stats_to_host
 
     for _ in range(max_rounds):
@@ -781,6 +785,10 @@ def fit_caps(dev, state0, config, env, max_rounds=8, cache_key=None):
             grow["opaque_px_cap"] = size_worklist_cap(
                 stats["opaque_px_needed"]
             )
+        if (config.sky_px_cap or 0) and (
+            config.sky_px_cap < stats.get("sky_px_needed", 0)
+        ):
+            grow["sky_px_cap"] = size_worklist_cap(stats["sky_px_needed"])
         nk = stats.get("shade_px_needed_k")
         if nk and (config.enable_blend or config.enable_particles):
             # Per-layer worklists for the blend/particle shading loops:

@@ -362,16 +362,23 @@ def render(world: World) -> None:
 
     config = _derive_config(config, scene, lines, particles)
     config = _grow_capacities(config, state)
-    if settings.stats_interval != 0 and config.opaque_px_cap is None:
-        # Seed the compacted opaque-shading worklist only where the stats
-        # loop below can grow it (never-drop); in zero-read mode
-        # (stats_interval=0) the user pre-sizes caps explicitly and an
-        # unseeded None keeps the always-correct full-screen shade.
+    if settings.stats_interval != 0 and (
+        config.opaque_px_cap is None or config.sky_px_cap is None
+    ):
+        # Seed the compacted opaque-shading and sky worklists only where
+        # the stats loop below can grow them (never-drop); in zero-read
+        # mode (stats_interval=0) the user pre-sizes caps explicitly and
+        # an unseeded None keeps the always-correct full-screen paths.
         from dataclasses import replace
 
-        from ..render.frame import DEFAULT_OPAQUE_PX_CAP
+        from ..render.frame import DEFAULT_OPAQUE_PX_CAP, DEFAULT_SKY_PX_CAP
 
-        config = replace(config, opaque_px_cap=DEFAULT_OPAQUE_PX_CAP)
+        seeds = {}
+        if config.opaque_px_cap is None:
+            seeds["opaque_px_cap"] = DEFAULT_OPAQUE_PX_CAP
+        if config.sky_px_cap is None:
+            seeds["sky_px_cap"] = DEFAULT_SKY_PX_CAP
+        config = replace(config, **seeds)
     settings.config = config
 
     if settings.env is None:
@@ -492,6 +499,14 @@ def render(world: World) -> None:
             # band pixel count render_view statically falls back to the
             # full-screen shade, so growth self-limits.
             grow["opaque_px_cap"] = size_worklist_cap(opaque_px)
+        sky_px = check_stats.get("sky_px_needed", 0)
+        if (check_config.sky_px_cap or 0) and (
+            check_config.sky_px_cap < sky_px
+        ):
+            # Miss coverage exceeded the sky worklist — overflowed sky
+            # pixels rendered black. Same grow/re-render contract and
+            # full-screen self-limit as opaque_px_cap.
+            grow["sky_px_cap"] = size_worklist_cap(sky_px)
         needed_k = check_stats.get("shade_px_needed_k")
         if needed_k is not None and (
             check_config.enable_blend or check_config.enable_particles

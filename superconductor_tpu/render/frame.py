@@ -100,6 +100,14 @@ class RenderConfig:
     # fit_caps, demo capacity probe) seed DEFAULT_OPAQUE_PX_CAP and grow
     # from the opaque_px_needed stat.
     opaque_px_cap: Optional[int] = None
+    # Sky worklist capacity: when set (0 < cap < band pixels), the skybox
+    # is evaluated only on the compacted worklist of pixels the
+    # opaque/clip passes left uncovered (vis.pair < 0) — fully-covered
+    # granules never pay the cubemap gather + ray math. Same never-drop
+    # contract as opaque_px_cap (sky_px_needed stat, host growth;
+    # overflowed sky pixels would render black, so the default None keeps
+    # the always-correct full-screen sky for bare render_frame calls).
+    sky_px_cap: Optional[int] = None
     # Compact ALL shading worklists (opaque, clip resolve, per-layer
     # blend/particle) at 128-pixel GRANULE granularity (128 contiguous
     # pixels of a screen row) instead of per pixel, whenever
@@ -170,6 +178,10 @@ class RenderConfig:
 # Seed value the managed (growth-capable) paths use for opaque_px_cap:
 # the ECS render system, bench.fit_caps, and the demo capacity probe.
 DEFAULT_OPAQUE_PX_CAP = 1 << 17
+# Same for sky_px_cap (the sky worklist; growth self-limits at the band
+# pixel count, where render_view statically falls back to the
+# always-correct full-screen sky).
+DEFAULT_SKY_PX_CAP = 1 << 17
 
 # Sorted-pair mode switch (see render_view): tests flip this to compare
 # the sorted-table path against the classic full-screen id remap on the
@@ -776,21 +788,59 @@ def render_view(
     # --- skybox for misses (depth GreaterEqual at the far plane in the
     # reference, pipelines.rs:550-554; here: the base layer the shaded
     # surfaces overwrite) ---
-    sky = sample_skybox(
-        scene,
-        env,
-        config.width,
-        band_height,
-        u["projection_inverse"][view_index],
-        u["view_inverse_quat"][view_index],
-        inline_tonemapping=config.inline_tonemapping,
-        inline_srgb=config.inline_srgb,
-        y_offset=y_offset,
-        full_height=config.height,
-    )
+    npx = band_height * config.width
+    sky_px_needed = jnp.int32(0)
+    if 0 < (config.sky_px_cap or 0) < npx:
+        # Sky worklist: evaluate the cubemap only where the post-clip
+        # visibility buffer has no winner. Pixels with pair >= 0 never
+        # read the sky value (the shade paths select rgb_w there), so
+        # zeros under covered granules are unobservable; granules with
+        # ANY miss pixel are in the worklist and their partially-covered
+        # lanes gather real sky rows as before.
+        from ..ops.sky import sample_skybox_at
+
+        miss = (vis.pair < 0).reshape(-1)
+        swl = _compact_worklist(miss, config.sky_px_cap, config)
+        sky_px_needed = swl.need
+        sky_rows = sample_skybox_at(
+            scene,
+            env,
+            swl.lane_safe(),
+            config.width,
+            u["projection_inverse"][view_index],
+            u["view_inverse_quat"][view_index],
+            inline_tonemapping=config.inline_tonemapping,
+            inline_srgb=config.inline_srgb,
+            y_offset=y_offset,
+            full_height=config.height,
+        )
+        sky = swl.compose(jnp.zeros((npx, 3), jnp.float32), sky_rows)
+    else:
+        sky = sample_skybox(
+            scene,
+            env,
+            config.width,
+            band_height,
+            u["projection_inverse"][view_index],
+            u["view_inverse_quat"][view_index],
+            inline_tonemapping=config.inline_tonemapping,
+            inline_srgb=config.inline_srgb,
+            y_offset=y_offset,
+            full_height=config.height,
+        )
+        # Report the worklist path's true need even on the full-screen
+        # path (granule-dilated miss count), so a host can size
+        # sky_px_cap from one full-screen stats frame — mirroring
+        # opaque_px_needed below.
+        miss = (vis.pair < 0).reshape(-1)
+        gr = _worklist_granule(config, npx)
+        if gr > 1:
+            gmiss = miss.reshape(npx // gr, gr).any(axis=1)
+            sky_px_needed = jnp.sum(gmiss.astype(jnp.int32)) * gr
+        else:
+            sky_px_needed = jnp.sum(miss.astype(jnp.int32))
 
     # --- shade the winning opaque/clip surface ---
-    npx = band_height * config.width
     opaque_px_needed = jnp.int32(0)
     if 0 < (config.opaque_px_cap or 0) < npx:
         # Compacted: gbuffer interpolation + the full material/lighting
@@ -1030,6 +1080,7 @@ def render_view(
             "shade_px_needed": shade_px_needed,
             "shade_px_needed_k": shade_px_needed_k,
             "opaque_px_needed": opaque_px_needed,
+            "sky_px_needed": sky_px_needed,
         }
     return img
 
@@ -1057,6 +1108,7 @@ def render_frame_impl(
         "shade_px_needed": jnp.int32(0),
         "shade_px_needed_k": jnp.zeros((config.needed_k_len(),), jnp.int32),
         "opaque_px_needed": jnp.int32(0),
+        "sky_px_needed": jnp.int32(0),
     }
     stages, merged_attrs = _merged_vertex_stage(scene, state, config)
     for v in range(config.num_views):

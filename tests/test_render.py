@@ -471,3 +471,67 @@ def test_stats_to_host_shapes():
     host = stats_to_host(dev_stats)
     assert host == {"pairs_needed": 7, "shade_px_needed_k": [4, 2, 0]}
     assert stats_to_host(host) == host
+
+
+def _cubemap_sphere_frame_inputs(width=256, height=96):
+    """PBR sphere against a real gradient cubemap (the sky-worklist paths
+    must be exercised with an actual cubemap gather, not clear_color)."""
+    from superconductor_tpu.utils.procgen import (
+        add_pbr_sphere,
+        default_ambient_sh,
+        gradient_cubemap,
+    )
+
+    scene = Scene()
+    model = add_pbr_sphere(scene, stacks=24, slices=24)
+    base = gradient_cubemap(scene, size=16)
+    camera = Camera(position=np.array([0.0, 0.25, 2.3], np.float32))
+    uniforms = make_uniforms(camera, width, height)
+    state = build_frame_state(scene, [(model, Similarity())], uniforms)
+    env = EnvBindings.from_scene(
+        scene, ambient_sh=default_ambient_sh(), ibl_cubemap_base=base
+    )
+    return scene.device_arrays(), state, env
+
+
+def test_sky_worklist_matches_fullscreen():
+    """The sky worklist (RenderConfig.sky_px_cap) evaluates the skybox
+    only on uncovered pixels; the image must be pixel-exact vs the
+    full-screen sky, and the sky_px_needed stat must agree between the
+    two paths so a host can size the cap from one full-screen frame."""
+    from superconductor_tpu.render.frame import render_frame_stats
+
+    dev, state, env = _cubemap_sphere_frame_inputs()
+    # granule 32: the sphere interior fully covers some 32-px granules,
+    # so the worklist is a strict subset of the screen
+    base = dict(width=256, height=96, t_cap=2048, t_cap_anim=8, raster="ref",
+                opaque_px_cap=12288, granule_px=32)
+
+    img_full, st_full = render_frame_stats(
+        dev, state, RenderConfig(**base), env
+    )
+    need = int(st_full["sky_px_needed"])
+    npx = 256 * 96
+    assert 0 < need < npx and need % 32 == 0
+
+    img_wl, st_wl = render_frame_stats(
+        dev, state, RenderConfig(sky_px_cap=need, **base), env
+    )
+    assert int(st_wl["sky_px_needed"]) == need
+    assert np.array_equal(np.asarray(img_full), np.asarray(img_wl))
+
+    # per-pixel worklists: also exact, stat counts true miss pixels
+    img_p, st_p = render_frame_stats(
+        dev, state,
+        RenderConfig(sky_px_cap=need, worklist_granules=False, **base), env
+    )
+    assert 0 < int(st_p["sky_px_needed"]) <= need
+    assert np.array_equal(np.asarray(img_full), np.asarray(img_p))
+
+    # overflow: a cap below the need blackens dropped sky pixels (the
+    # grow signal fires; never silently wrong-but-plausible)
+    img_of, st_of = render_frame_stats(
+        dev, state, RenderConfig(sky_px_cap=need // 4, **base), env
+    )
+    assert int(st_of["sky_px_needed"]) == need
+    assert not np.array_equal(np.asarray(img_full), np.asarray(img_of))
