@@ -66,7 +66,7 @@ HEADLINE_METRIC = (
 # tag + size + a version salt + the content hash of the fixture assets, and
 # skip the stats frames entirely on a hit. SC_BENCH_REFIT=1 forces a refit
 # (bump CAPS_VERSION instead when worklist/cap semantics change).
-CAPS_VERSION = 2  # v2: sky_px_cap joined the fitted fields
+CAPS_VERSION = 3  # v3: sky_px_cap seeded by miss-fraction heuristic
 CAPS_CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_caps.json"
 )
@@ -717,10 +717,11 @@ def fit_caps(dev, state0, config, env, max_rounds=8, cache_key=None):
         config = replace_config(
             config, opaque_px_cap=frame_mod.DEFAULT_OPAQUE_PX_CAP
         )
-    if config.sky_px_cap is None:
-        config = replace_config(
-            config, sky_px_cap=frame_mod.DEFAULT_SKY_PX_CAP
-        )
+    # sky_px_cap is NOT pre-seeded: the sky worklist only wins when
+    # geometry covers most of the screen (measured on the hero headline:
+    # 82% sky coverage, 43.2 vs 36.4 ms — the worklist form costs more
+    # than the 18% lane saving). The loop below sets it from the measured
+    # miss fraction instead.
     from superconductor_tpu.render.frame import stats_to_host
 
     for _ in range(max_rounds):
@@ -789,6 +790,15 @@ def fit_caps(dev, state0, config, env, max_rounds=8, cache_key=None):
             config.sky_px_cap < stats.get("sky_px_needed", 0)
         ):
             grow["sky_px_cap"] = size_worklist_cap(stats["sky_px_needed"])
+        if config.sky_px_cap is None and not grow:
+            # Engage the sky worklist only when geometry covers at least
+            # half the screen — below that, evaluating the skybox on a
+            # compacted worklist costs more than the skipped lanes save
+            # (hero headline: 82% sky, 43.2 vs 36.4 ms).
+            sky_need = stats.get("sky_px_needed", 0)
+            npx_band = config.width * (config.height // config.row_chunks)
+            if 0 < sky_need < npx_band // 2:
+                grow["sky_px_cap"] = size_worklist_cap(sky_need)
         nk = stats.get("shade_px_needed_k")
         if nk and (config.enable_blend or config.enable_particles):
             # Per-layer worklists for the blend/particle shading loops:

@@ -383,15 +383,16 @@ def _material_rows(m: dict, mat):
 
 
 def _unpack_mq_row(row):
-    """Split a (P, 24+3L) mat_row_mq row (scene.py device_matq layout)
-    into (pf (P,12) f32, pi (P,8) i32, meta (P,4) i32, owh (P,L,3))."""
+    """Split a (P, 24+4L) mat_row_mq row (scene.py device_matq layout)
+    into (pf (P,12) f32, pi (P,8) i32, meta (P,4) i32, owh (P,L,4) —
+    per level (offset, w, h, tail_offset))."""
     pf = row[..., 0:12]
     pi = jax.lax.bitcast_convert_type(row[..., 12:20], jnp.int32)
     meta = jax.lax.bitcast_convert_type(row[..., 20:24], jnp.int32)
-    L = (row.shape[-1] - 24) // 3
+    L = (row.shape[-1] - 24) // 4
     owh = jax.lax.bitcast_convert_type(
-        row[..., 24 : 24 + 3 * L], jnp.int32
-    ).reshape(*row.shape[:-1], L, 3)
+        row[..., 24 : 24 + 4 * L], jnp.int32
+    ).reshape(*row.shape[:-1], L, 4)
     return pf, pi, meta, owh
 
 
@@ -432,6 +433,7 @@ def shade(
         s16 = sample_material_interleaved(
             scene["texels_mq"], mq_meta, mq_owh, gbuf.uv,
             gbuf.duvdx, gbuf.duvdy, aniso_taps,
+            texels_tail=scene.get("texels_mq_tail"),
         )
         albedo = s16[..., 0:4] * pf[..., 0:4]
         normal_tex = s16[..., 4:8]
@@ -536,6 +538,7 @@ def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
         s16 = sample_material_interleaved(
             scene["texels_mq"], mq_meta, mq_owh, gbuf.uv,
             gbuf.duvdx, gbuf.duvdy, aniso_taps,
+            texels_tail=scene.get("texels_mq_tail"),
         )
         albedo = s16[..., 0:4] * pf[..., 0:4]
         return albedo[..., 3], pf[..., 10]

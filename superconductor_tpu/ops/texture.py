@@ -519,15 +519,22 @@ def _matq_srgb(out16, mask):
 
 def sample_material_interleaved(
     texels_mq, meta, owh, uv, duvdx, duvdy, taps: int, decode_srgb=True,
+    texels_tail=None,
 ):
     """All four material textures of each pixel in TWO gathers (one per
     trilinear level) from the interleaved pool.
 
     meta: (P, 4) i32 [wrap, srgb_mask, count, pad] (mat_row_mq);
-    owh: (P, L, 3) i32 per-level (offset, w, h). Returns (P, 16) f32:
-    [albedo | normal | mr | emissive] RGBA each, identical math to four
-    sample_anisotropic calls on equal-dims textures (shared uv ->
-    shared footprint, lod, and level selection)."""
+    owh: (P, L, 4) i32 per-level (offset, w, h, tail_offset). Returns
+    (P, 16) f32: [albedo | normal | mr | emissive] RGBA each, identical
+    math to four sample_anisotropic calls on equal-dims textures (shared
+    uv -> shared footprint, lod, and level selection).
+
+    texels_tail: the dedicated levels>=1 pool (Scene.device_matq tail).
+    The second trilinear level is always >= 1 (clamped at the chain end),
+    so its gather can hit this ~4x smaller table — gather rate is set by
+    TABLE size (docs/TIMING.md) — addressed via the tail_offset column.
+    None falls back to gathering both levels from the main pool."""
     wrap_mode, mask, count = meta[..., 0], meta[..., 1], meta[..., 2]
     w = owh[..., 0, 1].astype(jnp.float32)
     h = owh[..., 0, 2].astype(jnp.float32)
@@ -548,7 +555,13 @@ def sample_material_interleaved(
             )
         else:
             a = _matq_bilinear(texels_mq, a_owh, wrap_mode, uv_t)
-            b = _matq_bilinear(texels_mq, b_owh, wrap_mode, uv_t)
+            if texels_tail is not None and owh.shape[-1] >= 4:
+                b_towh = jnp.concatenate(
+                    [b_owh[..., 3:4], b_owh[..., 1:3]], axis=-1
+                )
+                b = _matq_bilinear(texels_tail, b_towh, wrap_mode, uv_t)
+            else:
+                b = _matq_bilinear(texels_mq, b_owh, wrap_mode, uv_t)
         a = a * (1.0 / 255.0)
         b = b * (1.0 / 255.0)
         if decode_srgb:

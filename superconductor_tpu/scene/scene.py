@@ -1006,10 +1006,32 @@ class Scene:
 
         mq3_ok = all(halves(dims) for _, dims, _ in chain_specs)
 
+        # Tail layout: the trilinear SECOND level is always >= 1 (clamped
+        # to the chain end), so its rows can live in a dedicated pool a
+        # quarter the size of the main one — and gather rate is set by
+        # TABLE size, not working set (docs/TIMING.md gather
+        # characterization: 1 MB tables gather ~8x faster than 512 MB).
+        # Single-level chains duplicate their level 0 into the tail (the
+        # clamp lands there); level-0 entries of multi-level chains are -1
+        # (never fetched from the tail).
+        tail_offsets = []
+        tail_total = 0
+        for _, dims, _ in chain_specs:
+            offs = []
+            start = 0 if len(dims) == 1 else 1
+            for l, (h, w) in enumerate(dims):
+                if l < start:
+                    offs.append(-1)
+                else:
+                    offs.append(tail_total)
+                    tail_total += h * w
+            tail_offsets.append(offs)
+
         return {
             "chains": chain_specs, "offsets": offsets, "total_rows": total,
             "L": L, "mat_chain": mat_chain, "srgb_masks": srgb_masks,
             "mq3_ok": mq3_ok,
+            "tail_offsets": tail_offsets, "tail_total": tail_total,
         }
 
     def matq_bytes(self, plan: Optional[dict] = None) -> int:
@@ -1019,14 +1041,17 @@ class Scene:
         plan = plan if plan is not None else self.matq_plan()
         if not plan:
             return 0
-        per_row = 208 if (self.matq3x3 and plan["mq3_ok"]) else 64
-        return plan["total_rows"] * per_row
+        if self.matq3x3 and plan["mq3_ok"]:
+            return plan["total_rows"] * 208
+        return (plan["total_rows"] + plan["tail_total"]) * 64
 
     def device_matq(self):
-        """(texels_mq (N, 64) u8 device array, mat_row_mq (M, 24+3L) f32)
-        or None. Built on device from the quad pool (four row gathers) —
-        no host texel traffic; rebuilt when the quad pool or descriptors
-        change (streaming pumps, material edits)."""
+        """(texels_mq (N, 64) u8, texels_mq_tail ((Nt, 64) u8 or None —
+        the levels>=1 pool the trilinear second gather hits; None on
+        mq3), mat_row_mq (M, 24+4L) f32) or None. Built on device from
+        the quad pool (row gathers) — no host texel traffic; rebuilt when
+        the quad pool or descriptors change (streaming pumps, material
+        edits)."""
         if not (self.quad_pools and self.matq_pools):
             return None
         plan = self.matq_plan()
@@ -1123,9 +1148,35 @@ class Scene:
                 )
             texels_mq = _BUILD_MATQ_JIT(quad, jax.device_put(idx))
 
+        # Tail pool (levels >= 1, plus level 0 of single-level chains):
+        # the dedicated small table the trilinear second gather hits —
+        # same (N, 64) quad rows, ~1/4 the main pool's row count
+        # (matq_plan tail layout). Not built for mq3 (wide rows already
+        # carry both levels).
+        texels_mq_tail = None
+        if not mq3 and plan["tail_total"] > 0:
+            idx_t = np.empty((4, plan["tail_total"]), np.int32)
+            for c, (ids, dims, _) in enumerate(plan["chains"]):
+                for l, (h, w) in enumerate(dims):
+                    off = plan["tail_offsets"][c][l]
+                    if off < 0:
+                        continue
+                    for s, t in enumerate(ids):
+                        base, count = pool.tex_mip_base[t], pool.tex_mip_count[t]
+                        if count == 1 and pool.mip_w[base] == 1 \
+                                and pool.mip_h[base] == 1:
+                            idx_t[s, off:off + h * w] = pool.mip_offset[base]
+                        else:
+                            idx_t[s, off:off + h * w] = \
+                                pool.mip_offset[base + l] \
+                                + np.arange(h * w, dtype=np.int32)
+            texels_mq_tail = _BUILD_MATQ_JIT(quad, jax.device_put(idx_t))
+
         # mat_row_mq: [packed_f(12) | packed_i(8) | meta(4: wrap,
-        # srgb_mask, count, pad) | L x (offset, w, h)] — the pixel's
-        # whole material state for the interleaved path in one gather.
+        # srgb_mask, count, pad) | L x (offset, w, h, tail_offset)] — the
+        # pixel's whole material state for the interleaved path in one
+        # gather. tail_offset addresses the tail pool (-1 on level-0 rows
+        # of multi-level chains, which the second gather never selects).
         arrays = self.material_arrays()
         L = plan["L"]
         mrows = []
@@ -1134,11 +1185,14 @@ class Scene:
             meta = np.array(
                 [wrap, plan["srgb_masks"][c], len(dims), 0], np.int32
             )
-            owh = np.zeros((L, 3), np.int32)
+            owh = np.zeros((L, 4), np.int32)
             for l in range(L):
                 ll = min(l, len(dims) - 1)
                 h, w = dims[ll]
-                owh[l] = (plan["offsets"][c][ll], w, h)
+                owh[l] = (
+                    plan["offsets"][c][ll], w, h,
+                    plan["tail_offsets"][c][ll],
+                )
             mrows.append(np.concatenate([
                 arrays["packed_f"][mi],
                 arrays["packed_i"][mi].view(np.float32),
@@ -1146,7 +1200,7 @@ class Scene:
                 owh.reshape(-1).view(np.float32),
             ]))
         mat_row_mq = jax.device_put(np.stack(mrows).astype(np.float32))
-        self._matq_cache = (texels_mq, mat_row_mq)
+        self._matq_cache = (texels_mq, texels_mq_tail, mat_row_mq)
         self._matq_key = key
         return self._matq_cache
 
@@ -1269,6 +1323,8 @@ class Scene:
             mq = self.device_matq()
             if mq is not None:
                 d["texels_mq"] = mq[0]
+                if mq[1] is not None:
+                    d["texels_mq_tail"] = mq[1]
                 d["materials"] = dict(d["materials"])
-                d["materials"]["mat_row_mq"] = mq[1]
+                d["materials"]["mat_row_mq"] = mq[2]
         return d

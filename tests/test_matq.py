@@ -257,7 +257,11 @@ def test_budget_drops_mq3_then_matq():
     scene.matq3x3 = False
     narrow = scene.matq_bytes()
     scene.matq3x3 = True
-    assert wide == narrow * 208 // 64 > 0
+    plan = scene.matq_plan()
+    # mq3 carries both levels in its wide rows (no tail pool); the 64B
+    # layout adds the levels>=1 tail pool for the second trilinear gather
+    assert wide == plan["total_rows"] * 208 > 0
+    assert narrow == (plan["total_rows"] + plan["tail_total"]) * 64 > 0
     base = scene.projected_texture_bytes()
     # budget that fits after the mq3->64B rung alone
     scene.texture_budget_bytes = base - (wide - narrow) // 2
@@ -272,3 +276,33 @@ def test_budget_drops_mq3_then_matq():
     assert scene.matq_bytes() == 0
     report = scene.texture_memory_report()
     assert report["matq_pool_bytes"] == 0
+
+
+def test_matq_tail_pool_bit_exact():
+    """The second trilinear gather from the dedicated levels>=1 tail pool
+    (Scene.device_matq texels_mq_tail) is BIT-exact vs gathering both
+    levels from the main pool — the tail rows are built from the same
+    quad pool with identical per-texel indices, only rebased offsets."""
+    scene = _full_material_scene(size=64)
+    dev = scene.device_arrays()
+    assert "texels_mq_tail" in dev
+    assert dev["texels_mq_tail"].shape[0] < dev["texels_mq"].shape[0]
+    m = dev["materials"]
+    rng = np.random.default_rng(3)
+    P = 4096
+    mat = jnp.asarray(rng.integers(0, len(scene.materials), (P,), np.int32))
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (P, 2)).astype(np.float32))
+    # derivative spread covering magnification through deep minification,
+    # so the second level crosses every chain level incl. the clamp
+    duv = rng.uniform(-0.4, 0.4, (P, 2, 2)).astype(np.float32)
+    duv[: P // 4] *= 0.01
+    duvdx, duvdy = jnp.asarray(duv[:, 0]), jnp.asarray(duv[:, 1])
+    pf, pi, meta, owh = _material_rows_mq(m, mat)
+    with_tail = sample_material_interleaved(
+        dev["texels_mq"], meta, owh, uv, duvdx, duvdy, 1,
+        texels_tail=dev["texels_mq_tail"],
+    )
+    without = sample_material_interleaved(
+        dev["texels_mq"], meta, owh, uv, duvdx, duvdy, 1,
+    )
+    np.testing.assert_array_equal(np.asarray(with_tail), np.asarray(without))
