@@ -66,13 +66,14 @@ HEADLINE_METRIC = (
 # tag + size + a version salt + the content hash of the fixture assets, and
 # skip the stats frames entirely on a hit. SC_BENCH_REFIT=1 forces a refit
 # (bump CAPS_VERSION instead when worklist/cap semantics change).
-CAPS_VERSION = 3  # v3: sky_px_cap seeded by miss-fraction heuristic
+CAPS_VERSION = 4  # v4: matq_classic_cap (material-path partition)
 CAPS_CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_caps.json"
 )
 _CAPS_FIELDS = (
     "p_cap", "blend_layers", "clip_layers", "particle_layers",
     "shade_px_cap", "shade_px_caps", "opaque_px_cap", "sky_px_cap",
+    "matq_classic_cap",
 )
 
 
@@ -790,6 +791,13 @@ def fit_caps(dev, state0, config, env, max_rounds=8, cache_key=None):
             config.sky_px_cap < stats.get("sky_px_needed", 0)
         ):
             grow["sky_px_cap"] = size_worklist_cap(stats["sky_px_needed"])
+        mc_need = stats.get("matq_classic_needed", 0)
+        if mc_need > 0 and (config.matq_classic_cap or 0) < mc_need:
+            # Partial interleaved pool: size (or grow) the classic tail
+            # segment of the material-path partition. Growing is
+            # correctness — spilled incapable lanes read the sentinel
+            # row (wrong color).
+            grow["matq_classic_cap"] = size_worklist_cap(mc_need)
         if config.sky_px_cap is None and not grow:
             # Engage the sky worklist only when geometry covers at least
             # half the screen — below that, evaluating the skybox on a

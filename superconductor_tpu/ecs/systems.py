@@ -503,6 +503,17 @@ def render(world: World) -> None:
             # pixels rendered black. Same grow/re-render contract and
             # full-screen self-limit as opaque_px_cap.
             grow["sky_px_cap"] = size_worklist_cap(sky_px)
+        mc_need = check_stats.get("matq_classic_needed", 0)
+        if mc_need > 0 and (
+            (check_config.matq_classic_cap or 0) < mc_need
+        ):
+            # Partial interleaved pool: seed/grow the classic tail
+            # segment of the material-path partition. Growth is
+            # correctness (spilled incapable lanes read the matq
+            # sentinel row); the initial seed flips the scene from
+            # all-classic to partitioned sampling — also via grow, so
+            # the re-render validates the cap immediately.
+            grow["matq_classic_cap"] = size_worklist_cap(mc_need)
         if check_config.sky_px_cap is None and not grow:
             # Engage the sky worklist only on high-coverage frames:
             # below ~50% geometry coverage, the compacted sky costs more

@@ -413,18 +413,35 @@ def shade(
     inline_tonemapping: bool = True,
     inline_srgb: bool = True,
     aniso_taps: int = 1,
+    s16=None,
 ):
     """Returns (rgb (P,3) display-encoded, alpha (P,)).
 
     Follows fragment() then calculate_lighting_and_tonemap()
     (lib.rs:254-537). Misses are returned black with alpha 0.
+
+    s16: optional pre-sampled (P, 16) material textures
+    [albedo|normal|mr|emissive] from the material-path partition
+    (render/frame.py _partition_material_sample) — used on PARTIAL matq
+    scenes, where some materials sample interleaved and some classic.
+    Without it, a partial pool ("matq_capable" in scene) falls back to
+    the always-correct classic sampler for every lane.
     """
     texels = ldr_pool(scene)
     tex = scene["tex"]
     m = scene["materials"]
     mat = gbuf.material
 
-    if "texels_mq" in scene and "mat_row_mq" in m:
+    if s16 is not None:
+        # Factors/flags still come from the material row (real pf/pi are
+        # baked even for matq-incapable materials).
+        pf, pi, _meta, _owh = _material_rows_mq(m, mat, gbuf)
+        albedo = s16[..., 0:4] * pf[..., 0:4]
+        normal_tex = s16[..., 4:8]
+        mr = s16[..., 8:12]
+        emissive_tex = s16[..., 12:16]
+    elif "texels_mq" in scene and "mat_row_mq" in m \
+            and "matq_capable" not in scene:
         # Interleaved material pool: the pixel's material state is ONE
         # row gather and all four textures' trilinear samples are TWO
         # pool gathers (Scene.device_matq) — the per-pixel fetch count
@@ -533,7 +550,10 @@ def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
     tex = scene["tex"]
     m = scene["materials"]
     mat = gbuf.material
-    if "texels_mq" in scene and "mat_row_mq" in m:
+    if "texels_mq" in scene and "mat_row_mq" in m \
+            and "matq_capable" not in scene:
+        # (partial pools take the classic path below — the clip worklist
+        # is small and the classic sampler is correct for every material)
         pf, pi, mq_meta, mq_owh = _material_rows_mq(m, mat, gbuf)
         s16 = sample_material_interleaved(
             scene["texels_mq"], mq_meta, mq_owh, gbuf.uv,

@@ -108,6 +108,18 @@ class RenderConfig:
     # overflowed sky pixels would render black, so the default None keeps
     # the always-correct full-screen sky for bare render_frame calls).
     sky_px_cap: Optional[int] = None
+    # Material-path partition capacity (PARTIAL interleaved pools only —
+    # scenes where some materials qualify for the matq fast path and some
+    # don't, scene.py matq_plan "partial"). The opaque shade worklist is
+    # permuted so matq-incapable lanes form a contiguous tail segment of
+    # this many lanes, sampled by the classic (per-slot) sampler while
+    # the rest keep the 3-gather interleaved path. Correctness cap: if
+    # more incapable lanes exist than the segment holds, the spill lands
+    # in the matq segment and reads the count=0 sentinel row (wrong
+    # color, never a crash) — the matq_classic_needed stat is the grow
+    # signal. None (default) disables the partition: partial scenes then
+    # shade every lane on the always-correct classic path.
+    matq_classic_cap: Optional[int] = None
     # Compact ALL shading worklists (opaque, clip resolve, per-layer
     # blend/particle) at 128-pixel GRANULE granularity (128 contiguous
     # pixels of a screen row) instead of per pixel, whenever
@@ -515,6 +527,81 @@ def _compose_worklist(dst, mask, ranks, rows, cap, idx):
     return jnp.where(keep, rows[take], dst)
 
 
+def _partition_material_sample(g, scene, config, aniso_taps):
+    """Material sampling for PARTIAL interleaved pools: each lane samples
+    on its material's own path, without ever paying both paths.
+
+    The lanes are permuted (one i32 sort of (incapable, lane) keys) so
+    matq-incapable lanes form a contiguous TAIL segment of
+    config.matq_classic_cap lanes; the head segment samples the
+    interleaved pool (3 gather rows/lane), the tail the classic per-slot
+    sampler (correct for any material). Segment inputs (uv, derivatives,
+    material id) ride one stacked permutation gather; per-segment
+    material rows re-gather from the tiny (M,·) material tables. The
+    concatenated s16 is inverse-permuted back to worklist-lane order
+    (the inverse comes from a second sort — TPU scatters are ~80 ns/row,
+    docs/TIMING.md, so no scatter anywhere).
+
+    Returns (s16 (lanes, 16), classic_needed () i32). classic_needed >
+    matq_classic_cap means incapable lanes spilled into the matq segment
+    (sentinel-row color — the host's grow signal, same contract as the
+    other worklist caps)."""
+    from ..ops.shade import _material_rows, _material_rows_mq
+    from ..ops.texture import (
+        ldr_pool,
+        sample_anisotropic,
+        sample_material_interleaved,
+    )
+
+    m = scene["materials"]
+    lanes = g.material.shape[0]
+    capable = scene["matq_capable"][jnp.maximum(g.material, 0)]
+    classic_lane = (~capable) & g.valid
+    classic_needed = jnp.sum(classic_lane.astype(jnp.int32))
+    cap_c = max(1, min(int(config.matq_classic_cap), lanes))
+
+    shift = max(int(lanes - 1).bit_length(), 1)
+    keys = (
+        classic_lane.astype(jnp.int32) << shift
+    ) | jnp.arange(lanes, dtype=jnp.int32)
+    order = jax.lax.sort(keys) & ((1 << shift) - 1)
+
+    matf = jax.lax.bitcast_convert_type(g.material, jnp.float32)
+    inp = jnp.concatenate(
+        [g.uv, g.duvdx, g.duvdy, matf[..., None]], axis=-1
+    )[order]
+
+    def seg_sample(seg, use_matq):
+        uv = seg[..., 0:2]
+        dx = seg[..., 2:4]
+        dy = seg[..., 4:6]
+        mat = jax.lax.bitcast_convert_type(seg[..., 6], jnp.int32)
+        if use_matq:
+            pf, pi, meta, owh = _material_rows_mq(m, mat)
+            return sample_material_interleaved(
+                scene["texels_mq"], meta, owh, uv, dx, dy, aniso_taps,
+                texels_tail=scene.get("texels_mq_tail"),
+            )
+        pfc, pic, mtm, mlv = _material_rows(m, mat)
+        texels = ldr_pool(scene)
+        outs = []
+        for slot in range(4):
+            meta = mtm[..., 6 * slot:6 * slot + 6] if mtm is not None else None
+            lv = mlv[..., slot, :, :] if mlv is not None else None
+            outs.append(sample_anisotropic(
+                texels, scene["tex"], pic[..., slot], uv, dx, dy,
+                aniso_taps, meta=meta, levels_owh=lv,
+            ))
+        return jnp.concatenate(outs, axis=-1)
+
+    n_h = lanes - cap_c
+    s16_p = jnp.concatenate(
+        [seg_sample(inp[:n_h], True), seg_sample(inp[n_h:], False)]
+    )
+    _, inv = jax.lax.sort_key_val(order, jnp.arange(lanes, dtype=jnp.int32))
+    return s16_p[inv], classic_needed
+
+
 def _composite_layers(rgb, pair_planes, caps, needed_k, shade_fn, config):
     """Back-to-front per-layer compact -> shade -> composite-scatter.
 
@@ -842,6 +929,31 @@ def render_view(
 
     # --- shade the winning opaque/clip surface ---
     opaque_px_needed = jnp.int32(0)
+    matq_classic_needed = jnp.int32(0)
+    # Material-path partition: on PARTIAL interleaved pools (some
+    # materials matq-capable, some not — scene publishes matq_capable),
+    # sample each lane on its own path via _partition_material_sample.
+    partial_pool = "matq_capable" in scene and "texels_mq" in scene
+    use_partition = partial_pool and (config.matq_classic_cap or 0) > 0
+
+    def sampled_s16(g):
+        nonlocal matq_classic_needed
+        if not partial_pool:
+            return None
+        if not use_partition:
+            # Partition off (all-classic shade): still report the
+            # incapable-lane count so a host can size matq_classic_cap
+            # from one stats frame — mirroring the other worklist caps.
+            capable = scene["matq_capable"][jnp.maximum(g.material, 0)]
+            needed = jnp.sum(((~capable) & g.valid).astype(jnp.int32))
+            matq_classic_needed = jnp.maximum(matq_classic_needed, needed)
+            return None
+        s16, needed = _partition_material_sample(
+            g, scene, config, config.aniso_taps
+        )
+        matq_classic_needed = jnp.maximum(matq_classic_needed, needed)
+        return s16
+
     if 0 < (config.opaque_px_cap or 0) < npx:
         # Compacted: gbuffer interpolation + the full material/lighting
         # evaluation run only on the worklist of covered pixels; sky pixels
@@ -873,6 +985,7 @@ def render_view(
             inline_tonemapping=config.inline_tonemapping,
             inline_srgb=config.inline_srgb,
             aniso_taps=config.aniso_taps,
+            s16=sampled_s16(g),
         )
         rgb = wl.compose(
             sky, jnp.where(g.valid[..., None], rgb_w, wl.take(sky))
@@ -900,6 +1013,7 @@ def render_view(
             inline_tonemapping=config.inline_tonemapping,
             inline_srgb=config.inline_srgb,
             aniso_taps=config.aniso_taps,
+            s16=sampled_s16(gbuf),
         )
         rgb = jnp.where(gbuf.valid[..., None], rgb, sky)
 
@@ -1081,6 +1195,7 @@ def render_view(
             "shade_px_needed_k": shade_px_needed_k,
             "opaque_px_needed": opaque_px_needed,
             "sky_px_needed": sky_px_needed,
+            "matq_classic_needed": matq_classic_needed,
         }
     return img
 
@@ -1109,6 +1224,7 @@ def render_frame_impl(
         "shade_px_needed_k": jnp.zeros((config.needed_k_len(),), jnp.int32),
         "opaque_px_needed": jnp.int32(0),
         "sky_px_needed": jnp.int32(0),
+        "matq_classic_needed": jnp.int32(0),
     }
     stages, merged_attrs = _merged_vertex_stage(scene, state, config)
     for v in range(config.num_views):

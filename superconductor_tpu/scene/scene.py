@@ -947,13 +947,23 @@ class Scene:
             base, count = viewed(t)
             return count == 1 and pool.mip_w[base] == 1 and pool.mip_h[base] == 1
 
+        # Per-material capability (round 5): an incapable material no
+        # longer disables the pool for the whole scene — its lanes are
+        # routed to the classic sampler by the material-path partition
+        # (render/frame.py _partition_material_sample) while capable
+        # materials' lanes keep the interleaved fast path. mat_chain[i]
+        # is -1 for incapable materials; their mat_row_mq rows carry real
+        # pf/pi but a count=0 sentinel.
+        mat_capable = []
         for m in mats:
             ids = (m.albedo_tex, m.normal_tex,
                    m.metallic_roughness_tex, m.emissive_tex)
             if ids in chains:
                 mat_chain.append(chains[ids])
+                mat_capable.append(chains[ids] >= 0)
                 continue
             real = [t for t in ids if not is_const(t)]
+            capable = True
             if real:
                 b0, c0 = viewed(real[0])
                 dims = [(pool.mip_h[b0 + l], pool.mip_w[b0 + l])
@@ -962,16 +972,26 @@ class Scene:
                 for t in real[1:]:
                     b, c = viewed(t)
                     if c != c0 or pool.tex_wrap[t] != wrap:
-                        return None
+                        capable = False
+                        break
                     if any((pool.mip_h[b + l], pool.mip_w[b + l]) != dims[l]
                            for l in range(c)):
-                        return None
+                        capable = False
+                        break
             else:
                 dims = [(1, 1)]
                 wrap = WRAP_REPEAT
+            if not capable:
+                chains[ids] = -1
+                mat_chain.append(-1)
+                mat_capable.append(False)
+                continue
             chains[ids] = len(chain_specs)
             chain_specs.append((ids, dims, wrap))
             mat_chain.append(chains[ids])
+            mat_capable.append(True)
+        if not chain_specs:
+            return None
 
         # Layout: chains laid out sequentially, finest level first.
         offsets = []  # per chain: [row offset per level]
@@ -1032,6 +1052,8 @@ class Scene:
             "L": L, "mat_chain": mat_chain, "srgb_masks": srgb_masks,
             "mq3_ok": mq3_ok,
             "tail_offsets": tail_offsets, "tail_total": tail_total,
+            "mat_capable": mat_capable,
+            "partial": not all(mat_capable),
         }
 
     def matq_bytes(self, plan: Optional[dict] = None) -> int:
@@ -1181,18 +1203,29 @@ class Scene:
         L = plan["L"]
         mrows = []
         for mi, c in enumerate(plan["mat_chain"]):
-            _, dims, wrap = plan["chains"][c]
-            meta = np.array(
-                [wrap, plan["srgb_masks"][c], len(dims), 0], np.int32
-            )
-            owh = np.zeros((L, 4), np.int32)
-            for l in range(L):
-                ll = min(l, len(dims) - 1)
-                h, w = dims[ll]
-                owh[l] = (
-                    plan["offsets"][c][ll], w, h,
-                    plan["tail_offsets"][c][ll],
+            if c < 0:
+                # Incapable material: real pf/pi (shade reads factors from
+                # this row on every path), count=0 sentinel, safe zero
+                # offsets. Its lanes sample on the classic path via the
+                # material-path partition; if a partition cap overflow
+                # ever routes one here, it reads pool row 0 (harmless,
+                # and the matq_classic_needed stat grows the cap).
+                meta = np.array([WRAP_REPEAT, 0, 0, 0], np.int32)
+                owh = np.zeros((L, 4), np.int32)
+                owh[:, 1:3] = 1
+            else:
+                _, dims, wrap = plan["chains"][c]
+                meta = np.array(
+                    [wrap, plan["srgb_masks"][c], len(dims), 0], np.int32
                 )
+                owh = np.zeros((L, 4), np.int32)
+                for l in range(L):
+                    ll = min(l, len(dims) - 1)
+                    h, w = dims[ll]
+                    owh[l] = (
+                        plan["offsets"][c][ll], w, h,
+                        plan["tail_offsets"][c][ll],
+                    )
             mrows.append(np.concatenate([
                 arrays["packed_f"][mi],
                 arrays["packed_i"][mi].view(np.float32),
@@ -1327,4 +1360,15 @@ class Scene:
                     d["texels_mq_tail"] = mq[1]
                 d["materials"] = dict(d["materials"])
                 d["materials"]["mat_row_mq"] = mq[2]
+                plan = self.matq_plan()
+                if plan is not None and plan["partial"]:
+                    # Partial pool: some materials sample classic. The KEY
+                    # signals partiality statically (dict structure hashes
+                    # into the jit cache); the value is the per-material
+                    # capability mask the partition gathers per lane.
+                    import jax
+
+                    d["matq_capable"] = jax.device_put(
+                        np.asarray(plan["mat_capable"], np.bool_)
+                    )
         return d

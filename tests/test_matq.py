@@ -306,3 +306,163 @@ def test_matq_tail_pool_bit_exact():
         dev["texels_mq"], meta, owh, uv, duvdx, duvdy, 1,
     )
     np.testing.assert_array_equal(np.asarray(with_tail), np.asarray(without))
+
+
+def _partial_scene(size=64):
+    """Two materials: 0 capable (uniform dims), 1 incapable (mixed dims)."""
+    scene = sc.Scene()
+    a = _add_tex(scene, size, 1, flags=TEXFLAG_SRGB)
+    n = _add_tex(scene, size, 2)
+    scene.add_material(MaterialSettings(albedo_tex=a, normal_tex=n))
+    a2 = _add_tex(scene, size, 5, flags=TEXFLAG_SRGB)
+    n2 = _add_tex(scene, size // 2, 6)  # mixed dims -> incapable
+    scene.add_material(MaterialSettings(albedo_tex=a2, normal_tex=n2))
+    return scene
+
+
+def test_partial_plan_keeps_capable_materials():
+    scene = _partial_scene()
+    plan = scene.matq_plan()
+    assert plan is not None and plan["partial"]
+    assert plan["mat_capable"] == [True, False]
+    assert plan["mat_chain"][1] == -1
+    dev = scene.device_arrays()
+    assert "texels_mq" in dev and "matq_capable" in dev
+    assert list(np.asarray(dev["matq_capable"])) == [True, False]
+
+
+def test_partition_material_sample_matches_per_path():
+    """Partitioned sampling routes each lane to its material's path:
+    incapable lanes are BIT-exact vs the classic sampler; capable lanes
+    match it within the matq-vs-classic tolerance. The spill stat
+    reports the incapable-lane count."""
+    from types import SimpleNamespace
+
+    from superconductor_tpu.render.frame import (
+        RenderConfig,
+        _partition_material_sample,
+    )
+
+    scene = _partial_scene()
+    dev = scene.device_arrays()
+    m = dev["materials"]
+    rng = np.random.default_rng(11)
+    P = 2048
+    mat = jnp.asarray(rng.integers(0, 2, (P,), np.int32))
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (P, 2)).astype(np.float32))
+    duvdx = jnp.asarray(rng.uniform(-0.2, 0.2, (P, 2)).astype(np.float32))
+    duvdy = jnp.asarray(rng.uniform(-0.2, 0.2, (P, 2)).astype(np.float32))
+    g = SimpleNamespace(uv=uv, duvdx=duvdx, duvdy=duvdy, material=mat,
+                        valid=jnp.ones((P,), bool))
+    n_inc = int((np.asarray(mat) == 1).sum())
+    cfg = RenderConfig(matq_classic_cap=n_inc + 64)
+    s16, needed = _partition_material_sample(g, dev, cfg, 1)
+    assert int(needed) == n_inc
+
+    # classic reference for every lane
+    pfc, pic, mtm, mlv = _material_rows(m, mat)
+    texels = ldr_pool(dev)
+    want = []
+    for slot in range(4):
+        meta = mtm[..., 6 * slot:6 * slot + 6]
+        lv = mlv[..., slot, :, :]
+        want.append(sample_anisotropic(
+            texels, dev["tex"], pic[..., slot], uv, duvdx, duvdy, 1,
+            meta=meta, levels_owh=lv,
+        ))
+    want = np.concatenate([np.asarray(w) for w in want], axis=-1)
+    got = np.asarray(s16)
+    incapable = np.asarray(mat) == 1
+    np.testing.assert_array_equal(got[incapable], want[incapable])
+    np.testing.assert_allclose(got[~incapable], want[~incapable],
+                               rtol=0, atol=2e-6)
+
+
+def test_partition_spill_reports_need():
+    """A classic segment smaller than the incapable-lane count still
+    reports the true need (the host's grow signal)."""
+    from types import SimpleNamespace
+
+    from superconductor_tpu.render.frame import (
+        RenderConfig,
+        _partition_material_sample,
+    )
+
+    scene = _partial_scene()
+    dev = scene.device_arrays()
+    rng = np.random.default_rng(12)
+    P = 512
+    mat = jnp.asarray(rng.integers(0, 2, (P,), np.int32))
+    g = SimpleNamespace(
+        uv=jnp.asarray(rng.uniform(0, 1, (P, 2)).astype(np.float32)),
+        duvdx=jnp.zeros((P, 2), jnp.float32),
+        duvdy=jnp.zeros((P, 2), jnp.float32),
+        material=mat, valid=jnp.ones((P,), bool),
+    )
+    n_inc = int((np.asarray(mat) == 1).sum())
+    cfg = RenderConfig(matq_classic_cap=max(1, n_inc // 4))
+    _s16, needed = _partition_material_sample(g, dev, cfg, 1)
+    assert int(needed) == n_inc > cfg.matq_classic_cap
+
+
+def test_partial_scene_partitioned_render_matches_classic():
+    """Full-frame parity on a partial-pool scene: partitioned sampling
+    (matq_classic_cap set) vs the all-classic fallback (cap None) differ
+    only by the matq-vs-classic math path on capable lanes — within one
+    u8 step after display encoding. Stats report the incapable count on
+    both paths."""
+    from superconductor_tpu.render.draws import build_frame_state
+    from superconductor_tpu.render.frame import (
+        RenderConfig,
+        render_frame_stats,
+        stats_to_host,
+    )
+    from superconductor_tpu.utils.procgen import (
+        add_pbr_sphere,
+        default_ambient_sh,
+    )
+    from superconductor_tpu.math3d import Similarity
+
+    scene = sc.Scene()
+    m_cap = add_pbr_sphere(scene, stacks=12, slices=12, name="cap")
+    m_inc = add_pbr_sphere(scene, stacks=12, slices=12, name="inc")
+    # make the second sphere's material incapable: half-size normal map
+    # (materials were appended in order: 0 = cap's, 1 = inc's)
+    small_n = _add_tex(scene, 128, 7)
+    scene.materials[1] = MaterialSettings(
+        albedo_tex=scene.materials[1].albedo_tex, normal_tex=small_n,
+        metallic_roughness_tex=scene.materials[1].metallic_roughness_tex,
+    )
+    plan = scene.matq_plan()
+    assert plan is not None and plan["partial"]
+
+    cam = sc.Camera(position=np.array([0.0, 0.2, 3.2], np.float32))
+    uni = sc.make_uniforms(cam, 192, 96)
+    state = build_frame_state(
+        scene,
+        [(m_cap, Similarity(translation=np.array([-0.8, 0, 0], np.float32))),
+         (m_inc, Similarity(translation=np.array([0.8, 0, 0], np.float32)))],
+        uni,
+    )
+    env = sc.EnvBindings(ambient_sh=default_ambient_sh(),
+                         clear_color=(0.1, 0.1, 0.3))
+    dev = scene.device_arrays()
+    assert "matq_capable" in dev
+    base = dict(width=192, height=96, t_cap=2048, t_cap_anim=8, raster="ref",
+                opaque_px_cap=16384)
+
+    img_classic, st_c = render_frame_stats(
+        dev, state, RenderConfig(**base), env
+    )
+    st_c = stats_to_host(st_c)
+    need = st_c["matq_classic_needed"]
+    assert need > 0
+
+    img_part, st_p = render_frame_stats(
+        dev, state, RenderConfig(matq_classic_cap=need + 128, **base), env
+    )
+    st_p = stats_to_host(st_p)
+    assert st_p["matq_classic_needed"] == need
+    a = np.asarray(img_classic).astype(np.int32)
+    b = np.asarray(img_part).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
