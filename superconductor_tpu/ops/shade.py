@@ -77,6 +77,7 @@ def interpolate_gbuffer(
     tri: TriangleSetup,
     attrs: TriangleAttrs,
     shade_row: Optional[jax.Array] = None,  # (T, 48) concat(setup, packed)
+    row_cols: Optional[int] = None,  # real columns when shade_row is padded
 ) -> GBuffer:
     """Gather the winner's setup row and interpolate attributes.
 
@@ -96,6 +97,8 @@ def interpolate_gbuffer(
     mat_tail = None
     if shade_row is not None:
         row = shade_row[p]  # (P, 48[+mat]) — ONE gather for setup, attrs,
+        if row_cols is not None:  # lane-alignment pad: discard after gather
+            row = row[:, :row_cols]
         setup = row[:, 0:16]  # and (matq scenes) the material row tail
         av32 = row[:, 16:48]
         if row.shape[-1] > 48:

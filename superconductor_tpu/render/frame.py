@@ -120,6 +120,14 @@ class RenderConfig:
     # signal. None (default) disables the partition: partial scenes then
     # shade every lane on the always-correct classic path.
     matq_classic_cap: Optional[int] = None
+    # Pad the per-pair shade_row to this many f32 columns (0 = off). The
+    # natural row is 48+24+3-4L ~ 75 floats = 300 B — lane-misaligned on
+    # TPU (the vector lane dim is 128); padding to 128 makes each
+    # deferred-shade gather fetch one aligned 512 B row, the fastest
+    # measured gather regime (docs/TIMING.md: 512 B rows gather 3.8x more
+    # rows/s than 64 B). The pad is sliced off right after the gather —
+    # bit-identical output, only the gather layout changes.
+    shade_row_pad: int = 0
     # Compact ALL shading worklists (opaque, clip resolve, per-layer
     # blend/particle) at 128-pixel GRANULE granularity (128 contiguous
     # pixels of a screen row) instead of per pixel, whenever
@@ -770,11 +778,17 @@ def render_view(
     # row (materials are per-triangle-static), so shade() pays ZERO
     # extra gathers for material state (GBuffer.mat_tail).
     shade_row = None
+    shade_row_cols = None
     if merged_attrs.packed is not None:
         parts = [merged_tri.setup, merged_attrs.packed]
         if "texels_mq" in scene and "mat_row_mq" in mats:
             parts.append(mats["mat_row_mq"][merged_attrs.material])
         shade_row = jnp.concatenate(parts, axis=1)
+        if config.shade_row_pad > 0:
+            shade_row_cols = shade_row.shape[1]
+            pad = -shade_row_cols % config.shade_row_pad
+            if pad:
+                shade_row = jnp.pad(shade_row, ((0, 0), (0, pad)))
 
     # Sorted-pair mode (pallas raster + packed shade rows): the raster
     # passes leave SORTED bin positions in their pair planes and the
@@ -802,7 +816,7 @@ def render_view(
     def gbuffer_of(pair):
         return interpolate_gbuffer(
             pair.reshape(-1), px, py, merged_tri, merged_attrs,
-            shade_row=vis_row,
+            shade_row=vis_row, row_cols=shade_row_cols,
         )
 
     clip_layers_needed = jnp.int32(0)
@@ -850,7 +864,7 @@ def render_view(
             )
             g = interpolate_gbuffer(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
-                shade_row=vis_row,
+                shade_row=vis_row, row_cols=shade_row_cols,
             )
             a, cutoff = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
             ok = g.valid & (a >= cutoff) & ~found
@@ -974,7 +988,7 @@ def render_view(
             opy,
             merged_tri,
             merged_attrs,
-            shade_row=vis_row,
+            shade_row=vis_row, row_cols=shade_row_cols,
         )
         rgb_w, _ = shade(
             g,
@@ -1136,7 +1150,7 @@ def render_view(
             bpx, bpy = _px_py_at(safe, config.width, y_offset)
             g = interpolate_gbuffer(
                 pair_w, bpx, bpy, merged_tri, merged_attrs,
-                shade_row=blend_row,
+                shade_row=blend_row, row_cols=shade_row_cols,
             )
             lrgb, la = shade(
                 g,

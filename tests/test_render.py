@@ -535,3 +535,18 @@ def test_sky_worklist_matches_fullscreen():
     )
     assert int(st_of["sky_px_needed"]) == need
     assert not np.array_equal(np.asarray(img_full), np.asarray(img_of))
+
+
+def test_shade_row_pad_bit_exact():
+    """RenderConfig.shade_row_pad only changes the gather layout (aligned
+    512 B rows, pad sliced off post-gather) — bit-identical images."""
+    dev, state, env = _pbr_sphere_frame_inputs()
+    base = dict(width=160, height=120, t_cap=2048, t_cap_anim=8,
+                raster="ref", opaque_px_cap=8192)
+    img0 = np.asarray(
+        render_frame(dev, state, RenderConfig(**base), env)
+    )
+    img128 = np.asarray(
+        render_frame(dev, state, RenderConfig(shade_row_pad=128, **base), env)
+    )
+    assert np.array_equal(img0, img128)

@@ -57,6 +57,8 @@ def main():
                     help="override opaque_px_cap after fit_caps (margin A/B)")
     ap.add_argument("--granule", type=int, default=0,
                     help="override RenderConfig.granule_px (dilation A/B)")
+    ap.add_argument("--pad", type=int, default=0,
+                    help="override RenderConfig.shade_row_pad (alignment A/B)")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
 
@@ -100,6 +102,10 @@ def main():
         from dataclasses import replace
 
         config = replace(config, opaque_px_cap=args.opaque_cap)
+    if args.pad:
+        from dataclasses import replace
+
+        config = replace(config, shade_row_pad=args.pad)
     if args.granule:
         from dataclasses import replace
 
