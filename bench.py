@@ -792,11 +792,16 @@ def fit_caps(dev, state0, config, env, max_rounds=8, cache_key=None):
         ):
             grow["sky_px_cap"] = size_worklist_cap(stats["sky_px_needed"])
         mc_need = stats.get("matq_classic_needed", 0)
-        if mc_need > 0 and (config.matq_classic_cap or 0) < mc_need:
-            # Partial interleaved pool: size (or grow) the classic tail
-            # segment of the material-path partition. Growing is
-            # correctness — spilled incapable lanes read the sentinel
-            # row (wrong color).
+        if "matq_capable" in dev and (
+            config.matq_classic_cap is None
+            or config.matq_classic_cap < mc_need
+        ):
+            # Partial interleaved pool: engage the material-path
+            # partition (even at mc_need=0 — the floor-sized classic
+            # tail is noise next to every capable lane dropping from ~9
+            # classic gathers to 3 interleaved ones) and grow the tail
+            # on spill (correctness — spilled incapable lanes read the
+            # sentinel row).
             grow["matq_classic_cap"] = size_worklist_cap(mc_need)
         if config.sky_px_cap is None and not grow:
             # Engage the sky worklist only when geometry covers at least

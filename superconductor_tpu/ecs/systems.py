@@ -504,15 +504,17 @@ def render(world: World) -> None:
             # full-screen self-limit as opaque_px_cap.
             grow["sky_px_cap"] = size_worklist_cap(sky_px)
         mc_need = check_stats.get("matq_classic_needed", 0)
-        if mc_need > 0 and (
-            (check_config.matq_classic_cap or 0) < mc_need
-        ):
-            # Partial interleaved pool: seed/grow the classic tail
-            # segment of the material-path partition. Growth is
-            # correctness (spilled incapable lanes read the matq
-            # sentinel row); the initial seed flips the scene from
-            # all-classic to partitioned sampling — also via grow, so
-            # the re-render validates the cap immediately.
+        if (
+            check_config.matq_classic_cap is None
+            and "matq_capable" in scene.device_arrays()
+        ) or (check_config.matq_classic_cap or 0) < mc_need:
+            # Partial interleaved pool: engage the material-path
+            # partition (even at mc_need=0 — a floor-sized classic tail
+            # is noise next to every capable lane dropping from ~9
+            # classic gathers to 3 interleaved ones) and grow the tail
+            # on spill. Growth is correctness (spilled incapable lanes
+            # read the matq sentinel row); both go through grow so the
+            # re-render validates the cap immediately.
             grow["matq_classic_cap"] = size_worklist_cap(mc_need)
         if check_config.sky_px_cap is None and not grow:
             # Engage the sky worklist only on high-coverage frames:
