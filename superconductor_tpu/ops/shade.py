@@ -543,15 +543,23 @@ def shade(
     return rgb, alpha
 
 
-def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1):
+def albedo_alpha(gbuf: GBuffer, scene: dict, aniso_taps: int = 1,
+                 albedo4=None):
     """(albedo alpha, material alpha cutoff) for the alpha-clip test,
     using the same trilinear lod as full shading — matches sampling all
     textures before the discard in fragment_alpha_clipped
     (lib.rs:405-407). The cutoff rides the material row this already
-    gathers, saving the caller a second per-lane material fetch."""
+    gathers, saving the caller a second per-lane material fetch.
+
+    albedo4: optional pre-sampled (P, 4) albedo from the material-path
+    partition (partial pools — render/frame.py sampled_albedo)."""
     texels = ldr_pool(scene)
     tex = scene["tex"]
     m = scene["materials"]
+    if albedo4 is not None:
+        pf, _pi, _meta, _owh = _material_rows_mq(m, gbuf.material, gbuf)
+        albedo = albedo4 * pf[..., 0:4]
+        return albedo[..., 3], pf[..., 10]
     mat = gbuf.material
     if "texels_mq" in scene and "mat_row_mq" in m \
             and "matq_capable" not in scene:

@@ -535,7 +535,7 @@ def _compose_worklist(dst, mask, ranks, rows, cap, idx):
     return jnp.where(keep, rows[take], dst)
 
 
-def _partition_material_sample(g, scene, config, aniso_taps):
+def _partition_material_sample(g, scene, config, aniso_taps, slots=None):
     """Material sampling for PARTIAL interleaved pools: each lane samples
     on its material's own path, without ever paying both paths.
 
@@ -550,10 +550,15 @@ def _partition_material_sample(g, scene, config, aniso_taps):
     (the inverse comes from a second sort — TPU scatters are ~80 ns/row,
     docs/TIMING.md, so no scatter anywhere).
 
-    Returns (s16 (lanes, 16), classic_needed () i32). classic_needed >
-    matq_classic_cap means incapable lanes spilled into the matq segment
-    (sentinel-row color — the host's grow signal, same contract as the
-    other worklist caps)."""
+    slots: material texture slots to return (None = all four). The
+    interleaved gather always fetches all four (one row); the classic
+    segment samples only the requested slots — the alpha-clip resolve
+    needs albedo alone.
+
+    Returns (s (lanes, 4*len(slots)), classic_needed () i32).
+    classic_needed > matq_classic_cap means incapable lanes spilled into
+    the matq segment (sentinel-row color — the host's grow signal, same
+    contract as the other worklist caps)."""
     from ..ops.shade import _material_rows, _material_rows_mq
     from ..ops.texture import (
         ldr_pool,
@@ -579,6 +584,8 @@ def _partition_material_sample(g, scene, config, aniso_taps):
         [g.uv, g.duvdx, g.duvdy, matf[..., None]], axis=-1
     )[order]
 
+    want = tuple(range(4)) if slots is None else tuple(slots)
+
     def seg_sample(seg, use_matq):
         uv = seg[..., 0:2]
         dx = seg[..., 2:4]
@@ -586,14 +593,19 @@ def _partition_material_sample(g, scene, config, aniso_taps):
         mat = jax.lax.bitcast_convert_type(seg[..., 6], jnp.int32)
         if use_matq:
             pf, pi, meta, owh = _material_rows_mq(m, mat)
-            return sample_material_interleaved(
+            s16 = sample_material_interleaved(
                 scene["texels_mq"], meta, owh, uv, dx, dy, aniso_taps,
                 texels_tail=scene.get("texels_mq_tail"),
+            )
+            if slots is None:
+                return s16
+            return jnp.concatenate(
+                [s16[..., 4 * s:4 * s + 4] for s in want], axis=-1
             )
         pfc, pic, mtm, mlv = _material_rows(m, mat)
         texels = ldr_pool(scene)
         outs = []
-        for slot in range(4):
+        for slot in want:
             meta = mtm[..., 6 * slot:6 * slot + 6] if mtm is not None else None
             lv = mlv[..., slot, :, :] if mlv is not None else None
             outs.append(sample_anisotropic(
@@ -824,6 +836,39 @@ def render_view(
     particle_layers_needed = jnp.int32(0)
     shade_px_needed = jnp.int32(0)
     shade_px_needed_k = jnp.zeros((config.needed_k_len(),), jnp.int32)
+    matq_classic_needed = jnp.int32(0)
+
+    # Material-path partition: on PARTIAL interleaved pools (some
+    # materials matq-capable, some not — scene publishes matq_capable),
+    # sample each lane on its own path via _partition_material_sample.
+    # Used by the opaque shade, the blend-layer shades, and (albedo-only)
+    # the clip resolve.
+    partial_pool = "matq_capable" in scene and "texels_mq" in scene
+    use_partition = partial_pool and (config.matq_classic_cap or 0) > 0
+
+    def _sampled(g, slots=None):
+        nonlocal matq_classic_needed
+        if not partial_pool:
+            return None
+        if not use_partition:
+            # Partition off (all-classic shade): still report the
+            # incapable-lane count so a host can size matq_classic_cap
+            # from one stats frame — mirroring the other worklist caps.
+            capable = scene["matq_capable"][jnp.maximum(g.material, 0)]
+            needed = jnp.sum(((~capable) & g.valid).astype(jnp.int32))
+            matq_classic_needed = jnp.maximum(matq_classic_needed, needed)
+            return None
+        s, needed = _partition_material_sample(
+            g, scene, config, config.aniso_taps, slots=slots
+        )
+        matq_classic_needed = jnp.maximum(matq_classic_needed, needed)
+        return s
+
+    def sampled_s16(g):
+        return _sampled(g)
+
+    def sampled_albedo(g):
+        return _sampled(g, slots=(0,))
 
     # --- pass 2: alpha-clip resolve (K nearest candidates, keep the nearest
     # one whose albedo alpha passes the cutoff; the same decision the
@@ -866,7 +911,10 @@ def render_view(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
                 shade_row=vis_row, row_cols=shade_row_cols,
             )
-            a, cutoff = albedo_alpha(g, scene, aniso_taps=config.aniso_taps)
+            a, cutoff = albedo_alpha(
+                g, scene, aniso_taps=config.aniso_taps,
+                albedo4=sampled_albedo(g),
+            )
             ok = g.valid & (a >= cutoff) & ~found
             chosen_pair = jnp.where(ok, pair_k, chosen_pair)
             chosen_depth = jnp.where(
@@ -943,30 +991,6 @@ def render_view(
 
     # --- shade the winning opaque/clip surface ---
     opaque_px_needed = jnp.int32(0)
-    matq_classic_needed = jnp.int32(0)
-    # Material-path partition: on PARTIAL interleaved pools (some
-    # materials matq-capable, some not — scene publishes matq_capable),
-    # sample each lane on its own path via _partition_material_sample.
-    partial_pool = "matq_capable" in scene and "texels_mq" in scene
-    use_partition = partial_pool and (config.matq_classic_cap or 0) > 0
-
-    def sampled_s16(g):
-        nonlocal matq_classic_needed
-        if not partial_pool:
-            return None
-        if not use_partition:
-            # Partition off (all-classic shade): still report the
-            # incapable-lane count so a host can size matq_classic_cap
-            # from one stats frame — mirroring the other worklist caps.
-            capable = scene["matq_capable"][jnp.maximum(g.material, 0)]
-            needed = jnp.sum(((~capable) & g.valid).astype(jnp.int32))
-            matq_classic_needed = jnp.maximum(matq_classic_needed, needed)
-            return None
-        s16, needed = _partition_material_sample(
-            g, scene, config, config.aniso_taps
-        )
-        matq_classic_needed = jnp.maximum(matq_classic_needed, needed)
-        return s16
 
     if 0 < (config.opaque_px_cap or 0) < npx:
         # Compacted: gbuffer interpolation + the full material/lighting
@@ -1161,6 +1185,7 @@ def render_view(
                 inline_tonemapping=config.inline_tonemapping,
                 inline_srgb=config.inline_srgb,
                 aniso_taps=config.aniso_taps,
+                s16=sampled_s16(g),
             )
             return lrgb, jnp.where(g.valid, la, 0.0)
 

@@ -466,3 +466,76 @@ def test_partial_scene_partitioned_render_matches_classic():
     a = np.asarray(img_classic).astype(np.int32)
     b = np.asarray(img_part).astype(np.int32)
     assert np.abs(a - b).max() <= 1
+
+
+def test_partial_scene_partition_covers_clip_and_blend():
+    """The partition also backs the clip resolve (albedo-only) and the
+    blend-layer shades: partitioned vs all-classic frames agree within
+    one u8 step on a partial-pool scene with clipped + blended spheres."""
+    from superconductor_tpu.render.draws import build_frame_state
+    from superconductor_tpu.render.frame import (
+        RenderConfig,
+        render_frame_stats,
+        stats_to_host,
+    )
+    from superconductor_tpu.utils.procgen import (
+        add_pbr_sphere,
+        default_ambient_sh,
+    )
+    from superconductor_tpu.math3d import Similarity
+    from superconductor_tpu.scene.scene import (
+        BLEND_ALPHA_BLENDED,
+        BLEND_ALPHA_CLIPPED,
+    )
+
+    scene = sc.Scene()
+    m_clip = add_pbr_sphere(scene, stacks=12, slices=12, name="clip")
+    m_blend = add_pbr_sphere(scene, stacks=12, slices=12, name="blend")
+    m_bg = add_pbr_sphere(scene, stacks=12, slices=12, name="bg")
+    # material 0: clipped + INCAPABLE (half-size normal map)
+    small_n = _add_tex(scene, 128, 7)
+    m0 = scene.materials[0]
+    scene.materials[0] = MaterialSettings(
+        albedo_tex=m0.albedo_tex, normal_tex=small_n,
+        metallic_roughness_tex=m0.metallic_roughness_tex,
+        blend_mode=BLEND_ALPHA_CLIPPED, alpha_cutoff=0.4,
+    )
+    # material 1: blended + capable
+    m1 = scene.materials[1]
+    scene.materials[1] = MaterialSettings(
+        albedo_tex=m1.albedo_tex, normal_tex=m1.normal_tex,
+        metallic_roughness_tex=m1.metallic_roughness_tex,
+        blend_mode=BLEND_ALPHA_BLENDED, base_color_factor=(1, 1, 1, 0.6),
+    )
+    plan = scene.matq_plan()
+    assert plan is not None and plan["partial"]
+
+    cam = sc.Camera(position=np.array([0.0, 0.2, 3.4], np.float32))
+    uni = sc.make_uniforms(cam, 192, 96)
+    state = build_frame_state(
+        scene,
+        [(m_bg, Similarity(translation=np.array([0, 0, -1.5], np.float32))),
+         (m_clip, Similarity(translation=np.array([-0.6, 0, 0], np.float32))),
+         (m_blend, Similarity(translation=np.array([0.6, 0, 0], np.float32)))],
+        uni,
+    )
+    env = sc.EnvBindings(ambient_sh=default_ambient_sh(),
+                         clear_color=(0.1, 0.1, 0.3))
+    dev = scene.device_arrays()
+    base = dict(width=192, height=96, t_cap=2048, t_cap_anim=8, raster="ref",
+                opaque_px_cap=16384, enable_clip=True, enable_blend=True,
+                shade_px_cap=16384)
+
+    img_classic, st_c = render_frame_stats(
+        dev, state, RenderConfig(**base), env
+    )
+    st_c = stats_to_host(st_c)
+    need = st_c["matq_classic_needed"]
+    assert need > 0  # the clipped incapable sphere is visible
+
+    img_part, st_p = render_frame_stats(
+        dev, state, RenderConfig(matq_classic_cap=need + 128, **base), env
+    )
+    a = np.asarray(img_classic).astype(np.int32)
+    b = np.asarray(img_part).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
