@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--chain", type=int, default=4,
                     help="gathers chained per dispatch")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="run ONLY these variants: comma-separated "
+                         "dtype:rowbytes:tableMB[:kind[:chains]] specs, "
+                         "e.g. 'u8:64:45,u8:128:45,u8:256:90' (the matq "
+                         "row-width question)")
     args = ap.parse_args()
 
     from superconductor_tpu.utils.cache import enable_compile_cache
@@ -103,6 +108,17 @@ def main():
         ("f32", 16, (256 << 20) // 64, "tile64", 1),
         ("f32", 16, (1 << 26) // 64, "random", 4),    # 4 independent chains
     ]
+    if args.only:
+        variants = []
+        for spec in args.only.split(","):
+            parts = spec.split(":")
+            dtype, rb, mb = parts[0], int(parts[1]), float(parts[2])
+            kind = parts[3] if len(parts) > 3 else "random"
+            par = int(parts[4]) if len(parts) > 4 else 1
+            lane = 4 if dtype == "f32" else 1
+            w = rb // lane
+            m = int(mb * (1 << 20)) // rb
+            variants.append((dtype, w, m, kind, par))
 
     results = []
     for dtype, w, m, kind, par in variants:

@@ -151,6 +151,7 @@ def main():
         )
         s16 = sample_material_interleaved(
             dev["texels_mq"], mq_meta, mq_owh, g.uv, g.duvdx, g.duvdy, 1,
+            texels_tail=dev.get("texels_mq_tail"),
         )
         sky = jnp.zeros((npx, 3), jnp.float32) + 0.25
         rows = s16[..., 0:3] * 0.5 + s16[..., 8:11] * 0.25 \
