@@ -74,7 +74,13 @@ def main():
     state0 = build(0.0)
     # Right-size the never-drop capacities (p_cap/blend_layers/shade_px_cap)
     # first — otherwise a rung could time a frame that silently drops work.
-    full_config = bench.fit_caps(dev, state0, full_config, env)
+    full_config = bench.fit_caps(
+        dev, state0, full_config, env,
+        cache_key=bench._caps_cache_key(
+            "allpasses", width, height,
+            [os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                          "tests", "fixtures", "dense_terrain.glb"),
+             f"{bench.REF_ASSETS}/models/sponza_cubes.glb"]))
 
     import jax
     import jax.numpy as jnp
@@ -98,14 +104,30 @@ def main():
         ("+particles(full)", {}),
     ]
 
-    results = []
-    prev = None
-    for name, overrides in rungs:
+    # Compile every rung in parallel threads first (AOT — the remote
+    # compile queue processes independent requests concurrently; measured
+    # 6 programs in 88 s wall, docs/COMPILE.md), then measure serially.
+    from concurrent.futures import ThreadPoolExecutor
+    from superconductor_tpu.render.frame import render_frame
+
+    def compile_rung(item):
+        name, overrides = item
         config = replace(full_config, **overrides)
         t0 = time.time()
-        img = sc.render_frame(dev, state0, config, env)
-        img.block_until_ready()
-        compile_s = time.time() - t0
+        render_frame.lower(dev, state0, config=config, env=env).compile()
+        return name, config, time.time() - t0
+
+    compiled = {}
+    with ThreadPoolExecutor(max_workers=len(rungs)) as ex:
+        for name, config, secs in ex.map(compile_rung, rungs):
+            compiled[name] = (config, secs)
+            print(f"# compiled {name} in {secs:.1f}s (parallel)",
+                  file=sys.stderr, flush=True)
+
+    results = []
+    prev = None
+    for name, _overrides in rungs:
+        config, compile_s = compiled[name]
         ms, spread = measure(
             lambda: sc.render_frame(dev, state0, config, env), args.calls
         )
