@@ -115,6 +115,17 @@ def main():
             [rgb, jnp.ones_like(rgb[..., :1])], axis=-1
         ).reshape(height, width, 4)
 
+    def tovis_fn(dev, state, i):
+        # geometry+binning+raster only, image-shaped output (no worklist):
+        # base - tovis isolates the worklist+compose block in a frame-like
+        # program; tovis vs the standalone kernel probe isolates
+        # frame-context raster cost.
+        state = eps(state, i)
+        wl, vis, vis_row, tri, attrs = front(dev, state)
+        d = vis.depth.reshape(-1, 1)
+        rgb = jnp.concatenate([d, d * 0.5, d * 0.25], axis=-1)
+        return img_of(rgb)
+
     def base_fn(dev, state, i):
         state = eps(state, i)
         wl, vis, vis_row, tri, attrs = front(dev, state)
@@ -186,6 +197,7 @@ def main():
     fns = {
         "base": base_fn, "gbuf": gbuf_fn, "mat": mat_fn,
         "full_nosky": full_nosky_fn, "full": full_fn, "sky_only": sky_only_fn,
+        "tovis": tovis_fn,
     }
     want = [p for p in args.probes.split(",") if p in fns]
 
