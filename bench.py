@@ -66,14 +66,14 @@ HEADLINE_METRIC = (
 # tag + size + a version salt + the content hash of the fixture assets, and
 # skip the stats frames entirely on a hit. SC_BENCH_REFIT=1 forces a refit
 # (bump CAPS_VERSION instead when worklist/cap semantics change).
-CAPS_VERSION = 4  # v4: matq_classic_cap (material-path partition)
+CAPS_VERSION = 5  # v5: clip_px_caps (per-layer clip-resolve worklists)
 CAPS_CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_caps.json"
 )
 _CAPS_FIELDS = (
     "p_cap", "blend_layers", "clip_layers", "particle_layers",
     "shade_px_cap", "shade_px_caps", "opaque_px_cap", "sky_px_cap",
-    "matq_classic_cap",
+    "matq_classic_cap", "clip_px_caps",
 )
 
 
@@ -98,15 +98,17 @@ def _caps_cache_load(key):
         return None
     if entry is None:
         return None
-    if entry.get("shade_px_caps") is not None:
-        entry["shade_px_caps"] = tuple(entry["shade_px_caps"])
+    for f in ("shade_px_caps", "clip_px_caps"):
+        if entry.get(f) is not None:
+            entry[f] = tuple(entry[f])
     return entry
 
 
 def _caps_cache_store(key, config):
     entry = {f: getattr(config, f) for f in _CAPS_FIELDS}
-    if entry.get("shade_px_caps") is not None:
-        entry["shade_px_caps"] = list(entry["shade_px_caps"])
+    for f in ("shade_px_caps", "clip_px_caps"):
+        if entry.get(f) is not None:
+            entry[f] = list(entry[f])
     try:
         data = {}
         if os.path.exists(CAPS_CACHE_PATH):
@@ -812,6 +814,20 @@ def fit_caps(dev, state0, config, env, max_rounds=8, cache_key=None):
             npx_band = config.width * (config.height // config.row_chunks)
             if 0 < sky_need < npx_band // 2:
                 grow["sky_px_cap"] = size_worklist_cap(sky_need)
+        ck = stats.get("clip_px_needed_k")
+        if ck and config.enable_clip:
+            # Per-layer clip-resolve worklists: size every round from its
+            # own (monotone-decreasing) need on first sighting, grow
+            # overflowed rounds after (never-drop — an overflowed round
+            # loses clip surfaces on the spilled pixels).
+            caps_ck = config.resolve_clip_caps()
+            if config.clip_px_caps is None:
+                grow["clip_px_caps"] = tuple(size_worklist_cap(n) for n in ck)
+            elif any(n > c for n, c in zip(ck, caps_ck)):
+                grow["clip_px_caps"] = tuple(
+                    max(c, size_worklist_cap(n))
+                    for n, c in zip(ck, caps_ck)
+                )
         nk = stats.get("shade_px_needed_k")
         if nk and (config.enable_blend or config.enable_particles):
             # Per-layer worklists for the blend/particle shading loops:

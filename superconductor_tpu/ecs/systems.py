@@ -527,6 +527,23 @@ def render(world: World) -> None:
             )
             if 0 < sky_px < npx_band // 2:
                 tune["sky_px_cap"] = size_worklist_cap(sky_px)
+        clip_k = check_stats.get("clip_px_needed_k")
+        if clip_k and check_config.enable_clip:
+            caps_ck = check_config.resolve_clip_caps()
+            sized_ck = tuple(size_worklist_cap(n) for n in clip_k)
+            if any(n > c for n, c in zip(clip_k, caps_ck)):
+                # An overflowed resolve round lost clip surfaces on the
+                # spilled pixels — grow and re-render (never-drop).
+                if check_config.clip_px_caps is None:
+                    grow["clip_px_caps"] = sized_ck
+                else:
+                    grow["clip_px_caps"] = tuple(
+                        max(s, c) for s, c in zip(sized_ck, caps_ck)
+                    )
+            elif check_config.clip_px_caps is None:
+                # First clean sighting: pin each resolve round to its own
+                # need (pure perf, applies next frame, no re-render).
+                tune["clip_px_caps"] = sized_ck
         needed_k = check_stats.get("shade_px_needed_k")
         if needed_k is not None and (
             check_config.enable_blend or check_config.enable_particles

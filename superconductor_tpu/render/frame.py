@@ -87,6 +87,16 @@ class RenderConfig:
     # entry; the clip pass keeps the single shade_px_cap worklist (its loop
     # resolves one winner, it does not shade every layer).
     shade_px_caps: Optional[tuple] = None
+    # Per-layer worklist capacities for the CLIP RESOLVE loop. K-buffer
+    # occupancy is monotone decreasing, so layer k's candidate set shrinks
+    # fast with k — with the single shared worklist every resolve round
+    # paid layer 0's size (measured r5 on the all-passes scene: the clip
+    # pass was +360 ms, the largest pass, with per-layer needs
+    # [504k, 265k, 43k, 1k, ~0...] vs 8 rounds x 590k lanes). None =
+    # every round uses shade_px_cap (always correct after growth, same
+    # argument as shade_px_caps); managed paths set/grow this from the
+    # clip_px_needed_k stat vector (never-drop).
+    clip_px_caps: Optional[tuple] = None
     # Opaque-shading worklist capacity: the deferred PBR shade (gbuffer
     # interpolation + all material texture taps + SH + BRDF) runs only on
     # the compacted worklist of pixels the opaque/clip passes actually
@@ -193,6 +203,19 @@ class RenderConfig:
         """Length of the shade_px_needed_k stat vector: the deepest
         per-layer shading loop (blend and particles share it by index)."""
         return max(self.blend_layers, self.resolve_particle_layers())
+
+    def resolve_clip_caps(self) -> tuple:
+        """Effective per-layer clip-resolve worklist caps, length
+        resolve_clip_layers(). None falls back to the shared
+        shade_px_cap for every round (layer-0 need == the old shared
+        worklist's need, so post-growth correctness is unchanged)."""
+        k = self.resolve_clip_layers()
+        cs = tuple(int(c) for c in self.clip_px_caps or ())
+        if not cs:
+            return (self.shade_px_cap,) * k
+        if len(cs) < k:
+            cs = cs + (cs[-1],) * (k - len(cs))
+        return cs[:k]
 
 
 # Seed value the managed (growth-capable) paths use for opaque_px_cap:
@@ -478,13 +501,17 @@ class _Worklist(NamedTuple):
 
     def take(self, x: jax.Array) -> jax.Array:
         """Gather flat per-pixel data (npx,) or (npx, C) to worklist lanes
-        — ONE fat row per granule in granule mode."""
+        — ONE fat row per granule in granule mode. The gather operand is
+        kept 2-D ((n_granules, gr*C), row-major so granule rows are
+        contiguous): a 3-D (n_g, gr, C) operand lowers to a per-element
+        gather on TPU (measured r5: the worklist block was ~9 ms of the
+        headline frame, dominated by exactly this)."""
         if self.gr == 1:
             return x[self.safe]
         if x.ndim == 1:
             return x.reshape(-1, self.gr)[self.safe].reshape(-1)
         c = x.shape[-1]
-        return x.reshape(-1, self.gr, c)[self.safe].reshape(-1, c)
+        return x.reshape(-1, self.gr * c)[self.safe].reshape(-1, c)
 
     def compose(self, dst: jax.Array, rows: jax.Array) -> jax.Array:
         """Write lane rows (lanes,) / (lanes, C) into flat per-pixel dst at
@@ -836,6 +863,7 @@ def render_view(
     particle_layers_needed = jnp.int32(0)
     shade_px_needed = jnp.int32(0)
     shade_px_needed_k = jnp.zeros((config.needed_k_len(),), jnp.int32)
+    clip_px_needed_k = jnp.zeros((config.resolve_clip_layers(),), jnp.int32)
     matq_classic_needed = jnp.int32(0)
 
     # Material-path partition: on PARTIAL interleaved pools (some
@@ -893,20 +921,25 @@ def render_view(
         clip_off = config.p_cap if sorted_mode else 0
         pairs_needed = jnp.maximum(pairs_needed, clip_pairs)
         clip_layers_needed = jnp.maximum(clip_layers_needed, clip_layers)
-        anyhit = (kb.pair >= 0).any(axis=0).reshape(-1)
-        wl = _compact_worklist(anyhit, config.shade_px_cap, config)
-        shade_px_needed = jnp.maximum(shade_px_needed, wl.need)
-        live = wl.lane_live()
-        pxc, pyc = _px_py_at(wl.lane_safe(), config.width, y_offset)
-        vshape = vis.pair.shape
-        chosen_pair = jnp.full((wl.lanes,), -1, jnp.int32)
-        chosen_depth = wl.take(vis.depth.reshape(-1))
-        found = jnp.zeros((wl.lanes,), bool)
+        # Per-LAYER resolve worklists (k-buffer occupancy is monotone
+        # decreasing, so round k touches only the pixels that actually
+        # have a layer-k candidate — the shared-worklist form paid layer
+        # 0's size on every round). Full-screen found/chosen planes carry
+        # the find-nearest-passing-layer state between rounds; the merge
+        # is take/compose fat-row traffic (near-free in granule mode).
+        npx_band = band_height * config.width
+        clip_caps = config.resolve_clip_caps()
+        found_p = jnp.zeros((npx_band,), jnp.int32)
+        chosen_pair_p = jnp.zeros((npx_band,), jnp.int32)
+        chosen_depth_p = jnp.zeros((npx_band,), jnp.float32)
         for k in range(config.resolve_clip_layers()):
-            raw_k = wl.take(kb.pair[k].reshape(-1))
-            pair_k = jnp.where(
-                live & (raw_k >= 0), raw_k + clip_off, -1
-            )
+            mask_k = (kb.pair[k] >= 0).reshape(-1)
+            wlk = _compact_worklist(mask_k, clip_caps[k], config)
+            clip_px_needed_k = clip_px_needed_k.at[k].max(wlk.need)
+            livek = wlk.lane_live()
+            pxc, pyc = _px_py_at(wlk.lane_safe(), config.width, y_offset)
+            raw_k = wlk.take(kb.pair[k].reshape(-1))
+            pair_k = jnp.where(livek & (raw_k >= 0), raw_k + clip_off, -1)
             g = interpolate_gbuffer(
                 pair_k, pxc, pyc, merged_tri, merged_attrs,
                 shade_row=vis_row, row_cols=shade_row_cols,
@@ -915,23 +948,40 @@ def render_view(
                 g, scene, aniso_taps=config.aniso_taps,
                 albedo4=sampled_albedo(g),
             )
-            ok = g.valid & (a >= cutoff) & ~found
-            chosen_pair = jnp.where(ok, pair_k, chosen_pair)
-            chosen_depth = jnp.where(
-                ok, wl.take(kb.depth[k].reshape(-1)), chosen_depth
+            cur_found = wlk.take(found_p) != 0
+            ok = g.valid & (a >= cutoff) & ~cur_found
+            found_p = wlk.compose(
+                found_p, (cur_found | ok).astype(jnp.int32)
             )
-            found = found | ok
+            chosen_pair_p = wlk.compose(
+                chosen_pair_p,
+                jnp.where(ok, pair_k, wlk.take(chosen_pair_p)),
+            )
+            chosen_depth_p = wlk.compose(
+                chosen_depth_p,
+                jnp.where(
+                    ok,
+                    wlk.take(kb.depth[k].reshape(-1)),
+                    wlk.take(chosen_depth_p),
+                ),
+            )
+        # clip_px_needed_k[0] is the old shared worklist's need (layer-0
+        # occupancy == any-layer occupancy); report it on the shared-cap
+        # stat while clip_px_caps is unset so existing growth keeps
+        # working, and on the per-layer stat always.
+        if config.clip_px_caps is None:
+            shade_px_needed = jnp.maximum(shade_px_needed, clip_px_needed_k[0])
         # write the winning clip surfaces back into the visibility buffer
-        # (unfound worklist lanes rewrite their original values; overflowed
-        # / dead lanes keep the opaque result — never-drop growth re-renders)
-        flat = lambda a: a.reshape(-1)  # noqa: E731
-
-        def put(full, values):
-            return wl.compose(flat(full), values).reshape(vshape)
-
+        # (pixels with no passing layer keep the opaque result)
+        vshape = vis.pair.shape
+        found_b = (found_p != 0).reshape(vshape)
         vis = VisibilityBuffer(
-            depth=put(vis.depth, chosen_depth),
-            pair=put(vis.pair, jnp.where(found, chosen_pair, wl.take(flat(vis.pair)))),
+            depth=jnp.where(
+                found_b, chosen_depth_p.reshape(vshape), vis.depth
+            ),
+            pair=jnp.where(
+                found_b, chosen_pair_p.reshape(vshape), vis.pair
+            ),
         )
 
     # --- skybox for misses (depth GreaterEqual at the far plane in the
@@ -1235,6 +1285,7 @@ def render_view(
             "opaque_px_needed": opaque_px_needed,
             "sky_px_needed": sky_px_needed,
             "matq_classic_needed": matq_classic_needed,
+            "clip_px_needed_k": clip_px_needed_k,
         }
     return img
 
@@ -1264,6 +1315,9 @@ def render_frame_impl(
         "opaque_px_needed": jnp.int32(0),
         "sky_px_needed": jnp.int32(0),
         "matq_classic_needed": jnp.int32(0),
+        "clip_px_needed_k": jnp.zeros(
+            (config.resolve_clip_layers(),), jnp.int32
+        ),
     }
     stages, merged_attrs = _merged_vertex_stage(scene, state, config)
     for v in range(config.num_views):
