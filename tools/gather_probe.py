@@ -54,6 +54,12 @@ def main():
                          "dtype:rowbytes:tableMB[:kind[:chains]] specs, "
                          "e.g. 'u8:64:45,u8:128:45,u8:256:90' (the matq "
                          "row-width question)")
+    ap.add_argument("--computed", action="store_true",
+                    help="materialize the table INSIDE the program "
+                         "(table * (1+eps)) before gathering — tests "
+                         "whether XLA-chosen layouts of computed tables "
+                         "gather slower than device_put inputs (the "
+                         "in-frame vs standalone gather gap)")
     args = ap.parse_args()
 
     from superconductor_tpu.utils.cache import enable_compile_cache
@@ -137,6 +143,19 @@ def main():
         def make(k, m=m, par=par, kind=kind, table=table, idx0=idx0):
             @jax.jit
             def f(table, idx0):
+                if args.computed:
+                    # Materialize a COMPUTED copy of the table before the
+                    # gather chain — XLA picks this buffer's layout. The
+                    # barrier stops the elementwise op from fusing into
+                    # the gather (which would only touch gathered rows).
+                    if table.dtype == jnp.uint8:
+                        table = jax.lax.optimization_barrier(
+                            table ^ jnp.uint8(0)
+                        )
+                    else:
+                        table = jax.lax.optimization_barrier(
+                            table * jnp.float32(1.0000001)
+                        )
                 outs = []
                 for p in range(par):
                     idx = (
