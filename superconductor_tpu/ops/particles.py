@@ -222,7 +222,23 @@ def shade_particles(
     sh = sh_sampler(world_pos)
 
     n = pair.shape[0]
-    if env.smoke_tex_ids is not None:
+    smoke_static = getattr(env, "smoke_static", None)
+    use_smoke_pool = (
+        env.smoke_tex_ids is not None
+        and smoke_static is not None
+        and "smoke_ab" in scene
+    )
+    if use_smoke_pool:
+        # Dedicated interleaved pool: both smoke maps' level-0 taps in ONE
+        # 32 B row gather with static placement — no descriptor gathers,
+        # and the table is the smoke maps alone rather than the whole LDR
+        # quad pool (gather rate is set by table size, docs/TIMING.md).
+        from .texture import sample_smoke_interleaved
+
+        sw, sh_, swr = smoke_static[0], smoke_static[1], smoke_static[2]
+        s8 = sample_smoke_interleaved(scene["smoke_ab"], sw, sh_, swr, uv)
+        smoke_a, smoke_b = s8[..., 0:4], s8[..., 4:8]
+    elif env.smoke_tex_ids is not None:
         # smoke maps live in the LDR u8 pool (environment.py); the sampler
         # normalizes to [0,1]
         texels = ldr_pool(scene)
@@ -293,7 +309,20 @@ def shade_particles(
     directional = sh[:, 0, :] * rgb_len
     ambient = sh[:, 0, :] * ambient_factor * (1.0 - rgb_len)
 
-    if env.smoke_tex_ids is not None:
+    if use_smoke_pool:
+        from .texture import TEXFLAG_SRGB, _bilinear_core, srgb_to_linear_exact
+
+        lut_uv = jnp.stack([emissive_s, p_lut_y], axis=-1)
+        lw, lh, lwr, lflags = (
+            smoke_static[3], smoke_static[4], smoke_static[5],
+            smoke_static[6],
+        )
+        lut = _bilinear_core(
+            scene["smoke_lut"], 0, lw, lh, lwr, lut_uv
+        )[..., :3] * (1.0 / 255.0)
+        if lflags & TEXFLAG_SRGB:  # static — same decode the classic path
+            lut = srgb_to_linear_exact(lut)  # applies via tex_flags
+    elif env.smoke_tex_ids is not None:
         lut_uv = jnp.stack([emissive_s, p_lut_y], axis=-1)
         lut = sample_bilinear_level(
             ldr_pool(scene),

@@ -233,6 +233,42 @@ def mip_level_from_derivatives(dudx, dvdx, dudy, dvdy, tex_w, tex_h):
     return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
 
 
+def sample_smoke_interleaved(pool32, w: int, h: int, wrap_mode: int, uv):
+    """Both smoke textures' level-0 bilinear taps in ONE 32 B row gather.
+
+    pool32: (w*h, 32) u8 — row i carries [quad_a(16) | quad_b(16)] at
+    texel i (Scene.device_smoke; the two textures share dims, so the
+    footprint is shared). Static placement: w/h/wrap are compile-time
+    (EnvBindings.smoke_static), so there are no descriptor gathers.
+    Returns (P, 8) f32 in [0,1] — identical math to two
+    sample_bilinear_level(level=0, decode_srgb=False) calls."""
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None, None]
+    fy = (y - y0)[..., None, None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    xi = _wrap(x0, w, wrap_mode)
+    yi = _wrap(y0, h, wrap_mode)
+    if wrap_mode == WRAP_CLAMP:
+        fx = jnp.where((x0 < 0)[..., None, None], 0.0, fx)
+        fy = jnp.where((y0 < 0)[..., None, None], 0.0, fy)
+    q = pool32[yi * w + xi].astype(jnp.float32)  # (P, 32)
+    qr = q.reshape(*q.shape[:-1], 2, 4, 4)  # (P, slot, corner, ch)
+    t00, t10, t01, t11 = (
+        qr[..., 0, :], qr[..., 1, :], qr[..., 2, :], qr[..., 3, :]
+    )
+    out = (
+        t00 * (1 - fx) * (1 - fy)
+        + t10 * fx * (1 - fy)
+        + t01 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+    return out.reshape(*q.shape[:-1], 8) * (1.0 / 255.0)
+
+
 def sample_cubemap(texels_hdr, tex_desc, base_tex_id, direction, lod=None,
                    static=None):
     """Sample a cubemap stored as 6 consecutive textures (faces +X,-X,+Y,-Y,

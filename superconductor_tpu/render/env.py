@@ -36,6 +36,14 @@ class EnvBindings:
     # (w, h) of the SH lightmaps — same contract as lightvol_wh.
     lightmap_wh: Optional[Tuple[int, int]] = None
     smoke_tex_ids: Optional[Tuple[int, int, int]] = None  # (a, b, lut)
+    # Static placement of the interleaved smoke pool (Scene.device_smoke):
+    # (w, h, wrap_ab, lut_w, lut_h, lut_wrap, lut_flags). When set and the
+    # scene publishes smoke_ab/smoke_lut, the particle shader samples both
+    # smoke maps in ONE 32 B row gather from a dedicated pool (and the LUT
+    # from its own tiny pool) with zero descriptor gathers.
+    smoke_static: Optional[
+        Tuple[int, int, int, int, int, int, int]
+    ] = None
     clear_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Constant-ambient SH fallback when no lightvol/lightmap is configured
     # (flattened (4,3) row-major: L0.rgb, L1x.rgb, L1y.rgb, L1z.rgb).
@@ -72,5 +80,8 @@ class EnvBindings:
             kwargs["lightmap_wh"] = scene.lightmap_dims()
         if scene.smoke_tex[0] >= 0:
             kwargs["smoke_tex_ids"] = tuple(scene.smoke_tex)
+            dims = scene.smoke_static_dims()
+            if dims is not None:
+                kwargs["smoke_static"] = dims
         kwargs.update(extra)
         return EnvBindings(**kwargs)

@@ -516,6 +516,8 @@ class Scene:
         self.matq3x3: bool = _os.environ.get("SC_MATQ3", "0") == "1"
         self._matq_cache = None
         self._matq_key = None
+        self._smoke_cache = None
+        self._smoke_key = None
         # Device texture residency budget (bytes) over texel pools +
         # quad pools + SH-interleaved pools. None = unlimited. When a
         # publish would exceed it, enforce_texture_budget() degrades
@@ -1237,6 +1239,69 @@ class Scene:
         self._matq_key = key
         return self._matq_cache
 
+    def device_smoke(self):
+        """(smoke_ab (w*h, 32) u8, smoke_lut (lw*lh, 16) u8) or None.
+
+        The particle shader samples both smoke maps at the SAME uv, level
+        0 — one interleaved 32 B row replaces two gathers from the big
+        quad pool, and the tiny LUT gets its own pool so its per-lane
+        gather stops paying big-table rates (gather rate is set by table
+        size, docs/TIMING.md). Requires equal smoke a/b level-0 dims;
+        built on device from the quad pool (ops/texture.py
+        sample_smoke_interleaved consumes it with static placement from
+        EnvBindings.smoke_static)."""
+        if not self.quad_pools:
+            return None
+        ids = getattr(self, "smoke_tex", None)
+        if not ids or ids[0] < 0:
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        pool = self.textures
+        a, b, lut = ids
+        ba, bb, bl = (pool.tex_mip_base[t] for t in (a, b, lut))
+        if (pool.mip_w[ba], pool.mip_h[ba]) != (pool.mip_w[bb], pool.mip_h[bb]):
+            return None
+        if pool.tex_wrap[a] != pool.tex_wrap[b]:
+            return None
+        quad = self.textures.device_quad()
+        key = id(quad)
+        if self._smoke_cache is not None and self._smoke_key == key:
+            return self._smoke_cache
+        w, h = int(pool.mip_w[ba]), int(pool.mip_h[ba])
+        lw, lh = int(pool.mip_w[bl]), int(pool.mip_h[bl])
+        idx_a = pool.mip_offset[ba] + np.arange(w * h, dtype=np.int32)
+        idx_b = pool.mip_offset[bb] + np.arange(w * h, dtype=np.int32)
+        idx_l = pool.mip_offset[bl] + np.arange(lw * lh, dtype=np.int32)
+        ab = jax.jit(
+            lambda q, ia, ib: jnp.concatenate([q[ia], q[ib]], axis=1)
+        )(quad, jax.device_put(idx_a), jax.device_put(idx_b))
+        lut_rows = jax.jit(lambda q, i: q[i])(quad, jax.device_put(idx_l))
+        self._smoke_cache = (ab, lut_rows)
+        self._smoke_key = key
+        return self._smoke_cache
+
+    def smoke_static_dims(self):
+        """(w, h, wrap_ab, lut_w, lut_h, lut_wrap, lut_flags) for
+        EnvBindings.smoke_static, or None (host ints — static under
+        jit)."""
+        ids = getattr(self, "smoke_tex", None)
+        if not ids or ids[0] < 0:
+            return None
+        pool = self.textures
+        a, b, lut = ids
+        ba, bb, bl = (pool.tex_mip_base[t] for t in (a, b, lut))
+        if (pool.mip_w[ba], pool.mip_h[ba]) != (pool.mip_w[bb], pool.mip_h[bb]):
+            return None
+        if pool.tex_wrap[a] != pool.tex_wrap[b]:
+            return None
+        return (
+            int(pool.mip_w[ba]), int(pool.mip_h[ba]), int(pool.tex_wrap[a]),
+            int(pool.mip_w[bl]), int(pool.mip_h[bl]), int(pool.tex_wrap[lut]),
+            int(pool.tex_flags[lut]),
+        )
+
     def lightvol_dims(self):
         """(w, h, z_layers) of the SH lightvol, or None. All four volumes
         share the dims (load_lightvol loads them from one matched set)."""
@@ -1371,4 +1436,7 @@ class Scene:
                     d["matq_capable"] = jax.device_put(
                         np.asarray(plan["mat_capable"], np.bool_)
                     )
+            smoke = self.device_smoke()
+            if smoke is not None:
+                d["smoke_ab"], d["smoke_lut"] = smoke
         return d

@@ -161,3 +161,68 @@ def test_sorted_pair_mode_matches_remap_lines_particles(box_glb):
     finally:
         frame_mod.SORTED_PAIR_MODE = True
     np.testing.assert_array_equal(srt, classic)
+
+
+def test_smoke_pool_matches_classic_sampling():
+    """The dedicated interleaved smoke pool (Scene.device_smoke +
+    EnvBindings.smoke_static) is bit-exact vs sampling the smoke maps
+    and LUT from the shared LDR quad pool — same quad rows, same lerp,
+    only the table and addressing change."""
+    import numpy as np
+
+    from superconductor_tpu import (
+        Camera,
+        EnvBindings,
+        RenderConfig,
+        Scene,
+        make_uniforms,
+        render_frame,
+    )
+    from superconductor_tpu.render.draws import build_frame_state, pack_particles
+    from superconductor_tpu.scene.scene import TEXFLAG_SRGB, WRAP_CLAMP
+
+    rng = np.random.default_rng(5)
+
+    def tex(size, lo=0, hi=255):
+        return rng.integers(lo, hi, (size, size, 4), np.uint8)
+
+    scene = Scene()
+    a_id = scene.textures.add_texture([tex(64)], wrap=WRAP_CLAMP)
+    b_id = scene.textures.add_texture([tex(64, lo=40)], wrap=WRAP_CLAMP)
+    lut_id = scene.textures.add_texture(
+        [tex(32)], wrap=WRAP_CLAMP, flags=TEXFLAG_SRGB
+    )
+    scene.smoke_tex = (a_id, b_id, lut_id)
+
+    cam = Camera(position=np.array([0.3, 0.4, 4.0], np.float32))
+    uniforms = make_uniforms(cam, 192, 96)
+    parts = [
+        {"center": [-0.6, 0.1, -0.8], "scale": [1.6, 1.4],
+         "colour": [0.9, 0.85, 0.95], "emissive_colour": [0.4, 0.25, 0.1]},
+        {"center": [0.5, -0.2, 0.0], "scale": [1.8, 1.8],
+         "colour": [0.8, 0.9, 1.0], "emissive_colour": [0.5, 0.4, 0.6],
+         "use_emissive_lut": 1, "lut_y": 0.35},
+    ]
+    state = build_frame_state(
+        scene, [], uniforms, particles=pack_particles(parts)
+    )
+    config = RenderConfig(
+        width=192, height=96, raster="ref", enable_particles=True,
+    )
+    env = EnvBindings.from_scene(
+        scene, ambient_sh=(0.6, 0.6, 0.65, 0.2, 0.1, 0.1,
+                           0.2, 0.2, 0.2, 0.1, 0.1, 0.1)
+    )
+    assert env.smoke_static is not None
+    dev = scene.device_arrays()
+    assert "smoke_ab" in dev and "smoke_lut" in dev
+    assert dev["smoke_ab"].shape == (64 * 64, 32)
+
+    img_pool = np.asarray(render_frame(dev, state, config, env))[0]
+
+    dev2 = dict(dev)
+    dev2.pop("smoke_ab")
+    dev2.pop("smoke_lut")
+    img_classic = np.asarray(render_frame(dev2, state, config, env))[0]
+    assert (img_pool[..., :3] > 0).any()  # particles actually rendered
+    assert np.array_equal(img_pool, img_classic)
