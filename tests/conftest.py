@@ -314,6 +314,15 @@ _SLOW_TESTS = {
     "tests/test_robustness.py::test_triangle_capacity_grows_instead_of_truncating",
     "tests/test_texture_budget.py::test_degraded_scene_still_renders",
     "tests/test_texture_quad.py::test_quad_bilinear_bit_exact",
+    # round-5 additions measured >= ~25 s (partition / sky-worklist /
+    # pad-parity full-frame renders)
+    "tests/test_matq.py::test_partial_scene_partitioned_render_matches_classic",
+    "tests/test_matq.py::test_partial_scene_partition_covers_clip_and_blend",
+    "tests/test_render.py::test_sky_worklist_matches_fullscreen",
+    "tests/test_render.py::test_shade_row_pad_bit_exact",
+    "tests/test_lines_particles.py::test_smoke_pool_matches_classic_sampling",
+    "tests/test_matq.py::test_partition_material_sample_matches_per_path",
+    "tests/test_matq.py::test_partition_spill_reports_need",
 }
 
 
