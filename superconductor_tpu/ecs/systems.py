@@ -528,7 +528,10 @@ def render(world: World) -> None:
             if 0 < sky_px < npx_band // 2:
                 tune["sky_px_cap"] = size_worklist_cap(sky_px)
         clip_k = check_stats.get("clip_px_needed_k")
-        if clip_k and check_config.enable_clip:
+        # DISABLED pending an XLA fault (see bench.fit_caps): clip_px_caps
+        # on large scenes deterministically faults the TPU backend at
+        # execution; growers keep the shared-worklist clip for now.
+        if False and clip_k and check_config.enable_clip:
             caps_ck = check_config.resolve_clip_caps()
             sized_ck = tuple(size_worklist_cap(n) for n in clip_k)
             if any(n > c for n, c in zip(clip_k, caps_ck)):
