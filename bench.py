@@ -1084,7 +1084,7 @@ def main():
         round-over-round comparable; dispatch_ms/dispatch_fps are the old
         pipelined wall-clock numbers kept for r1/r2 continuity — they
         measure transport dispatch rate, NOT render rate."""
-        if r["device_ms"] is not None:
+        if r.get("device_ms") is not None:
             out[f"{prefix}dispatch_ms"] = round(r["device_ms"], 3)
             out[f"{prefix}dispatch_spread"] = round(r["device_spread"], 3)
         if r.get("frame_ms") is not None:
